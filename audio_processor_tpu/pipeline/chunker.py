@@ -1,0 +1,168 @@
+"""Time-domain chunking of long calls.
+
+Semantics match the reference's ``AudioProcessor.split_audio``
+(reference: services/audio_processor.py:104-160): fixed-duration
+chunks (default 25 s) with a fixed overlap (default 1 s), a final
+partial chunk, and three per-chunk views of a 2-channel call —
+``mixed`` (channel mean), ``agent`` (channel 0), ``client``
+(channel 1). Mono inputs use the same waveform for all three views.
+
+TPU-first difference: instead of a list of ragged tensors, the batch
+path (:func:`chunk_batch`) produces dense ``[num_chunks, bucket_len]``
+arrays with valid-length masks, padded to a static length bucket so
+the downstream XLA program compiles once per bucket
+(SURVEY.md §5.7, §2.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Chunk:
+    """One chunk of one call, with the three speaker views."""
+
+    file_name: str
+    chunk_idx: int
+    start_time: float
+    end_time: float
+    mixed: np.ndarray   # [T] float32
+    agent: np.ndarray   # [T] float32
+    client: np.ndarray  # [T] float32
+    meta: Dict = field(default_factory=dict)
+
+    @property
+    def num_samples(self) -> int:
+        return int(self.mixed.shape[-1])
+
+
+def chunk_boundaries(total_samples: int, chunk_samples: int,
+                     step_samples: int) -> List[Tuple[int, int]]:
+    """(start, end) sample offsets for every chunk.
+
+    Mirrors the reference loop (audio_processor.py:133-158): starts at
+    0, advances by ``step_samples``, stops once a chunk reaches the end
+    of the signal. An empty signal yields no chunks.
+    """
+    if total_samples <= 0 or chunk_samples <= 0 or step_samples <= 0:
+        return []
+    bounds = []
+    start = 0
+    while start < total_samples:
+        end = min(start + chunk_samples, total_samples)
+        bounds.append((start, end))
+        if end >= total_samples:
+            break
+        start += step_samples
+    return bounds
+
+
+def speaker_views(waveform: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mixed, agent, client) views of a [C, T] waveform.
+
+    2-channel: agent = ch0, client = ch1, mixed = mean (reference:
+    audio_processor.py:122-131). Mono: all three alias the input.
+    """
+    waveform = np.asarray(waveform)
+    if waveform.ndim == 1:
+        waveform = waveform[None, :]
+    if waveform.shape[0] == 2:
+        agent = waveform[0]
+        client = waveform[1]
+        mixed = waveform.mean(axis=0)
+    else:
+        agent = client = mixed = waveform[0]
+    return mixed.astype(np.float32), agent.astype(np.float32), client.astype(np.float32)
+
+
+def split_audio(waveform: np.ndarray, sample_rate: int, file_name: str,
+                chunk_duration_sec: float = 25.0,
+                overlap_sec: float = 1.0) -> List[Chunk]:
+    """Split one call into overlapping chunks with speaker views."""
+    chunk_samples = int(chunk_duration_sec * sample_rate)
+    overlap_samples = int(overlap_sec * sample_rate)
+    step_samples = chunk_samples - overlap_samples
+    mixed, agent, client = speaker_views(waveform)
+    out: List[Chunk] = []
+    for idx, (s, e) in enumerate(
+            chunk_boundaries(mixed.shape[-1], chunk_samples, step_samples)):
+        out.append(Chunk(
+            file_name=file_name,
+            chunk_idx=idx,
+            start_time=s / sample_rate,
+            end_time=e / sample_rate,
+            mixed=mixed[s:e],
+            agent=agent[s:e],
+            client=client[s:e],
+        ))
+    return out
+
+
+# ----------------------------------------------------------------------
+# Static-shape bucketing (TPU / XLA path)
+# ----------------------------------------------------------------------
+
+def pick_bucket(num_samples: int, bucket_samples: Sequence[int]) -> int:
+    """Smallest bucket >= num_samples (largest bucket if none fits)."""
+    for b in bucket_samples:
+        if num_samples <= b:
+            return b
+    return max(bucket_samples)
+
+
+@dataclass
+class ChunkBatch:
+    """Dense, statically-shaped batch of chunks for one bucket.
+
+    ``audio`` is [N, 3, L]: the three speaker views stacked so one
+    device program transcribes mixed/agent/client in a single batched
+    forward pass (vs the reference's 3 sequential forwards,
+    audio_processor.py:269-272).
+    """
+
+    audio: np.ndarray       # [N, 3, L] float32, zero-padded
+    lengths: np.ndarray     # [N] int32 valid samples
+    bucket_len: int
+    chunks: List[Chunk]     # originating chunk metadata, len N
+
+    def __len__(self) -> int:
+        return len(self.chunks)
+
+
+def chunk_batch(chunks: Sequence[Chunk], bucket_samples: Sequence[int],
+                sort_by_length: bool = True) -> List[ChunkBatch]:
+    """Group chunks by length bucket into dense padded batches.
+
+    Length bucketing replaces the reference's dynamic sort+pad
+    (audio_processor.py:171-175, 253-261): each bucket has one static
+    padded length, so XLA compiles one program per bucket instead of
+    recompiling per batch shape.
+    """
+    if not chunks:
+        return []
+    by_bucket: Dict[int, List[Chunk]] = {}
+    for c in chunks:
+        b = pick_bucket(c.num_samples, bucket_samples)
+        by_bucket.setdefault(b, []).append(c)
+
+    batches = []
+    for bucket_len in sorted(by_bucket):
+        group = by_bucket[bucket_len]
+        if sort_by_length:
+            group = sorted(group, key=lambda c: c.num_samples)
+        n = len(group)
+        audio = np.zeros((n, 3, bucket_len), dtype=np.float32)
+        lengths = np.zeros((n,), dtype=np.int32)
+        for i, c in enumerate(group):
+            t = min(c.num_samples, bucket_len)
+            audio[i, 0, :t] = c.mixed[:t]
+            audio[i, 1, :t] = c.agent[:t]
+            audio[i, 2, :t] = c.client[:t]
+            lengths[i] = t
+        batches.append(ChunkBatch(audio=audio, lengths=lengths,
+                                  bucket_len=bucket_len, chunks=list(group)))
+    return batches
