@@ -7,14 +7,20 @@ jax initializes its backends.
 
 import os
 
-# Force CPU even if the environment pins a TPU platform (JAX_PLATFORMS=axon):
-# tests must be hermetic and exercise the virtual 8-device mesh.
+# Force CPU even if the environment pins a TPU platform. NOTE: a
+# sitecustomize.py in this image re-exports JAX_PLATFORMS=axon at
+# interpreter startup, clobbering inherited env vars — the only
+# reliable override is jax.config.update before backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
