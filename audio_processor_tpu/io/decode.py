@@ -1,0 +1,114 @@
+"""Unified audio decode API.
+
+Decode order for a path (replaces the reference's ffmpeg-subprocess +
+torchaudio stack, services/audio_processor.py:73-97):
+
+1. ``.wav`` — first-party reader (io/wav.py; C++ fast path via
+   io/native.py when built).
+2. ``.ogg``/other — first-party native decoder if available, else an
+   ``ffmpeg`` subprocess (the reference's own mechanism) if the binary
+   exists, else a clear error.
+
+Every decode returns ([channels, frames] float32 in [-1, 1], rate).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from audio_processor_tpu.io import wav as wav_mod
+from audio_processor_tpu.io.wav import AudioInfo, WavError
+
+
+def _ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def _decode_via_ffmpeg(path: str | Path) -> Tuple[np.ndarray, int]:
+    """OGG (or anything else) -> WAV bytes via ffmpeg subprocess, then
+    parse with the first-party WAV reader (reference mechanism:
+    services/audio_processor.py:76-86)."""
+    cmd = ["ffmpeg", "-i", str(path), "-f", "wav", "-acodec",
+           "pcm_s16le", "-"]
+    proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                          stderr=subprocess.DEVNULL, check=True)
+    data = proc.stdout
+    # ffmpeg streams with unknown RIFF sizes; patch them for the parser.
+    if len(data) > 44 and data[:4] == b"RIFF":
+        import struct
+
+        data = bytearray(data)
+        struct.pack_into("<I", data, 4, len(data) - 8)
+        idx = data.find(b"data")
+        if idx > 0:
+            struct.pack_into("<I", data, idx + 4, len(data) - idx - 8)
+        data = bytes(data)
+    ai, off, size = wav_mod._parse_header(data)
+    n = ai.num_frames * ai.num_channels
+    x = np.frombuffer(data[off:off + size], dtype="<i2", count=n) \
+        .astype(np.float32) / 32768.0
+    return np.ascontiguousarray(x.reshape(-1, ai.num_channels).T), \
+        ai.sample_rate
+
+
+def _native_decoder():
+    try:
+        from audio_processor_tpu.io import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Decode any supported file -> ([C, T] float32, sample_rate)."""
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix == ".wav":
+        nat = _native_decoder()
+        if nat is not None:
+            out = nat.read_wav(p)
+            if out is not None:
+                return out
+        return wav_mod.read(p)
+    if suffix == ".ogg":
+        if _ffmpeg_available():
+            return _decode_via_ffmpeg(p)
+        raise WavError(
+            f"cannot decode {p}: no OGG decoder available "
+            "(native decoder not built and ffmpeg not installed)")
+    # Unknown extension: try WAV parse, then ffmpeg.
+    try:
+        return wav_mod.read(p)
+    except WavError:
+        if _ffmpeg_available():
+            return _decode_via_ffmpeg(p)
+        raise
+
+
+def probe(path: str | Path) -> Optional[AudioInfo]:
+    """Header-only probe; None when the file can't be parsed.
+
+    Replaces torchaudio.info in scan validation (pipeline.py:92)."""
+    p = Path(path)
+    try:
+        if p.suffix.lower() == ".wav":
+            nat = _native_decoder()
+            if nat is not None:
+                out = nat.probe_wav(p)
+                if out is not None:
+                    return out
+            return wav_mod.info(p)
+        if p.suffix.lower() == ".ogg":
+            from audio_processor_tpu.io.ogg import probe_ogg
+
+            return probe_ogg(p)
+        return wav_mod.info(p)
+    except Exception:
+        return None

@@ -1,0 +1,132 @@
+"""ctypes bindings for the first-party C++ audio IO library.
+
+The library (native/audioio.cpp, built by native/build.sh) provides a
+GIL-free WAV probe/read and a multithreaded batch reader. Falls back
+transparently (callers get None) when the shared library isn't built;
+io/wav.py is the pure-Python behavioral reference.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from audio_processor_tpu.io.wav import AudioInfo
+
+_LIB_PATH = Path(__file__).parent / "_native" / "libaudioio.so"
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists():
+            _lib = False
+            return _lib
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.ap_probe_wav.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(ctypes.c_int64)]
+            lib.ap_probe_wav.restype = ctypes.c_int
+            lib.ap_read_wav.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.ap_read_wav.restype = ctypes.c_int
+            lib.ap_read_wav_batch.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.ap_read_wav_batch.restype = ctypes.c_int
+            _lib = lib
+        except OSError:
+            _lib = False
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _meta_to_info(meta) -> AudioInfo:
+    return AudioInfo(sample_rate=int(meta[0]), num_frames=int(meta[1]),
+                     num_channels=int(meta[2]), bits_per_sample=int(meta[3]),
+                     encoding="pcm_int")
+
+
+def probe_wav(path: str | Path) -> Optional[AudioInfo]:
+    lib = _load()
+    if not lib:
+        return None
+    meta = (ctypes.c_int64 * 4)()
+    rc = lib.ap_probe_wav(str(path).encode(), meta)
+    if rc != 0:
+        return None
+    return _meta_to_info(meta)
+
+
+def read_wav(path: str | Path) -> Optional[Tuple[np.ndarray, int]]:
+    lib = _load()
+    if not lib:
+        return None
+    info = probe_wav(path)
+    if info is None:
+        return None
+    n = info.num_frames * info.num_channels
+    buf = np.empty((info.num_channels, info.num_frames), dtype=np.float32)
+    meta = (ctypes.c_int64 * 4)()
+    rc = lib.ap_read_wav(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n), meta)
+    if rc != 0:
+        return None
+    return buf, info.sample_rate
+
+
+def read_wav_batch(paths: Sequence[str | Path], n_threads: int = 8
+                   ) -> List[Optional[Tuple[np.ndarray, int]]]:
+    """Read many WAVs concurrently without the GIL. Failed entries are
+    None; callers fall back per-file to the Python reader."""
+    lib = _load()
+    if not lib:
+        return [read_wav(p) for p in paths]
+    n = len(paths)
+    infos = [probe_wav(p) for p in paths]
+    bufs: List[Optional[np.ndarray]] = []
+    c_paths = (ctypes.c_char_p * n)()
+    c_dsts = (ctypes.POINTER(ctypes.c_float) * n)()
+    c_caps = (ctypes.c_int64 * n)()
+    metas = (ctypes.c_int64 * (4 * n))()
+    codes = (ctypes.c_int32 * n)()
+    dummy = np.zeros(1, dtype=np.float32)
+    for i, (p, info) in enumerate(zip(paths, infos)):
+        c_paths[i] = str(p).encode()
+        if info is None:
+            bufs.append(None)
+            c_dsts[i] = dummy.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            c_caps[i] = 0
+        else:
+            buf = np.empty((info.num_channels, info.num_frames), np.float32)
+            bufs.append(buf)
+            c_dsts[i] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            c_caps[i] = buf.size
+    lib.ap_read_wav_batch(n, c_paths, c_dsts, c_caps, metas, codes,
+                          int(n_threads))
+    out: List[Optional[Tuple[np.ndarray, int]]] = []
+    for i, info in enumerate(infos):
+        if info is None or codes[i] != 0 or bufs[i] is None:
+            out.append(None)
+        else:
+            out.append((bufs[i], info.sample_rate))
+    return out

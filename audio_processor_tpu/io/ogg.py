@@ -1,0 +1,88 @@
+"""First-party OGG container probing (no third-party decoder).
+
+Parses OGG pages directly: reads the identification header of the
+first logical stream (Vorbis or Opus) for channel count / sample rate,
+and the last page's granule position for duration — enough for scan
+validation (channel/empty checks, services/pipeline.py:84-108) without
+decoding audio.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Optional
+
+from audio_processor_tpu.io.wav import AudioInfo
+
+_CAPTURE = b"OggS"
+
+
+def _first_packet(data: bytes) -> Optional[bytes]:
+    """Payload of the first page (contains the ID header)."""
+    if data[:4] != _CAPTURE or len(data) < 27:
+        return None
+    n_segs = data[26]
+    if len(data) < 27 + n_segs:
+        return None
+    seg_table = data[27:27 + n_segs]
+    payload_len = sum(seg_table)
+    start = 27 + n_segs
+    return data[start:start + payload_len]
+
+
+def _last_granule(data: bytes) -> Optional[int]:
+    """Granule position of the last OGG page in the buffer."""
+    idx = data.rfind(_CAPTURE)
+    while idx >= 0:
+        if idx + 27 <= len(data):
+            version = data[idx + 4]
+            if version == 0:
+                (granule,) = struct.unpack_from("<q", data, idx + 6)
+                if granule >= 0:
+                    return granule
+        idx = data.rfind(_CAPTURE, 0, idx)
+    return None
+
+
+def probe_ogg(path: str | Path) -> Optional[AudioInfo]:
+    p = Path(path)
+    size = p.stat().st_size
+    with open(p, "rb") as f:
+        head = f.read(64 * 1024)
+        if size > 128 * 1024:
+            f.seek(-64 * 1024, 2)
+            tail = f.read()
+        else:
+            f.seek(0)
+            tail = f.read()
+
+    packet = _first_packet(head)
+    if packet is None:
+        return None
+
+    channels = sample_rate = None
+    pre_skip = 0
+    is_opus = False
+    if packet[:7] == b"\x01vorbis" and len(packet) >= 30:
+        # Vorbis ID header: version(4) channels(1) rate(4) ...
+        channels = packet[11]
+        (sample_rate,) = struct.unpack_from("<I", packet, 12)
+    elif packet[:8] == b"OpusHead" and len(packet) >= 19:
+        channels = packet[9]
+        (pre_skip,) = struct.unpack_from("<H", packet, 10)
+        # Opus granules are always 48 kHz regardless of input rate.
+        sample_rate = 48000
+        is_opus = True
+    else:
+        return None
+    if not channels or not sample_rate:
+        return None
+
+    granule = _last_granule(tail)
+    num_frames = 0
+    if granule is not None:
+        num_frames = max(0, granule - (pre_skip if is_opus else 0))
+    return AudioInfo(sample_rate=sample_rate, num_frames=int(num_frames),
+                     num_channels=int(channels), bits_per_sample=0,
+                     encoding="opus" if is_opus else "vorbis")

@@ -1,0 +1,151 @@
+"""First-party WAV reader/writer/prober (pure-Python reference path).
+
+Replaces the reference's torchaudio.load / torchaudio.info native
+dependency (services/audio_processor.py:86-91, services/pipeline.py:92).
+A C++ fast path with the same API lives in io/native.py; this module is
+the always-available fallback and the behavioral specification.
+
+Supports RIFF/WAVE with PCM 8/16/24/32-bit integer and 32/64-bit float
+samples, including the WAVE_FORMAT_EXTENSIBLE wrapper.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+@dataclass(frozen=True)
+class AudioInfo:
+    sample_rate: int
+    num_frames: int
+    num_channels: int
+    bits_per_sample: int
+    encoding: str  # "pcm_int" | "pcm_float"
+
+
+class WavError(ValueError):
+    pass
+
+
+def _iter_chunks(data: bytes):
+    """Yield (chunk_id, offset, size) for top-level RIFF chunks."""
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _parse_header(data: bytes,
+                  file_size: Optional[int] = None) -> Tuple[AudioInfo, int, int]:
+    """Returns (info, data_offset, data_size).
+
+    ``file_size`` bounds the declared data size when only a header
+    prefix was read (info/probe path)."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE file")
+    fmt = None
+    data_off = data_size = None
+    for cid, off, size in _iter_chunks(data):
+        if cid == b"fmt " and size >= 16:
+            (audio_format, num_channels, sample_rate, _byte_rate,
+             block_align, bits) = struct.unpack_from("<HHIIHH", data, off)
+            if audio_format == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                # sub-format GUID: first 2 bytes are the real format tag
+                (audio_format,) = struct.unpack_from("<H", data, off + 24)
+            fmt = (audio_format, num_channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            bound = (file_size if file_size is not None else len(data)) - off
+            data_off, data_size = off, min(size, max(0, bound))
+        if fmt is not None and data_off is not None:
+            break
+    if fmt is None:
+        raise WavError("missing fmt chunk")
+    if data_off is None:
+        raise WavError("missing data chunk")
+    audio_format, num_channels, sample_rate, block_align, bits = fmt
+    if num_channels <= 0 or sample_rate <= 0:
+        raise WavError("invalid fmt fields")
+    if audio_format == WAVE_FORMAT_PCM:
+        if bits not in (8, 16, 24, 32):
+            raise WavError(f"unsupported PCM bit depth {bits}")
+        enc = "pcm_int"
+    elif audio_format == WAVE_FORMAT_IEEE_FLOAT:
+        if bits not in (32, 64):
+            raise WavError(f"unsupported float bit depth {bits}")
+        enc = "pcm_float"
+    else:
+        raise WavError(f"unsupported format tag 0x{audio_format:04x}")
+    bytes_per_frame = num_channels * (bits // 8)
+    num_frames = data_size // bytes_per_frame if bytes_per_frame else 0
+    return (AudioInfo(sample_rate, num_frames, num_channels, bits, enc),
+            data_off, num_frames * bytes_per_frame)
+
+
+def info(path: str | Path) -> AudioInfo:
+    """Header probe (reads only the first chunks)."""
+    file_size = Path(path).stat().st_size
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+    return _parse_header(head, file_size=file_size)[0]
+
+
+def read(path: str | Path, dtype=np.float32) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> ([channels, frames] float array in [-1, 1],
+    sample_rate). Matches torchaudio.load normalization conventions."""
+    with open(path, "rb") as f:
+        data = f.read()
+    ai, off, size = _parse_header(data)
+    raw = data[off:off + size]
+    n = ai.num_frames * ai.num_channels
+    if ai.encoding == "pcm_float":
+        dt = np.float32 if ai.bits_per_sample == 32 else np.float64
+        x = np.frombuffer(raw, dtype="<" + np.dtype(dt).char, count=n) \
+            .astype(dtype)
+    elif ai.bits_per_sample == 16:
+        x = np.frombuffer(raw, dtype="<i2", count=n).astype(dtype) / 32768.0
+    elif ai.bits_per_sample == 32:
+        x = np.frombuffer(raw, dtype="<i4", count=n).astype(dtype) / 2147483648.0
+    elif ai.bits_per_sample == 8:
+        # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype="<u1", count=n).astype(dtype)
+             - 128.0) / 128.0
+    else:  # 24-bit packed
+        b = np.frombuffer(raw, dtype=np.uint8, count=n * 3).reshape(-1, 3)
+        vals = (b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(dtype) / 8388608.0
+    x = x.reshape(ai.num_frames, ai.num_channels).T
+    return np.ascontiguousarray(x), ai.sample_rate
+
+
+def write(path: str | Path, waveform: np.ndarray, sample_rate: int) -> None:
+    """Write [channels, frames] float array as 16-bit PCM WAV."""
+    w = np.asarray(waveform)
+    if w.ndim == 1:
+        w = w[None, :]
+    c, nf = w.shape
+    pcm = np.clip(np.round(w.T * 32767.0), -32768, 32767).astype("<i2")
+    payload = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, WAVE_FORMAT_PCM, c,
+                            sample_rate, sample_rate * c * 2, c * 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)

@@ -1,0 +1,92 @@
+"""CTC vocabulary + greedy decoding (host side).
+
+Equivalent to HF ``Wav2Vec2CTCTokenizer.batch_decode`` as used by the
+reference (services/audio_processor.py:275-281): collapse repeated
+frame ids, drop the pad/blank token, map ids to characters, and turn
+the word-delimiter token (``|``) into a space.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_SPECIALS = ("<pad>", "<s>", "</s>", "<unk>")
+
+
+class CTCVocab:
+    def __init__(self, vocab: Dict[str, int],
+                 pad_token: str = "<pad>",
+                 word_delimiter_token: str = "|",
+                 special_tokens: Sequence[str] = DEFAULT_SPECIALS):
+        self.vocab = dict(vocab)
+        self.id_to_token = {i: t for t, i in self.vocab.items()}
+        self.pad_token = pad_token
+        self.pad_id = self.vocab.get(pad_token, 0)
+        self.word_delimiter_token = word_delimiter_token
+        self.special_ids = {self.vocab[t] for t in special_tokens
+                            if t in self.vocab}
+
+    def __len__(self) -> int:
+        return max(self.vocab.values()) + 1
+
+    @classmethod
+    def from_json(cls, path: str | Path, **kw) -> "CTCVocab":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls(json.load(f), **kw)
+
+    @classmethod
+    def darija_default(cls) -> "CTCVocab":
+        """Arabic-script + Latin fallback vocabulary used when no
+        checkpoint vocab is available (synthetic/benchmark runs)."""
+        chars = list("ابتثجحخدذرزسشصضطظعغفقكلمنهويىءآأؤإئةّ") + \
+            list("abcdefghijklmnopqrstuvwxyz0123456789")
+        tokens = ["<pad>", "<s>", "</s>", "<unk>", "|"] + chars
+        return cls({t: i for i, t in enumerate(tokens)})
+
+
+def ctc_collapse(ids: np.ndarray, pad_id: int) -> np.ndarray:
+    """Collapse consecutive repeats, then drop blanks (CTC rule)."""
+    ids = np.asarray(ids)
+    if ids.size == 0:
+        return ids
+    keep = np.ones(ids.shape[0], dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    out = ids[keep]
+    return out[out != pad_id]
+
+
+def decode_ids(ids: Iterable[int], vocab: CTCVocab,
+               skip_special_tokens: bool = False) -> str:
+    arr = np.asarray(list(ids), dtype=np.int64)
+    if skip_special_tokens and vocab.special_ids:
+        # HF removes special tokens BEFORE CTC grouping, so repeats
+        # separated only by specials merge (Wav2Vec2CTCTokenizer
+        # semantics).
+        arr = arr[~np.isin(arr, list(vocab.special_ids))]
+    collapsed = ctc_collapse(arr, vocab.pad_id)
+    parts: List[str] = []
+    for i in collapsed:
+        tok = vocab.id_to_token.get(int(i))
+        if tok is None:
+            continue
+        parts.append(" " if tok == vocab.word_delimiter_token else tok)
+    return "".join(parts).strip()
+
+
+def batch_decode(ids: np.ndarray, vocab: CTCVocab,
+                 mask: Optional[np.ndarray] = None,
+                 skip_special_tokens: bool = False) -> List[str]:
+    """[B, T] frame ids (+ optional valid-frame mask) -> list of texts."""
+    ids = np.asarray(ids)
+    out = []
+    for b in range(ids.shape[0]):
+        row = ids[b]
+        if mask is not None:
+            row = row[np.asarray(mask[b]).astype(bool)]
+        out.append(decode_ids(row, vocab,
+                              skip_special_tokens=skip_special_tokens))
+    return out
