@@ -1,0 +1,96 @@
+"""Device mesh + sharding rules.
+
+Replaces the reference's process-per-GPU data parallelism
+(services/multi_gpu_manager.py:17-117: spawn + CUDA_VISIBLE_DEVICES +
+filesystem JSON aggregation) with single-process SPMD over a
+``jax.sharding.Mesh``: the batch dimension shards over the ``data``
+axis, and (optionally) attention heads / FFN hidden dims shard over a
+``model`` axis for tensor parallelism. XLA inserts the collectives
+over ICI; result "aggregation" is just a device->host fetch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              data: Optional[int] = None,
+              model: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if data is None:
+        data = n_devices // model
+    assert data * model == n_devices, \
+        f"mesh {data}x{model} != {n_devices} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard axis 0 (batch) over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def w2v_param_specs(cfg) -> dict:
+    """PartitionSpec tree for wav2vec2bert params (stacked layers have
+    a leading layer axis).
+
+    Tensor-parallel choices: q/k/v project out to heads -> shard the
+    output dim; out-projection shards the input dim; FFN shards the
+    intermediate dim both ways. Conv module and norms are replicated
+    (cheap relative to attention/FFN).
+    """
+    dense_col = {"kernel": P(None, None, "model"), "bias": P(None, "model")}
+    dense_row = {"kernel": P(None, "model", None), "bias": P(None)}
+    ln = {"scale": P(None), "bias": P(None)}
+    layer = {
+        "ffn1_layer_norm": ln,
+        "ffn1": {"intermediate_dense": dense_col, "output_dense": dense_row},
+        "self_attn_layer_norm": ln,
+        "self_attn": {
+            "linear_q": dense_col, "linear_k": dense_col,
+            "linear_v": dense_col, "linear_out": dense_row,
+            "distance_embedding": P(None),
+        },
+        "conv_module": {
+            "layer_norm": ln,
+            "pointwise_conv1": {"kernel": P(None)},
+            "depthwise_conv": {"kernel": P(None)},
+            "depthwise_layer_norm": ln,
+            "pointwise_conv2": {"kernel": P(None)},
+        },
+        "ffn2_layer_norm": ln,
+        "ffn2": {"intermediate_dense": dense_col, "output_dense": dense_row},
+        "final_layer_norm": ln,
+    }
+    return {
+        "feature_projection": {
+            "layer_norm": {"scale": P(), "bias": P()},
+            "projection": {"kernel": P(None, "model"), "bias": P("model")},
+        },
+        "layers": layer,
+        "lm_head": {"kernel": P(None, None), "bias": P(None)},
+    }
+
+
+def w2v_param_sharding(mesh: Mesh, cfg) -> dict:
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        w2v_param_specs(cfg),
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, mesh: Mesh, cfg):
+    shardings = w2v_param_sharding(mesh, cfg)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,94 @@
+"""CTC fine-tuning step (data + tensor parallel via pjit).
+
+The reference is inference-only, but its ASR model is an HF CTC
+fine-tune; this module provides the TPU-native training counterpart:
+CTC loss (optax), AdamW, and a jit-compiled train step whose batch is
+sharded over the mesh 'data' axis and whose attention/FFN weights can
+shard over 'model' (see parallel/mesh.py). Used by the multi-chip
+dry-run entry point and available for fine-tuning Darija checkpoints.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio_processor_tpu.models import wav2vec2bert as w2v
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 1e-5,
+                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def ctc_loss_fn(params, cfg: w2v.W2VBertConfig, batch: Dict[str, jnp.ndarray],
+                dtype=jnp.bfloat16, remat: bool = True) -> jnp.ndarray:
+    """Mean CTC loss over the batch.
+
+    batch: features [B, T, 160], feature_mask [B, T] (1 = valid),
+    labels [B, N] int32, label_mask [B, N] (1 = valid).
+    """
+    logits = w2v.forward(params, cfg, batch["features"],
+                         batch["feature_mask"].astype(bool),
+                         dtype=dtype, remat=remat)
+    logit_paddings = 1.0 - batch["feature_mask"].astype(jnp.float32)
+    label_paddings = 1.0 - batch["label_mask"].astype(jnp.float32)
+    per_seq = optax.ctc_loss(logits, logit_paddings,
+                             batch["labels"], label_paddings,
+                             blank_id=cfg.pad_token_id)
+    return jnp.mean(per_seq)
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               cfg: w2v.W2VBertConfig,
+               tx: optax.GradientTransformation,
+               dtype=jnp.bfloat16) -> Tuple[TrainState, jnp.ndarray]:
+    loss, grads = jax.value_and_grad(ctc_loss_fn)(
+        state.params, cfg, batch, dtype=dtype)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def init_state(params, tx: optax.GradientTransformation, mesh=None,
+               cfg: w2v.W2VBertConfig | None = None) -> TrainState:
+    """Build a TrainState; with a mesh, params (and the optimizer state,
+    which mirrors them) are placed with the tensor-parallel shardings."""
+    if mesh is not None:
+        from audio_processor_tpu.parallel.mesh import shard_params
+
+        params = shard_params(params, mesh, cfg)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: w2v.W2VBertConfig,
+                    tx: optax.GradientTransformation,
+                    mesh=None, dtype=jnp.bfloat16):
+    """jit-compiled train step. With a mesh, the batch shards over the
+    'data' axis; params/opt_state keep the shardings they were placed
+    with (init_state), so XLA derives the dp+tp program and inserts
+    ICI collectives (psum of grads over 'data', activation collectives
+    over 'model')."""
+    step_fn = functools.partial(train_step, cfg=cfg, tx=tx, dtype=dtype)
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data2 = NamedSharding(mesh, P("data", None))
+    data3 = NamedSharding(mesh, P("data", None, None))
+    batch_sh = {"features": data3, "feature_mask": data2,
+                "labels": data2, "label_mask": data2}
+    return jax.jit(step_fn, in_shardings=(None, batch_sh))

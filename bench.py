@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: scan -> decode -> chunk -> fbank -> ASR ->
+CTC text, on the real chip. Prints ONE JSON line.
+
+Metric: end-to-end ASR RTFx (audio-hours processed per wall-clock hour
+per chip) on synthetic 2-channel calls — all three views
+(mixed/agent/client) transcribed per chunk like the reference's hot
+loop (services/audio_processor.py:247-309).
+
+vs_baseline: the reference README claims ~600 files/hour on an
+80GB-GPU host (README.md:91) with typical call-center files of ~3 min,
+i.e. ~30 audio-hours/hour => baseline RTFx 30 (see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_RTFX = 30.0
+NUM_CALLS = 8
+CALL_SEC = 180.0  # 3 minutes
+SR = 16000
+
+
+def make_calls(tmp: Path):
+    from audio_processor_tpu.io import wav
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(SR * CALL_SEC)) / SR
+    paths = []
+    for i in range(NUM_CALLS):
+        agent = 0.05 * rng.standard_normal(t.shape[0]) + \
+            0.2 * np.sin(2 * np.pi * (180 + 10 * i) * t)
+        client = 0.05 * rng.standard_normal(t.shape[0]) + \
+            0.2 * np.sin(2 * np.pi * (240 + 10 * i) * t)
+        p = tmp / f"call_{i}.wav"
+        wav.write(p, np.stack([agent, client]).astype(np.float32), SR)
+        paths.append(p)
+    return paths
+
+
+def main():
+    from audio_processor_tpu.config import PipelineConfig
+    from audio_processor_tpu.io.decode import load_audio
+    from audio_processor_tpu.io.scanner import AudioFileScanner
+    from audio_processor_tpu.pipeline.asr_engine import ASREngine
+    from audio_processor_tpu.pipeline.chunker import split_audio
+
+    cfg = PipelineConfig(transcription_model="", chunk_batch_size=16)
+    engine = ASREngine(cfg)  # full-size geometry, synthetic weights
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        paths = make_calls(tmp)
+
+        # Warm-up: compile every bucket used by a full call shape.
+        warm = split_audio(load_audio(paths[0])[0], SR, "warm.wav",
+                           cfg.chunk_duration_sec, cfg.overlap_sec)
+        engine.transcribe_chunks(warm)
+
+        t0 = time.perf_counter()
+        files = AudioFileScanner(cfg).scan_files_parallel(tmp)
+        all_chunks = []
+        for f in files:
+            waveform, sr = load_audio(f)
+            assert sr == SR
+            all_chunks.extend(split_audio(
+                waveform, sr, f.name,
+                cfg.chunk_duration_sec, cfg.overlap_sec))
+        results = engine.transcribe_chunks(all_chunks)
+        dt = time.perf_counter() - t0
+
+    assert len(results) == len(all_chunks) and all(
+        r["error"] == "" for r in results)
+    audio_hours = NUM_CALLS * CALL_SEC / 3600.0
+    rtfx = audio_hours / (dt / 3600.0)
+    print(json.dumps({
+        "metric": "e2e_asr_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "audio_hours/hour/chip",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
