@@ -1,0 +1,237 @@
+"""Integration tests of the sentiment stack against torch/sklearn
+oracles and the reference's gating/fusion semantics
+(services/sentiment_analysis.py)."""
+
+import json
+
+import joblib
+import numpy as np
+import pytest
+import torch
+from sklearn.ensemble import RandomForestClassifier
+from sklearn.preprocessing import StandardScaler
+from sklearn.svm import SVC
+
+from audio_processor_tpu.config import PipelineConfig
+from audio_processor_tpu.pipeline.sentiment import (
+    LateFusionSentimentAnalyzer, SentimentAnalyzer,
+)
+
+CLIENT_LABELS = ["content", "mécontent", "neutre", "très mécontent"]
+AGENT_LABELS = ["aggressive", "courtois", "neutre", "sec"]
+
+
+def _save_text_model(d, labels, seed):
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertForSequenceClassification, BertTokenizerFast
+
+    torch.manual_seed(seed)
+    cfg = HFBertConfig(
+        vocab_size=60, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, num_labels=len(labels),
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        id2label={i: l for i, l in enumerate(labels)},
+        label2id={l: i for i, l in enumerate(labels)})
+    model = BertForSequenceClassification(cfg)
+    model.eval()
+    model.save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
+        [chr(ord("a") + i) for i in range(26)] + \
+        ["##" + chr(ord("a") + i) for i in range(26)]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(str(d / "vocab.txt"), lowercase=True) \
+        .save_pretrained(d)
+    return model
+
+
+def _save_acoustic(d, labels, kind, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((300, 38))
+    y = np.asarray(labels)[rng.integers(0, len(labels), 300)]
+    x += rng.standard_normal((len(labels), 38))[np.searchsorted(
+        np.asarray(labels), y)] * 2
+    scaler = StandardScaler().fit(x)
+    xs = scaler.transform(x)
+    if kind == "svc":
+        model = SVC(kernel="rbf", probability=True, random_state=0).fit(xs, y)
+    else:
+        model = RandomForestClassifier(n_estimators=12,
+                                       random_state=0).fit(xs, y)
+    joblib.dump(model, d / f"{kind}_model.joblib")
+    joblib.dump(scaler, d / f"{kind}_scaler.joblib")
+    return model, scaler
+
+
+@pytest.fixture(scope="module")
+def analyzer(tmp_path_factory):
+    base = tmp_path_factory.mktemp("sentiment_models")
+    client_dir = base / "client_text"
+    agent_dir = base / "agent_text"
+    client_dir.mkdir()
+    agent_dir.mkdir()
+    client_text = _save_text_model(client_dir, CLIENT_LABELS, 0)
+    agent_text = _save_text_model(agent_dir, AGENT_LABELS, 1)
+    svc, svc_scaler = _save_acoustic(base, CLIENT_LABELS, "svc", 2)
+    rf, rf_scaler = _save_acoustic(base, AGENT_LABELS, "forest", 3)
+    cfg = PipelineConfig(
+        client_text_model_path=str(client_dir),
+        agent_text_model_path=str(agent_dir),
+        client_acoustic_model_path=str(base / "svc_model.joblib"),
+        client_acoustic_scaler_path=str(base / "svc_scaler.joblib"),
+        agent_acoustic_model_path=str(base / "forest_model.joblib"),
+        agent_acoustic_scaler_path=str(base / "forest_scaler.joblib"),
+    )
+    an = SentimentAnalyzer(cfg)
+    an._oracle = {"client_text": client_text, "agent_text": agent_text,
+                  "svc": svc, "svc_scaler": svc_scaler,
+                  "rf": rf, "rf_scaler": rf_scaler}
+    return an
+
+
+def _chunk(rng, agent_text="salam labas bikhir", client_text="chokran bzaf",
+           n=16000):
+    return {
+        "file_name": "call7.wav", "chunk_idx": 0,
+        "agent_transcription": agent_text,
+        "client_transcription": client_text,
+        "agent_waveform": (0.1 * rng.standard_normal(n)).astype(np.float32),
+        "client_waveform": (0.1 * rng.standard_normal(n)).astype(np.float32),
+    }
+
+
+def test_text_probs_match_torch(analyzer, rng):
+    texts = ["salam labas", "chokran bzaf hh", "", "hi"]
+    got = analyzer.text_analyzer.analyze_batch_sentiment(texts, "client")
+    model = analyzer._oracle["client_text"]
+    tok = analyzer.text_analyzer.models["client"]["tokenizer"]
+    valid = [t for t in texts if len(t.strip()) >= 5]
+    enc = tok(valid, truncation=True, max_length=512, padding=True,
+              return_tensors="pt")
+    with torch.no_grad():
+        ref = torch.softmax(model(**enc).logits, dim=1).numpy()
+    assert got[2]["prediction"] == "" and got[3]["prediction"] == ""
+    for i, g in enumerate([got[0], got[1]]):
+        np.testing.assert_allclose(g["probabilities"], ref[i], atol=1e-4)
+        assert g["prediction"] == CLIENT_LABELS[int(np.argmax(ref[i]))]
+
+
+def test_acoustic_probs_match_sklearn(analyzer, rng):
+    waves = [(0.1 * rng.standard_normal(16000)).astype(np.float32)
+             for _ in range(3)]
+    got = analyzer.acoustic_analyzer.analyze_batch_sentiment(
+        waves, 16000, "client")
+    feats = analyzer.acoustic_analyzer.extract_features(waves, 16000)
+    scaled = analyzer._oracle["svc_scaler"].transform(feats)
+    ref_proba = analyzer._oracle["svc"].predict_proba(scaled)
+    ref_pred = analyzer._oracle["svc"].predict(scaled)
+    for i in range(3):
+        np.testing.assert_allclose(got[i]["probabilities"], ref_proba[i],
+                                   atol=5e-4)
+        assert got[i]["prediction"] == ref_pred[i]
+
+
+def test_full_chunk_flow_and_gating(analyzer, rng):
+    chunks = [
+        _chunk(rng),
+        _chunk(rng, agent_text="", client_text="ok"),  # both too short/empty
+    ]
+    out = analyzer.analyze_batch_sentiment(chunks)
+    r0, r1 = out
+    # Chunk 0: all modalities present.
+    for key in ("agent_text_sentiment", "client_text_sentiment",
+                "agent_acoustic_sentiment", "client_acoustic_sentiment",
+                "agent_fusion_sentiment", "client_fusion_sentiment"):
+        assert r0[key] != ""
+    # Chunk 1: no text -> acoustic gated off -> fusion empty.
+    assert r1["agent_text_sentiment"] == ""
+    assert r1["agent_acoustic_sentiment"] == ""  # gated
+    assert r1["agent_fusion_sentiment"] == ""
+    assert r1["client_fusion_sentiment"] == ""
+
+
+def test_fusion_weights_and_demotion():
+    fus = LateFusionSentimentAnalyzer()
+    fus.agent_id2label = {i: l for i, l in enumerate(AGENT_LABELS)}
+    fus.client_id2label = {i: l for i, l in enumerate(CLIENT_LABELS)}
+    r = {
+        "client_text_sentiment": "content", "client_text_confidence": 0.9,
+        "client_text_probabilities": [0.9, 0.05, 0.03, 0.02],
+        "client_acoustic_sentiment": "neutre",
+        "client_acoustic_confidence": 0.6,
+        "client_acoustic_probabilities": [0.2, 0.1, 0.6, 0.1],
+    }
+    out = fus.analyze_sentiment(r, "client")
+    fused = 0.42 * np.array([0.9, 0.05, 0.03, 0.02]) + \
+        0.58 * np.array([0.2, 0.1, 0.6, 0.1])
+    assert out["prediction"] == CLIENT_LABELS[int(np.argmax(fused))]
+    np.testing.assert_allclose(out["probabilities"], fused)
+
+    # Agent aggressive demotion: weak fused aggressive + weak text.
+    r2 = {
+        "agent_text_sentiment": "courtois", "agent_text_confidence": 0.5,
+        "agent_text_probabilities": [0.4, 0.35, 0.15, 0.1],
+        "agent_acoustic_sentiment": "aggressive",
+        "agent_acoustic_confidence": 0.6,
+        "agent_acoustic_probabilities": [0.6, 0.2, 0.1, 0.1],
+    }
+    out2 = fus.analyze_sentiment(r2, "agent")
+    # fused aggressive = 0.54*0.4 + 0.46*0.6 = 0.492 < 0.7 -> demoted
+    assert out2["prediction"] != "aggressive"
+
+    # Strong fused aggressive survives.
+    r3 = dict(r2, agent_text_probabilities=[0.9, 0.05, 0.03, 0.02],
+              agent_text_sentiment="aggressive", agent_text_confidence=0.9)
+    out3 = fus.analyze_sentiment(r3, "agent")
+    assert out3["prediction"] == "aggressive"
+
+
+def test_fusion_fallback_single_modality():
+    fus = LateFusionSentimentAnalyzer()
+    out = fus.analyze_sentiment({
+        "agent_text_sentiment": "sec", "agent_text_confidence": 0.7,
+        "agent_text_probabilities": [0.1, 0.1, 0.1, 0.7],
+        "agent_acoustic_sentiment": "", "agent_acoustic_confidence": 0.0,
+        "agent_acoustic_probabilities": [],
+    }, "agent")
+    assert out["prediction"] == "sec" and out["confidence"] == 0.7
+
+
+class FakeDB:
+    def __init__(self):
+        self.calls = {}
+        self.chunks = []
+        self.updates = []
+
+    def get_call_by_id_enregistrement(self, cid):
+        return self.calls.get(cid)
+
+    def insert_call(self, data):
+        self.calls[data["id_enregistrement"]] = data
+
+    def insert_chunk(self, data):
+        self.chunks.append(data)
+
+    def get_business_type(self, cid):
+        return "B2C"
+
+    def update_call_sentiment(self, cid, emo, ton, topics):
+        self.updates.append((cid, emo, ton, topics))
+
+
+def test_db_save_and_aggregation(analyzer, rng):
+    db = FakeDB()
+    analyzer.set_database_manager(db)
+    try:
+        chunks = [_chunk(rng), dict(_chunk(rng), chunk_idx=1)]
+        analyzer.analyze_batch_sentiment(chunks)
+        assert "call7" in db.calls
+        assert len(db.chunks) == 2
+        assert db.chunks[0]["id_chunk"] == "0"
+        assert len(db.updates) == 1
+        cid, emo, ton, topics = db.updates[0]
+        assert cid == "call7"
+        assert emo != "" and ton != ""
+        assert topics == ""  # no topic classifier configured
+    finally:
+        analyzer.set_database_manager(None)
