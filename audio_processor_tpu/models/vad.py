@@ -1,0 +1,291 @@
+"""Voice activity detection as a batched XLA program.
+
+Replaces the reference's pyannote VAD pipeline
+(services/speech_segment.py:175-187, 314-326), which round-trips every
+waveform through a temp WAV file into a torch pipeline. Two detectors:
+
+1. :class:`PyanNetVAD` — a PyanNet-style segmentation model (SincNet
+   band-pass frontend → stacked BiLSTM → FFN → sigmoid frame
+   probabilities) implemented functionally in JAX, with a converter
+   for pyannote-format torch state dicts (``convert_pyannet``).
+2. :func:`energy_vad_probs` — a deterministic energy detector used
+   when no checkpoint is configured (synthetic/benchmark runs and
+   tests).
+
+Both emit frame speech probabilities; :func:`binarize` applies
+pyannote-style onset/offset hysteresis with min-duration filtering to
+produce (start, end) second timelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_processor_tpu.dsp.stft import frame_signal
+
+
+# ----------------------------------------------------------------------
+# PyanNet-style model
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PyanNetConfig:
+    sample_rate: int = 16000
+    sinc_filters: int = 80
+    sinc_kernel: int = 251
+    sinc_stride: int = 10
+    conv_channels: int = 60
+    conv_kernel: int = 5
+    pool: int = 3
+    lstm_hidden: int = 128
+    lstm_layers: int = 2
+    linear_hidden: int = 128
+    num_outputs: int = 1
+
+
+def _hamming(n: int) -> np.ndarray:
+    return 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+
+
+def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray,
+                 kernel: int, sample_rate: int) -> jnp.ndarray:
+    """SincNet band-pass bank [F, kernel] from learnable cutoffs."""
+    min_low, min_band = 50.0, 50.0
+    low = min_low + jnp.abs(low_hz)
+    high = jnp.clip(low + min_band + jnp.abs(band_hz),
+                    min_low, sample_rate / 2)
+    t = (jnp.arange(kernel) - (kernel - 1) / 2) / sample_rate  # seconds
+    window = jnp.asarray(_hamming(kernel), jnp.float32)
+
+    def bp(f1, f2):
+        s2 = 2 * f2 * jnp.sinc(2 * f2 * t)
+        s1 = 2 * f1 * jnp.sinc(2 * f1 * t)
+        return (s2 - s1) * window
+
+    filt = jax.vmap(bp)(low, high)                       # [F, K]
+    # normalize each filter to unit peak (SincNet convention)
+    return filt / (2.0 * (high - low))[:, None] / 1.0
+
+
+def init_pyannet(rng, cfg: PyanNetConfig) -> Dict[str, Any]:
+    ks = iter(jax.random.split(rng, 32))
+    F, C, H = cfg.sinc_filters, cfg.conv_channels, cfg.lstm_hidden
+
+    def dense(k, i, o):
+        return {"kernel": jax.random.normal(k, (i, o)) * (1.0 / np.sqrt(i)),
+                "bias": jnp.zeros((o,))}
+
+    def lstm(k, i, h):
+        k1, k2 = jax.random.split(k)
+        return {"w_ih": jax.random.normal(k1, (i, 4 * h)) / np.sqrt(i),
+                "w_hh": jax.random.normal(k2, (h, 4 * h)) / np.sqrt(h),
+                "b": jnp.zeros((4 * h,))}
+
+    params: Dict[str, Any] = {
+        "sinc": {"low_hz": jnp.linspace(30.0, 7000.0, F),
+                 "band_hz": jnp.full((F,), 100.0)},
+        "conv1": {"kernel": jax.random.normal(
+            next(ks), (cfg.conv_kernel, F, C)) / np.sqrt(F * cfg.conv_kernel)},
+        "conv2": {"kernel": jax.random.normal(
+            next(ks), (cfg.conv_kernel, C, C)) / np.sqrt(C * cfg.conv_kernel)},
+        "lstm": [], "linear": [],
+        "classifier": dense(next(ks), 2 * H, cfg.num_outputs),
+    }
+    in_dim = C
+    for _ in range(cfg.lstm_layers):
+        params["lstm"].append({"fwd": lstm(next(ks), in_dim, H),
+                               "bwd": lstm(next(ks), in_dim, H)})
+        in_dim = 2 * H
+    params["linear"].append(dense(next(ks), 2 * H, cfg.linear_hidden))
+    params["linear"].append(dense(next(ks), cfg.linear_hidden, 2 * H))
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+
+def _lstm_scan(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
+               reverse: bool = False) -> jnp.ndarray:
+    """[B, T, I] -> [B, T, H] single-direction LSTM (torch gate order
+    i, f, g, o)."""
+    B, T, _ = x.shape
+    H = p["w_hh"].shape[0]
+    xs = jnp.einsum("bti,ih->bth", x, p["w_ih"]) + p["b"]
+
+    def cell(carry, xt):
+        h, c = carry
+        gates = xt + jnp.matmul(h, p["w_hh"])
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    _, hs = jax.lax.scan(cell, h0, jnp.swapaxes(xs, 0, 1), reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-sample per-channel normalization over time ([B, T, C])."""
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def pyannet_forward(params: Dict[str, Any], cfg: PyanNetConfig,
+                    waveform: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] -> [B, frames] speech probabilities."""
+    x = waveform[:, :, None]                                 # [B, T, 1]
+    x = _instance_norm(x)
+
+    filt = sinc_filters(params["sinc"]["low_hz"], params["sinc"]["band_hz"],
+                        cfg.sinc_kernel, cfg.sample_rate)     # [F, K]
+    x = jax.lax.conv_general_dilated(
+        x, filt.T[:, None, :],                                # [K, 1, F]
+        window_strides=(cfg.sinc_stride,), padding=((0, 0),),
+        dimension_numbers=("NHC", "HIO", "NHC"))              # [B, T1, F]
+    x = jnp.abs(x)
+    x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
+                               (1, cfg.pool, 1), (1, cfg.pool, 1), "VALID")
+    x = _instance_norm(x)
+
+    for conv_name in ("conv1", "conv2"):
+        x = jax.lax.conv_general_dilated(
+            x, params[conv_name]["kernel"],
+            window_strides=(1,), padding=((0, 0),),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        x = jnp.abs(x)
+        x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
+                                   (1, cfg.pool, 1), (1, cfg.pool, 1),
+                                   "VALID")
+        x = _instance_norm(x)
+
+    for layer in params["lstm"]:
+        fwd = _lstm_scan(layer["fwd"], x)
+        bwd = _lstm_scan(layer["bwd"], x, reverse=True)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+
+    for lin in params["linear"]:
+        x = jnp.tanh(jnp.matmul(x, lin["kernel"]) + lin["bias"])
+    cls = params["classifier"]
+    logits = jnp.matmul(x, cls["kernel"]) + cls["bias"]
+    return jax.nn.sigmoid(logits)[..., 0]
+
+
+def pyannet_frame_hop_sec(cfg: PyanNetConfig) -> float:
+    """Seconds per output frame (stride 10 x three pools of 3)."""
+    return cfg.sinc_stride * cfg.pool ** 3 / cfg.sample_rate
+
+
+def convert_pyannet(state_dict: Dict[str, Any],
+                    cfg: PyanNetConfig) -> Dict[str, Any]:
+    """pyannote.audio PyanNet torch state dict -> param tree.
+
+    Layout per pyannote.audio models.segmentation.PyanNet: sincnet
+    (sincnet.conv1d_*.low_hz_/band_hz_, wav_norm + conv blocks), lstm.*
+    (weight_ih_l{k}[_reverse] ...), linear.{k}, classifier."""
+    def np_(k):
+        t = state_dict[k]
+        try:
+            return t.detach().cpu().numpy()
+        except AttributeError:
+            return np.asarray(t)
+
+    params: Dict[str, Any] = {
+        "sinc": {
+            "low_hz": np_("sincnet.conv1d.0.low_hz_").reshape(-1),
+            "band_hz": np_("sincnet.conv1d.0.band_hz_").reshape(-1),
+        },
+        # torch conv weight [out, in, K] -> [K, in, out]
+        "conv1": {"kernel": np_("sincnet.conv1d.1.weight")
+                  .transpose(2, 1, 0)},
+        "conv2": {"kernel": np_("sincnet.conv1d.2.weight")
+                  .transpose(2, 1, 0)},
+        "lstm": [], "linear": [],
+    }
+    for layer in range(cfg.lstm_layers):
+        entry = {}
+        for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            w_ih = np_(f"lstm.weight_ih_l{layer}{suffix}").T
+            w_hh = np_(f"lstm.weight_hh_l{layer}{suffix}").T
+            b = (np_(f"lstm.bias_ih_l{layer}{suffix}")
+                 + np_(f"lstm.bias_hh_l{layer}{suffix}"))
+            entry[direction] = {"w_ih": w_ih, "w_hh": w_hh, "b": b}
+        params["lstm"].append(entry)
+    i = 0
+    while f"linear.{i}.weight" in state_dict:
+        params["linear"].append({
+            "kernel": np_(f"linear.{i}.weight").T,
+            "bias": np_(f"linear.{i}.bias")})
+        i += 1
+    params["classifier"] = {"kernel": np_("classifier.weight").T,
+                            "bias": np_("classifier.bias")}
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+
+# ----------------------------------------------------------------------
+# Energy VAD fallback
+# ----------------------------------------------------------------------
+
+FRAME = 400   # 25 ms @ 16 kHz
+HOP = 160     # 10 ms
+
+
+@jax.jit
+def energy_vad_probs(waveform: jnp.ndarray, lengths: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T] -> ([B, F] speech probabilities, [B, F] frame mask).
+
+    Deterministic adaptive-threshold RMS detector: a frame is speech
+    when its RMS exceeds max(1e-4, 0.1 * p95-RMS of the utterance).
+    """
+    B, T = waveform.shape
+    nf = max(0, 1 + (T - FRAME) // HOP)
+    frames = frame_signal(waveform, FRAME, HOP, nf)
+    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))       # [B, F]
+    valid = jnp.maximum(0, 1 + (lengths - FRAME) // HOP)
+    mask = jnp.arange(nf)[None, :] < valid[:, None]
+    rms_m = jnp.where(mask, rms, 0.0)
+    p95 = jnp.percentile(rms_m, 95, axis=-1, keepdims=True)
+    thresh = jnp.maximum(1e-4, 0.1 * p95)
+    probs = jax.nn.sigmoid((rms - thresh) / (0.1 * thresh + 1e-8))
+    return jnp.where(mask, probs, 0.0), mask
+
+
+# ----------------------------------------------------------------------
+# Binarization (pyannote-style hysteresis)
+# ----------------------------------------------------------------------
+
+def binarize(probs: np.ndarray, frame_hop_sec: float,
+             onset: float = 0.5, offset: float = 0.5,
+             min_duration_on: float = 0.0,
+             min_duration_off: float = 0.0) -> List[Tuple[float, float]]:
+    """Frame probabilities -> [(start_sec, end_sec)] speech regions."""
+    probs = np.asarray(probs).reshape(-1)
+    segments: List[Tuple[float, float]] = []
+    active = False
+    start = 0.0
+    for i, p in enumerate(probs):
+        t = i * frame_hop_sec
+        if not active and p > onset:
+            active = True
+            start = t
+        elif active and p < offset:
+            segments.append((start, t))
+            active = False
+    if active:
+        segments.append((start, len(probs) * frame_hop_sec))
+
+    if min_duration_off > 0 and segments:
+        merged = [list(segments[0])]
+        for s, e in segments[1:]:
+            if s - merged[-1][1] < min_duration_off:
+                merged[-1][1] = e
+            else:
+                merged.append([s, e])
+        segments = [tuple(x) for x in merged]
+    if min_duration_on > 0:
+        segments = [(s, e) for s, e in segments if e - s >= min_duration_on]
+    return segments

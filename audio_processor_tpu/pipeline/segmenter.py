@@ -1,0 +1,198 @@
+"""VAD-driven speech segmentation + mono transcription (message path).
+
+Behavior-matched to the reference's SpeechSegment /
+SpeechBatchTranscriber (services/speech_segment.py:161-428): VAD
+timeline -> merge segments with gaps <= ``vad_gap_threshold`` ->
+pad +-``vad_padding`` -> window long segments into
+<= ``vad_max_segment_sec`` pieces with ``vad_window_overlap_sec``
+overlap -> batched CTC transcription -> text cleaning (+ optional
+Darija conversion). No temp-file round trip: VAD consumes the in-memory
+waveform as a batched XLA program (models/vad.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from audio_processor_tpu.models import vad as vad_mod
+from audio_processor_tpu.utils.text import remove_special_characters
+
+logger = logging.getLogger(__name__)
+
+
+def merge_segments(timeline: List[Tuple[float, float]],
+                   gap_threshold: float) -> List[Tuple[float, float]]:
+    """Merge segments closer than gap_threshold
+    (reference: speech_segment.py:366-383)."""
+    if not timeline:
+        return []
+    merged = []
+    cur_start, cur_end = timeline[0]
+    for start, end in timeline[1:]:
+        if start - cur_end <= gap_threshold:
+            cur_end = end
+        else:
+            merged.append((cur_start, cur_end))
+            cur_start, cur_end = start, end
+    merged.append((cur_start, cur_end))
+    return merged
+
+
+def extract_windows(total_duration: float,
+                    segments: List[Tuple[float, float]],
+                    padding: float, max_len_sec: float,
+                    overlap: float) -> List[Tuple[float, float]]:
+    """Pad and window segments (reference: speech_segment.py:385-418).
+    Returns (start_sec, end_sec) windows."""
+    out = []
+    for start, end in segments:
+        padded_start = max(0.0, start - padding)
+        padded_end = min(total_duration, end + padding)
+        cur = padded_start
+        while cur < padded_end:
+            win_end = min(padded_end, cur + max_len_sec)
+            out.append((cur, win_end))
+            if win_end >= padded_end:
+                break
+            cur = max(cur + max_len_sec - overlap, cur + 0.1)
+    return out
+
+
+class SpeechSegment:
+    """VAD + segmentation + batched mono transcription facade."""
+
+    def __init__(self, config, asr_engine=None, converter=None):
+        self.config = config
+        self.asr_engine = asr_engine
+        self.converter = converter
+        self._vad_params = None
+        self._vad_cfg = None
+        self._load_vad()
+
+    def _load_vad(self):
+        """Load a PyanNet checkpoint when configured; otherwise use the
+        deterministic energy detector."""
+        model_path = self.config.get("vad_model_id", "") or ""
+        from pathlib import Path
+
+        if model_path and Path(model_path).exists():
+            try:
+                import torch
+
+                sd = torch.load(model_path, map_location="cpu",
+                                weights_only=False)
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                self._vad_cfg = vad_mod.PyanNetConfig()
+                self._vad_params = vad_mod.convert_pyannet(sd, self._vad_cfg)
+                logger.info("Loaded PyanNet VAD from %s", model_path)
+                return
+            except Exception as e:
+                logger.error("Failed to load VAD checkpoint %s: %s "
+                             "- falling back to energy VAD",
+                             model_path, e)
+        logger.info("Using energy VAD (no PyanNet checkpoint configured)")
+
+    # ------------------------------------------------------------------
+    def vad_probs(self, waveform: np.ndarray, sample_rate: int
+                  ) -> Tuple[np.ndarray, float]:
+        """Mono waveform -> (frame speech probs, frame hop seconds)."""
+        mono = np.asarray(waveform, np.float32).reshape(-1)
+        if self._vad_params is not None:
+            probs = np.asarray(vad_mod.pyannet_forward(
+                self._vad_params, self._vad_cfg, mono[None, :]))[0]
+            return probs, vad_mod.pyannet_frame_hop_sec(self._vad_cfg)
+        probs, mask = vad_mod.energy_vad_probs(
+            mono[None, :], np.array([mono.shape[0]], np.int32))
+        return np.asarray(probs)[0], vad_mod.HOP / sample_rate
+
+    def get_speech_segments(self, waveform: np.ndarray, sample_rate: int,
+                            speaker_label: str) -> List[Dict[str, Any]]:
+        """VAD -> merge -> pad/window -> extracted segment dicts
+        (reference contract: speech_segment.py:292-418)."""
+        try:
+            mono = np.asarray(waveform, np.float32)
+            if mono.ndim == 2:
+                flat = mono[0]
+            else:
+                flat = mono
+                mono = mono[None, :]
+            probs, hop_sec = self.vad_probs(flat, sample_rate)
+            timeline = vad_mod.binarize(
+                probs, hop_sec,
+                onset=float(self.config.get("vad_onset", 0.5)),
+                offset=float(self.config.get("vad_offset", 0.5)),
+                min_duration_on=float(
+                    self.config.get("vad_min_duration_on", 0.0)),
+                min_duration_off=float(
+                    self.config.get("vad_min_duration_off", 0.0)))
+            if not timeline:
+                logger.warning("No speech segments found for %s",
+                               speaker_label)
+                return []
+            merged = merge_segments(
+                timeline, float(self.config.get("vad_gap_threshold", 0.8)))
+            total_duration = mono.shape[1] / sample_rate
+            windows = extract_windows(
+                total_duration, merged,
+                padding=float(self.config.get("vad_padding", 0.5)),
+                max_len_sec=float(
+                    self.config.get("vad_max_segment_sec", 25.0)),
+                overlap=float(
+                    self.config.get("vad_window_overlap_sec", 0.5)))
+            out = []
+            for start, end in windows:
+                s = int(start * sample_rate)
+                e = int(end * sample_rate)
+                out.append({
+                    "segment_waveform": mono[:, s:e],
+                    "start": start,
+                    "end": end,
+                    "speaker": speaker_label,
+                })
+            return out
+        except Exception as e:
+            logger.error("Error in speech segmentation: %s", e)
+            return []
+
+    def transcribe_segments_batched(self, segments: List[Dict[str, Any]],
+                                    sample_rate: int
+                                    ) -> List[Dict[str, Any]]:
+        """Batched CTC transcription of segments, preserving order
+        (reference: speech_segment.py:190-290)."""
+        if not segments:
+            return []
+        if self.asr_engine is None:
+            raise RuntimeError("SpeechSegment has no ASR engine attached")
+        waves = [np.asarray(s["segment_waveform"]).reshape(-1)
+                 for s in segments]
+        texts = self.asr_engine.transcribe_mono_segments(waves)
+        out = []
+        for seg, text in zip(segments, texts):
+            cleaned = remove_special_characters(text or "")
+            if self.converter is not None:
+                try:
+                    cleaned = self.converter.convert_text(cleaned)
+                except Exception:
+                    pass
+            out.append({**seg, "text": cleaned.strip()})
+        return out
+
+
+class SpeechBatchTranscriber:
+    """Reference public API (speech_segment.py:420-427)."""
+
+    def __init__(self, config, asr_engine=None, converter=None):
+        self.segmenter = SpeechSegment(config, asr_engine=asr_engine,
+                                       converter=converter)
+
+    def transcribe_mono(self, waveform, sample_rate: int,
+                        speaker_label: str = "unknown"
+                        ) -> List[Dict[str, Any]]:
+        segments = self.segmenter.get_speech_segments(
+            waveform, sample_rate, speaker_label)
+        return self.segmenter.transcribe_segments_batched(
+            segments, sample_rate)
