@@ -1,0 +1,450 @@
+"""Pipeline engine: scan -> batch -> decode -> ASR -> sentiment -> persist.
+
+TPU-first redesign of the reference's DataProcessor
+(services/pipeline.py:110-737). The reference overlaps work with a
+thread pool of batch workers all contending for one GPU; here the
+device runs one stream of large static-shape programs while a host-side
+prefetcher decodes and chunks the *next* file batch concurrently —
+producer/consumer instead of thread-per-batch (SURVEY.md §2.2).
+
+Capabilities preserved: idempotence markers + skip filter, size-aware
+batching, per-file retries, intermediate JSONL artifacts, run summary /
+failed-calls / per-file-status reports, CSV output, retention cleanup,
+memory watchdog, queue metrics, and the optional VAD message path
+(which the reference ships but disconnects; enable with
+``enable_message_path``).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from audio_processor_tpu.host.csv_writer import save_results_csv
+from audio_processor_tpu.io.decode import load_audio
+from audio_processor_tpu.io.scanner import AudioFileScanner
+from audio_processor_tpu.pipeline.batching import create_file_batches
+from audio_processor_tpu.pipeline.chunker import split_audio
+from audio_processor_tpu.pipeline.markers import (
+    ProcessedMarkers, cleanup_old_artifacts,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class MemoryManager:
+    """Blocks batch submission above the memory threshold
+    (reference: pipeline.py:33-53)."""
+
+    def __init__(self, max_memory_gb: float,
+                 threshold_percent: float = 80.0):
+        self.max_memory_bytes = max_memory_gb * 1024 ** 3
+        self.threshold = threshold_percent / 100.0
+
+    def check_memory(self) -> bool:
+        try:
+            import psutil
+
+            return psutil.virtual_memory().used < \
+                self.max_memory_bytes * self.threshold
+        except ImportError:
+            return True
+
+    def wait_for_memory(self, timeout: int = 60) -> None:
+        start = time.time()
+        while not self.check_memory() and time.time() - start < timeout:
+            time.sleep(1)
+            gc.collect()
+
+
+class DataProcessor:
+    def __init__(self, config, db_manager=None, asr_engine=None,
+                 sentiment_analyzer=None, topic_classifier=None):
+        self.config = config
+        self.db_manager = db_manager
+        self.asr_engine = asr_engine
+        self.sentiment_analyzer = sentiment_analyzer
+        self.topic_classifier = topic_classifier
+
+        self.memory_manager = MemoryManager(
+            float(config.get("max_memory_gb", 64.0)),
+            float(config.get("memory_threshold_percent", 80)))
+        self.file_scanner = AudioFileScanner(config)
+
+        self.output_dir = Path(config.get("output_folder", "./output"))
+        self.intermediate_dir = self.output_dir / "intermediate"
+        self.markers = ProcessedMarkers(self.output_dir /
+                                        "processed_markers")
+        self.temp_dir = Path(config.get("temp_dir",
+                                        "/tmp/audio_processing"))
+        self.intermediate_dir.mkdir(parents=True, exist_ok=True)
+
+        self.stats: Dict[str, Any] = {
+            "files_processed": 0, "chunks_processed": 0, "errors": 0,
+            "start_time": None, "files_success": 0, "files_failed": 0,
+            "files_skipped": 0,
+        }
+        self._file_statuses: List[Dict[str, Any]] = []
+        self.failed_files: List[Dict[str, Any]] = []
+        self._all_results: List[Dict[str, Any]] = []
+        self._queue_depths = {"decode_queue": 0, "device_queue": 0,
+                              "result_queue": 0}
+        self.max_retries = int(config.get("max_retries", 3))
+        self.io_workers = int(config.get("io_workers", 32))
+
+    # ------------------------------------------------------------------
+    def setup_models(self):
+        """Build the device engines lazily (reference: pipeline.py:188)."""
+        if self.asr_engine is None:
+            from audio_processor_tpu.pipeline.asr_engine import ASREngine
+
+            self.asr_engine = ASREngine(self.config)
+        if self.sentiment_analyzer is None:
+            from audio_processor_tpu.pipeline.sentiment import (
+                SentimentAnalyzer,
+            )
+
+            self.sentiment_analyzer = SentimentAnalyzer(
+                self.config, db_manager=self.db_manager,
+                topic_classifier=self.topic_classifier)
+        elif self.db_manager is not None:
+            self.sentiment_analyzer.set_database_manager(self.db_manager)
+
+    def get_queue_metrics(self) -> Dict[str, int]:
+        return dict(self._queue_depths)
+
+    # ------------------------------------------------------------------
+    def _decode_one(self, file_path: Path):
+        """Decode + resample + chunk one call, with retries
+        (reference: audio_processor.py:369-403)."""
+        last_error: Optional[Exception] = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                waveform, sr = load_audio(file_path)
+                target_sr = int(self.config.get("target_sample_rate", 16000))
+                if sr != target_sr:
+                    from audio_processor_tpu.dsp.resample import resample_np
+
+                    waveform = resample_np(waveform, sr, target_sr)
+                    sr = target_sr
+                max_len = int(float(self.config.get("max_audio_length",
+                                                    1800.0)) * sr)
+                if waveform.shape[-1] > max_len:
+                    waveform = waveform[..., :max_len]
+                chunks = split_audio(
+                    waveform, sr, file_path.name,
+                    float(self.config.get("chunk_duration_sec", 25.0)),
+                    float(self.config.get("overlap_sec", 1.0)))
+                if not chunks:
+                    raise RuntimeError("no_chunks")
+                duration = waveform.shape[-1] / sr
+                return {"file": file_path, "chunks": chunks,
+                        "duration": duration, "waveform": waveform}
+            except Exception as e:
+                last_error = e
+                logger.warning("Attempt %d/%d failed for %s: %s",
+                               attempt, self.max_retries, file_path, e)
+                time.sleep(min(5, attempt) * 0.01)
+        logger.error("All %d attempts failed for %s: %s",
+                     self.max_retries, file_path, last_error)
+        return {"file": file_path, "chunks": [], "duration": 0.0,
+                "error": str(last_error), "waveform": None}
+
+    def _decode_batch(self, files: Sequence[Path]) -> List[Dict]:
+        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
+            return list(ex.map(self._decode_one, files))
+
+    # ------------------------------------------------------------------
+    def process_file_batch(self, batch_id: int, files: Sequence[Path],
+                           decoded: Optional[List[Dict]] = None) -> int:
+        logger.info("Processing batch %d with %d files",
+                    batch_id + 1, len(files))
+        try:
+            if decoded is None:
+                decoded = self._decode_batch(files)
+
+            all_chunks = []
+            batch_failed: Dict[str, str] = {}
+            for d in decoded:
+                if not d["chunks"]:
+                    err = d.get("error", "empty_chunks_after_retries")
+                    batch_failed[str(d["file"])] = err
+                    self.failed_files.append({
+                        "filename": d["file"].name,
+                        "path": str(d["file"]),
+                        "error": err, "chunks": []})
+                    continue
+                all_chunks.extend(d["chunks"])
+                if self.db_manager is not None:
+                    try:
+                        self.db_manager.insert_call({
+                            "id_enregistrement": d["file"].stem,
+                            "duration_seconds": d["duration"],
+                            "topics": "", "emotion_client_globale": "",
+                            "ton_agent_global": ""})
+                    except Exception as e:
+                        logger.error("Failed to save call %s: %s",
+                                     d["file"].stem, e)
+
+            results = (self.asr_engine.transcribe_chunks(all_chunks)
+                       if all_chunks else [])
+            self.stats["files_processed"] += len(files)
+            self.stats["chunks_processed"] += len(results)
+
+            if self.config.get("save_intermediate_results", False) \
+                    and results:
+                self._save_intermediate_transcriptions(batch_id, results)
+
+            if self.sentiment_analyzer is not None and results:
+                results = self.sentiment_analyzer.analyze_batch_sentiment(
+                    results)
+            if self.config.get("save_sentiment_analysis", False) and results:
+                self._save_chunks_analysis(batch_id, results)
+
+            # Optional VAD message path (reference ships it disabled,
+            # audio_processor.py:354-358).
+            if self.config.get("enable_message_path", False) \
+                    and self.db_manager is not None:
+                self._run_message_path(decoded)
+
+            # Per-file status + markers.
+            for d in decoded:
+                fp = d["file"]
+                err = batch_failed.get(str(fp))
+                if err is not None:
+                    self.markers.mark_failed(fp, err)
+                    self.stats["files_failed"] += 1
+                    self._file_statuses.append(
+                        {"file": str(fp), "status": "failed", "error": err})
+                else:
+                    self.markers.mark_processed(fp)
+                    self.stats["files_success"] += 1
+                    self._file_statuses.append(
+                        {"file": str(fp), "status": "success"})
+
+            if self.config.get("save_csv_results", False):
+                self._all_results.extend(
+                    {k: v for k, v in r.items()
+                     if not k.endswith("_waveform")
+                     and not k.endswith("_probabilities")}
+                    for r in results)
+            return len(files) - len(batch_failed)
+        except Exception as e:
+            logger.exception("Error processing batch %d: %s",
+                             batch_id + 1, e)
+            self.stats["errors"] += 1
+            return 0
+
+    def _run_message_path(self, decoded: List[Dict]) -> None:
+        from audio_processor_tpu.pipeline.segmenter import (
+            SpeechBatchTranscriber,
+        )
+
+        if not hasattr(self, "_transcriber"):
+            self._transcriber = SpeechBatchTranscriber(
+                self.config, asr_engine=self.asr_engine)
+        sr = int(self.config.get("target_sample_rate", 16000))
+        for d in decoded:
+            if d.get("waveform") is None or not d["chunks"]:
+                continue
+            wf = np.asarray(d["waveform"])
+            if wf.ndim == 1:
+                wf = wf[None]
+            agent = wf[0]
+            client = wf[1] if wf.shape[0] > 1 else wf[0]
+            messages = []
+            try:
+                messages.extend(self._transcriber.transcribe_mono(
+                    agent, sr, "agent"))
+                messages.extend(self._transcriber.transcribe_mono(
+                    client, sr, "client"))
+            except Exception as e:
+                logger.error("Mono transcription failed for %s: %s",
+                             d["file"].stem, e)
+                continue
+            messages.sort(key=lambda m: m.get("start", 0.0))
+            for i, m in enumerate(messages):
+                try:
+                    self.db_manager.insert_message({
+                        "id_enregistrement": d["file"].stem,
+                        "text": m["text"], "speaker": m["speaker"],
+                        "order_message": i + 1})
+                except Exception as e:
+                    logger.error("Failed to insert message %d for %s: %s",
+                                 i + 1, d["file"].stem, e)
+
+    # ------------------------------------------------------------------
+    def process_files_parallel(self, files: Sequence[Path]) -> int:
+        logger.info("Starting processing of %d files", len(files))
+        self.stats["start_time"] = datetime.now()
+
+        filtered = [f for f in files if not self.markers.is_processed(f)]
+        skipped = len(files) - len(filtered)
+        if skipped:
+            logger.info("Skipping %d already-processed files", skipped)
+        self.stats["files_skipped"] += skipped
+
+        batches = create_file_batches(
+            filtered,
+            float(self.config.get("max_batch_size_mb", 23.0)),
+            int(self.config.get("file_batch_size", 32)))
+        if not batches:
+            logger.info("No batches to process after filtering")
+            return 0
+
+        max_errors = 10
+        total_success = 0
+        # Producer/consumer: decode batch N+1 on host while batch N is
+        # on device.
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            next_decode = prefetcher.submit(self._decode_batch, batches[0])
+            for i, batch in enumerate(batches):
+                self.memory_manager.wait_for_memory()
+                decoded = next_decode.result(
+                    timeout=int(self.config.get("timeout_seconds", 300)))
+                self._queue_depths["decode_queue"] = max(
+                    0, len(batches) - i - 1)
+                if i + 1 < len(batches):
+                    next_decode = prefetcher.submit(
+                        self._decode_batch, batches[i + 1])
+                total_success += self.process_file_batch(i, batch, decoded)
+                if self.stats["errors"] >= max_errors:
+                    logger.error("Aborting after %d errors",
+                                 self.stats["errors"])
+                    break
+                if (i + 1) % max(1, len(batches) // 10) == 0:
+                    logger.info("Progress: %d/%d batches done",
+                                i + 1, len(batches))
+        return total_success
+
+    # ------------------------------------------------------------------
+    def _save_intermediate_transcriptions(self, batch_id: int,
+                                          results: List[Dict]) -> None:
+        try:
+            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+            out = self.intermediate_dir / f"batch_{batch_id+1}_{ts}.jsonl"
+            with open(out, "w", encoding="utf-8") as f:
+                for c in results:
+                    f.write(json.dumps({
+                        "file_name": c.get("file_name", ""),
+                        "chunk_idx": c.get("chunk_idx", 0),
+                        "start_time": c.get("start_time", 0.0),
+                        "end_time": c.get("end_time", 0.0),
+                        "transcription_chunk":
+                            c.get("transcription_chunk", ""),
+                        "agent_transcription":
+                            c.get("agent_transcription", ""),
+                        "client_transcription":
+                            c.get("client_transcription", ""),
+                        "error": c.get("error", ""),
+                    }, ensure_ascii=False) + "\n")
+        except OSError as e:
+            logger.warning("Failed to write intermediates for batch "
+                           "%d: %s", batch_id + 1, e)
+
+    def _save_chunks_analysis(self, batch_id: int,
+                              results: List[Dict]) -> None:
+        try:
+            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+            out = self.intermediate_dir / \
+                f"batch_{batch_id+1}_chunks_analysis_{ts}.jsonl"
+            with open(out, "w", encoding="utf-8") as f:
+                for c in results:
+                    f.write(json.dumps({
+                        "file_name": c.get("file_name", ""),
+                        "chunk_idx": c.get("chunk_idx", 0),
+                        "agent_text_sentiment":
+                            c.get("agent_text_sentiment", ""),
+                        "agent_text_confidence":
+                            c.get("agent_text_confidence", 0.0),
+                        "agent_acoustic_sentiment":
+                            c.get("agent_acoustic_sentiment", ""),
+                        "agent_acoustic_confidence":
+                            c.get("agent_acoustic_confidence", 0.0),
+                        "agent_fusion_sentiment":
+                            c.get("agent_fusion_sentiment", ""),
+                        "agent_fusion_confidence":
+                            c.get("agent_fusion_confidence", 0.0),
+                        "client_text_sentiment":
+                            c.get("client_text_sentiment", ""),
+                    }, ensure_ascii=False) + "\n")
+        except OSError as e:
+            logger.warning("Failed to write sentiment intermediates for "
+                           "batch %d: %s", batch_id + 1, e)
+
+    def log_results(self) -> Dict[str, Path]:
+        """Run summary / failed calls / per-file statuses
+        (reference: pipeline.py:539-599)."""
+        end_time = datetime.now()
+        start = self.stats["start_time"] or end_time
+        duration = (end_time - start).total_seconds()
+        run_id = end_time.strftime("%Y%m%d_%H%M%S")
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        paths: Dict[str, Path] = {}
+
+        summary = {
+            "start_time": start.isoformat(),
+            "end_time": end_time.isoformat(),
+            "duration_seconds": duration,
+            "files_processed": (self.stats["files_processed"]
+                                - self.stats["files_failed"]),
+            "chunks_processed": self.stats["chunks_processed"],
+            "errors": self.stats["errors"],
+            "files_success": self.stats.get("files_success", 0),
+            "files_failed": self.stats.get("files_failed", 0),
+            "files_skipped": self.stats.get("files_skipped", 0),
+            "config_snapshot": {
+                "file_batch_size": self.config.get("file_batch_size", 8),
+                "chunk_batch_size": self.config.get("chunk_batch_size", 16),
+                "max_workers": self.config.get("max_workers", 32),
+                "io_workers": self.config.get("io_workers", 32),
+            },
+        }
+        paths["summary"] = self.output_dir / f"run_summary_{run_id}.json"
+        paths["summary"].write_text(json.dumps(summary, indent=2))
+
+        paths["failed"] = self.output_dir / f"failed_calls_{run_id}.json"
+        paths["failed"].write_text(
+            json.dumps({"failed": self.failed_files}, indent=2,
+                       ensure_ascii=False))
+
+        paths["statuses"] = self.output_dir / \
+            f"file_statuses_{run_id}.json"
+        paths["statuses"].write_text(
+            json.dumps({"files": self._file_statuses}, indent=2))
+        return paths
+
+    def save_results(self, results: Optional[List[Dict]] = None) -> Path:
+        return save_results_csv(
+            results if results is not None else self._all_results,
+            self.output_dir)
+
+    def cleanup_old_artifacts(self) -> int:
+        return cleanup_old_artifacts(self.config, self.markers,
+                                     self.temp_dir, self.intermediate_dir)
+
+    # ------------------------------------------------------------------
+    def run(self) -> int:
+        logger.info("Starting TPU audio processing")
+        self.setup_models()
+        input_dir = Path(self.config.get("input_folder", "./input"))
+        if not input_dir.exists():
+            raise FileNotFoundError(
+                f"Input directory {input_dir} does not exist")
+        files = self.file_scanner.scan_files_parallel(input_dir)
+        logger.info("Found %d valid audio files", len(files))
+        total_success = self.process_files_parallel(files)
+        self.log_results()
+        if self.config.get("save_csv_results", False) and self._all_results:
+            self.save_results()
+        logger.info("Processing completed: %d files succeeded",
+                    total_success)
+        return total_success

@@ -1,0 +1,101 @@
+"""DatabaseManager tests (sqlite backend; schema + upsert semantics
+from reference services/database_manager.py)."""
+
+import pytest
+
+from audio_processor_tpu.config import PipelineConfig
+from audio_processor_tpu.host.db import DatabaseManager
+
+
+@pytest.fixture
+def db(tmp_path):
+    cfg = PipelineConfig(database_type="sqlite",
+                         db_path=str(tmp_path / "t.db"),
+                         input_folder=str(tmp_path))
+    d = DatabaseManager(cfg)
+    yield d
+    d.close()
+
+
+def test_insert_call_upsert(db):
+    db.insert_call({"id_enregistrement": "c1", "duration_seconds": 10.0})
+    db.insert_call({"id_enregistrement": "c1", "duration_seconds": 20.0,
+                    "topics": "t"})
+    row = db.get_call_by_id_enregistrement("c1")
+    assert row["duration_seconds"] == 20.0
+    assert row["topics"] == "t"
+
+
+def test_insert_call_requires_id(db):
+    with pytest.raises(ValueError):
+        db.insert_call({"duration_seconds": 1.0})
+
+
+def test_chunk_upsert_and_fetch(db):
+    db.insert_call({"id_enregistrement": "c1"})
+    db.insert_chunk({"id_chunk": "0", "id_enregistrement": "c1",
+                     "transcription_chunk": "a"})
+    db.insert_chunk({"id_chunk": "0", "id_enregistrement": "c1",
+                     "transcription_chunk": "b",
+                     "emotion_client": "content"})
+    chunks = db.get_chunks_by_id_enregistrement("c1")
+    assert len(chunks) == 1
+    assert chunks[0]["transcription_chunk"] == "b"
+    assert chunks[0]["emotion_client"] == "content"
+
+
+def test_messages(db):
+    db.insert_call({"id_enregistrement": "c1"})
+    db.insert_message({"id_enregistrement": "c1", "order_message": 1,
+                       "text": "salam", "speaker": "agent"})
+    db.insert_message({"id_enregistrement": "c1", "order_message": 2,
+                       "text": "labas", "speaker": "client"})
+    msgs = db.get_messages_by_id_enregistrement("c1")
+    assert [m["text"] for m in msgs] == ["salam", "labas"]
+    with pytest.raises(ValueError):
+        db.insert_message({"id_enregistrement": "c1", "text": "x"})
+
+
+def test_update_call_sentiment(db):
+    db.insert_call({"id_enregistrement": "c1"})
+    db.update_call_sentiment("c1", "Content", "Courtois", "topic - sub")
+    row = db.get_call_by_id_enregistrement("c1")
+    assert row["emotion_client_globale"] == "Content"
+    assert row["ton_agent_global"] == "Courtois"
+    assert row["topics"] == "topic - sub"
+
+
+def test_metadata_upsert_and_date_parse(db, tmp_path):
+    (tmp_path / "c1.wav").write_bytes(b"x")  # file must exist
+    db.insert_call_metadata("c1", {
+        "AGENT_ID": "a9", "CALL_ID": "k1",
+        "DESTINATION_NUMBER": "0529000220",
+        "DATE_": "25/09/2025 21:54:39",
+        "QUEUE_NAME": "q", "BUSINESS_TYPE": "B2C",
+    })
+    meta = db.get_call_metadata("c1")
+    assert meta["agent_id"] == "a9"
+    assert meta["business_type"] == "B2C"
+    assert "2025-09-25" in str(meta["call_date"])
+    assert db.get_business_type("c1") == "B2C"
+
+
+def test_metadata_skipped_for_missing_audio(db):
+    db.insert_call_metadata("ghost", {"AGENT_ID": "a"})
+    assert db.get_call_metadata("ghost") is None
+
+
+def test_business_type_mapping(db):
+    assert db.business_type("0529000220") == "B2C"
+    assert db.business_type("+212529000135") == "B2C"
+    assert db.business_type("0529292929") == "B2B"
+    assert db.business_type("12345") == "UNKNOWN"
+    assert db.business_type(None) == "UNKNOWN"
+
+
+def test_processing_stats(db):
+    db.insert_call({"id_enregistrement": "c1"})
+    db.insert_chunk({"id_chunk": "0", "id_enregistrement": "c1"})
+    stats = db.get_processing_stats()
+    assert stats["total_calls"] == 1
+    assert stats["total_chunks"] == 1

@@ -1,0 +1,199 @@
+"""End-to-end pipeline tests: scan -> decode -> chunk -> ASR ->
+sentiment(fallback) -> DB/CSV/markers/artifacts, plus CLI flows."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.config import PipelineConfig
+from audio_processor_tpu.host.db import DatabaseManager
+from audio_processor_tpu.io import wav
+from audio_processor_tpu.pipeline.engine import DataProcessor
+
+from tests.conftest import make_stereo_call
+
+
+def tiny_engine(cfg):
+    import jax
+
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.models.tokenizer import CTCVocab
+    from audio_processor_tpu.pipeline.asr_engine import ASREngine
+
+    vocab = CTCVocab.darija_default()
+    mcfg = w2v.W2VBertConfig(vocab_size=len(vocab), hidden_size=32,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             intermediate_size=64,
+                             conv_depthwise_kernel_size=7,
+                             left_max_position_embeddings=8,
+                             right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), mcfg)
+    return ASREngine(cfg, params=params, model_cfg=mcfg, vocab=vocab)
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    input_dir = tmp_path / "input"
+    output_dir = tmp_path / "output"
+    input_dir.mkdir()
+    for i in range(3):
+        wav.write(input_dir / f"call-{i}.wav",
+                  make_stereo_call(dur=4.0 + i), 16000)
+    # a mono file that must be rejected at scan
+    wav.write(input_dir / "mono.wav", np.zeros(16000, np.float32), 16000)
+    # sidecar metadata for call-0
+    (input_dir / "call-0.json").write_text(json.dumps({
+        "AGENT_ID": "a1", "CALL_ID": "k1",
+        "DESTINATION_NUMBER": "0529000220",
+        "DATE_": "01/02/2026 10:00:00", "QUEUE_NAME": "q"}))
+    cfg = PipelineConfig(
+        input_folder=str(input_dir), output_folder=str(output_dir),
+        logs_folder=str(tmp_path / "logs"),
+        database_type="sqlite", db_path=str(tmp_path / "db.sqlite"),
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        save_csv_results=True, save_intermediate_results=True,
+        save_sentiment_analysis=True,
+        file_batch_size=2,
+    )
+    return cfg, input_dir, output_dir
+
+
+def test_full_pipeline_run(workspace):
+    cfg, input_dir, output_dir = workspace
+    db = DatabaseManager(cfg)
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    n = proc.run()
+    assert n == 3  # mono rejected, 3 stereo succeeded
+
+    # DB rows: calls with duration + aggregated sentiment fields set.
+    for i in range(3):
+        row = db.get_call_by_id_enregistrement(f"call-{i}")
+        assert row is not None
+        assert row["duration_seconds"] == pytest.approx(4.0 + i, abs=0.01)
+        chunks = db.get_chunks_by_id_enregistrement(f"call-{i}")
+        assert len(chunks) >= 1
+        assert all(isinstance(c["transcription_chunk"], str)
+                   for c in chunks)
+        # sentiment models unconfigured -> empty labels but call-level
+        # aggregation still runs ("Inconnu").
+        assert row["emotion_client_globale"] == "Inconnu"
+        assert row["ton_agent_global"] == "Inconnu"
+
+    # Markers.
+    assert proc.markers.is_processed(input_dir / "call-0.wav")
+
+    # Artifacts.
+    assert list(output_dir.glob("run_summary_*.json"))
+    assert list(output_dir.glob("failed_calls_*.json"))
+    assert list(output_dir.glob("file_statuses_*.json"))
+    assert list((output_dir / "intermediate").glob("batch_*.jsonl"))
+    csvs = list(output_dir.glob("optimized_results_*.csv"))
+    assert csvs
+    header = csvs[0].read_text().splitlines()[0]
+    assert "client_fusion_confidence" in header
+    assert "transcription_chunk" in header
+
+    # Idempotent re-run: everything skipped.
+    proc2 = DataProcessor(cfg, db_manager=db,
+                          asr_engine=proc.asr_engine)
+    proc2.setup_models()
+    n2 = proc2.run()
+    assert n2 == 0
+    assert proc2.stats["files_skipped"] == 3
+    db.close()
+
+
+def test_message_path_writes_messages(workspace):
+    cfg, input_dir, output_dir = workspace
+    cfg = cfg.replace(extras={**cfg.extras, "enable_message_path": True})
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "m.sqlite")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    proc.run()
+    msgs = db.get_messages_by_id_enregistrement("call-0")
+    assert len(msgs) >= 1
+    assert {m["speaker"] for m in msgs} <= {"agent", "client"}
+    orders = [m["order_message"] for m in msgs]
+    assert orders == sorted(orders)
+    db.close()
+
+
+def test_failed_file_markers(workspace, monkeypatch):
+    """A file that passes scan but fails decode gets a .failed marker,
+    a failed_calls entry, and doesn't block the rest of the batch."""
+    cfg, input_dir, output_dir = workspace
+    bad = input_dir / "corrupt.wav"
+    wav.write(bad, make_stereo_call(dur=2.0), 16000)
+
+    import audio_processor_tpu.pipeline.engine as engine_mod
+
+    real_load = engine_mod.load_audio
+
+    def flaky_load(path):
+        if Path(path).name == "corrupt.wav":
+            raise RuntimeError("simulated decode failure")
+        return real_load(path)
+
+    from pathlib import Path
+
+    monkeypatch.setattr(engine_mod, "load_audio", flaky_load)
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "f.db")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    proc.run()
+    assert proc.stats["files_failed"] == 1
+    assert proc.stats["files_success"] == 3
+    assert (proc.markers.dir / "corrupt.failed").exists()
+    assert any(f["filename"] == "corrupt.wav" for f in proc.failed_files)
+    statuses = {Path(s["file"]).name: s["status"]
+                for s in proc._file_statuses}
+    assert statuses["corrupt.wav"] == "failed"
+    db.close()
+
+
+def test_cli_dry_run(workspace, capsys):
+    cfg, input_dir, output_dir = workspace
+    import yaml
+
+    from audio_processor_tpu.cli import main
+
+    cfg_path = input_dir.parent / "cfg.yaml"
+    d = {"input_folder": str(input_dir), "output_folder": str(output_dir),
+         "logs_folder": str(input_dir.parent / "logs")}
+    cfg_path.write_text(yaml.safe_dump(d))
+    rc = main(["--config", str(cfg_path), "--dry-run"])
+    assert rc == 0
+
+
+def test_cli_rejects_bad_config(tmp_path):
+    import yaml
+
+    from audio_processor_tpu.cli import main
+
+    p = tmp_path / "bad.yaml"
+    p.write_text(yaml.safe_dump({"input_folder": "", "logs_folder":
+                                 str(tmp_path / "logs")}))
+    rc = main(["--config", str(p), "--dry-run"])
+    assert rc == 2
+
+
+def test_batching_rules(tmp_path):
+    from audio_processor_tpu.pipeline.batching import create_file_batches
+
+    files = []
+    for i, kb in enumerate([900, 800, 700, 100, 50]):
+        p = tmp_path / f"f{i}.wav"
+        p.write_bytes(b"0" * kb * 1024)
+        files.append(p)
+    batches = create_file_batches(files, max_batch_size_mb=1.5,
+                                  max_files_per_batch=10)
+    # largest-first packing under 1.5MB
+    sizes = [[f.stat().st_size // 1024 for f in b] for b in batches]
+    assert sizes[0][0] == 900
+    for b in batches:
+        assert sum(f.stat().st_size for f in b) <= 1.6 * 1024 * 1024
+    assert sum(len(b) for b in batches) == 5
