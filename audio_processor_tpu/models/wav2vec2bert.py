@@ -179,34 +179,61 @@ def _distance_index(seq_len: int, left: int, right: int) -> np.ndarray:
     return np.clip(j - i, -left, right) + left
 
 
+def _relative_bias(p: Params, cfg: W2VBertConfig, q: jnp.ndarray,
+                   L: int, out_dtype) -> jnp.ndarray:
+    """Unscaled relative_key bias: rel[b,h,l,m] = q·E[clip(m-l)].
+
+    The distance table has only P = left+right+1 distinct rows; expand
+    it with a *static* index map into [L, L, hd] and contract on the
+    MXU. (A dynamic take_along_axis gather over the [B,H,L,L] score
+    grid compiles to a catastrophic scalar gather on TPU — measured
+    400x slower.)
+    """
+    idx = jnp.asarray(_distance_index(
+        L, cfg.left_max_position_embeddings,
+        cfg.right_max_position_embeddings))                # [L, L] static
+    pe = p["distance_embedding"].astype(q.dtype)[idx]      # [L, L, hd]
+    return jnp.einsum("bhld,lmd->bhlm", q, pe,
+                      preferred_element_type=out_dtype)
+
+
 def self_attention(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
-                   attn_bias: jnp.ndarray) -> jnp.ndarray:
+                   attn_bias: jnp.ndarray,
+                   impl: str = "xla") -> jnp.ndarray:
     B, L, H = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_size
     q = dense(p["linear_q"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     k = dense(p["linear_k"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     v = dense(p["linear_v"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-
     scale = 1.0 / np.sqrt(hd)
-    scores = jnp.einsum("bhld,bhmd->bhlm", q, k,
-                        preferred_element_type=jnp.float32) * scale
 
-    # relative_key position bias. The distance table has only P =
-    # left+right+1 distinct rows; expand it with a *static* index map
-    # into a [L, L, hd] tensor and contract on the MXU. (A dynamic
-    # take_along_axis gather over the [B,H,L,L] score grid compiles to
-    # a catastrophic scalar gather on TPU — measured 400x slower.)
-    idx = jnp.asarray(_distance_index(
-        L, cfg.left_max_position_embeddings,
-        cfg.right_max_position_embeddings))                # [L, L] static
-    pe = p["distance_embedding"].astype(x.dtype)[idx]      # [L, L, hd]
-    rel = jnp.einsum("bhld,lmd->bhlm", q, pe,
-                     preferred_element_type=jnp.float32) * scale
-    scores = scores + rel + attn_bias
+    if impl == "flash" and L % 128 == 0:
+        # Pallas TPU flash attention: the [B,H,L,L] score/prob tensors
+        # never round-trip HBM (the XLA path spends ~half the whole
+        # forward in that traffic). Kernel computes
+        # softmax((qk + ab) * sm_scale) @ v; fold the additive mask
+        # (already scaled like HF's) into ab by dividing by sm_scale.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention,
+        )
 
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhlm,bhmd->bhld", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+        ab = (_relative_bias(p, cfg, q, L, jnp.bfloat16)
+              + (attn_bias / scale).astype(jnp.bfloat16))
+        ab = jnp.broadcast_to(ab, (B, nh, L, L))
+        bs = BlockSizes(block_q=min(512, L), block_k_major=128,
+                        block_k=128, block_b=1)
+        out = flash_attention(q, k, v, ab=ab, sm_scale=float(scale),
+                              block_sizes=bs)
+        out = out.astype(x.dtype)
+    else:
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        rel = _relative_bias(p, cfg, q, L, jnp.float32) * scale
+        scores = scores + rel + attn_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhlm,bhmd->bhld", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, H)
     return dense(p["linear_out"], out)
 
@@ -240,15 +267,16 @@ def conv_module(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
 
 
 def encoder_layer(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
-                  attn_bias: jnp.ndarray, pad_mask: jnp.ndarray
-                  ) -> jnp.ndarray:
+                  attn_bias: jnp.ndarray, pad_mask: jnp.ndarray,
+                  attention_impl: str = "xla") -> jnp.ndarray:
     res = x
     x = layer_norm(p["ffn1_layer_norm"], x, cfg.layer_norm_eps)
     x = feed_forward(p["ffn1"], x) * 0.5 + res
 
     res = x
     h = layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
-    x = self_attention(p["self_attn"], cfg, h, attn_bias) + res
+    x = self_attention(p["self_attn"], cfg, h, attn_bias,
+                       impl=attention_impl) + res
 
     x = conv_module(p["conv_module"], cfg, x, pad_mask) + x
 
@@ -262,7 +290,8 @@ def forward(params: Params, cfg: W2VBertConfig,
             input_features: jnp.ndarray,
             attention_mask: Optional[jnp.ndarray] = None,
             dtype: jnp.dtype = jnp.float32,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False,
+            attention_impl: str = "xla") -> jnp.ndarray:
     """[B, L, 160] features (+ bool [B, L] mask) -> fp32 [B, L, vocab]."""
     B, L, _ = input_features.shape
     if attention_mask is None:
@@ -281,9 +310,10 @@ def forward(params: Params, cfg: W2VBertConfig,
     def body(h, layer_p):
         fn = encoder_layer
         if remat:
-            fn = jax.checkpoint(encoder_layer, static_argnums=(1,))
+            fn = jax.checkpoint(encoder_layer,
+                                static_argnums=(1, 5))
         return fn(layer_p, cfg, h, attn_bias.astype(jnp.float32),
-                  pad_mask), None
+                  pad_mask, attention_impl), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     logits = dense(params["lm_head"], x.astype(jnp.float32))

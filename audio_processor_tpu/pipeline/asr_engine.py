@@ -35,6 +35,31 @@ from audio_processor_tpu.utils.text import remove_special_characters
 logger = logging.getLogger(__name__)
 
 
+def _pad_seq_to_128(feats: jnp.ndarray, mask: jnp.ndarray):
+    """Pad the feature-frame axis to a multiple of 128 (flash
+    attention block divisibility; padding is masked so logits of valid
+    frames are unchanged — tested in test_wav2vec2bert)."""
+    L = feats.shape[1]
+    pad = (-L) % 128
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return feats, mask
+
+
+class _SubBatch:
+    """Zero-copy slice view over a ChunkBatch."""
+
+    def __init__(self, batch, start: int, end: int):
+        self.bucket_len = batch.bucket_len
+        self.chunks = batch.chunks[start:end]
+        self.audio = batch.audio[start:end]
+        self.lengths = batch.lengths[start:end]
+
+    def __len__(self) -> int:
+        return len(self.chunks)
+
+
 class ASREngine:
     def __init__(self, config, params=None, model_cfg=None,
                  vocab: Optional[CTCVocab] = None, mesh=None):
@@ -52,8 +77,22 @@ class ASREngine:
             int(b * sr) for b in config.get(
                 "length_buckets_sec", (5.0, 10.0, 15.0, 20.0, 25.0)))
         # Device batch = chunks_per_batch * 3 views.
-        self.device_batch = int(config.get("chunk_batch_size", 16)) * 3
-        self._jit_cache: Dict[int, callable] = {}
+        self.device_chunks = int(config.get("chunk_batch_size", 16))
+        self.device_batch = self.device_chunks * 3
+        # int16 wire format halves host->device bytes; lossless for
+        # PCM16-sourced audio (the call-center format). Disable for
+        # exact float parity on synthetic float inputs.
+        self.int16_transfers = bool(config.get("int16_transfers", True))
+        self.fuse_acoustic_features = bool(
+            config.get("fuse_acoustic_features", True))
+        # Flash attention (pallas) on TPU; the XLA einsum path is the
+        # behavioral reference (and the CPU/test path).
+        impl_cfg = config.get("attention_impl", "auto")
+        if impl_cfg == "auto":
+            impl_cfg = ("flash" if jax.default_backend()
+                        not in ("cpu",) else "xla")
+        self.attention_impl = impl_cfg
+        self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------
     def _load_or_init(self):
@@ -79,21 +118,96 @@ class ASREngine:
 
     # ------------------------------------------------------------------
     def _device_fn(self, bucket_len: int):
-        """One compiled program per bucket length."""
+        """One compiled program per bucket length (mono rows path)."""
         fn = self._jit_cache.get(bucket_len)
         if fn is not None:
             return fn
         cfg, dtype = self.model_cfg, self.dtype
+        impl = self.attention_impl
 
         @jax.jit
         def run(params, audio, lengths):
             feats, mask = log_mel_frontend(audio, lengths)
-            logits = w2v.forward(params, cfg, feats, mask, dtype=dtype)
+            feats, mask = _pad_seq_to_128(feats, mask)
+            logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
+                                 attention_impl=impl)
             ids = w2v.greedy_ctc_ids(logits, mask, cfg.pad_token_id)
             return ids, mask
 
         self._jit_cache[bucket_len] = run
         return run
+
+    def _fused_fn(self, bucket_len: int):
+        """Fused per-chunk-batch program: one upload of the two raw
+        channels (reflect-pre-padded, optionally int16) serves the
+        whole device side — mixed-view construction, fbank, the
+        Wav2Vec2Bert forward for all three views, greedy CTC ids, AND
+        the 38-dim acoustic sentiment features. This is the transfer-
+        optimal layout: the reference uploads the same audio five
+        times (3 ASR views f32 + 2 acoustic views), we upload it once.
+        """
+        key = ("fused", bucket_len)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg, dtype = self.model_cfg, self.dtype
+        impl = self.attention_impl
+        from audio_processor_tpu.dsp.acoustic_features import (
+            PAD, extract_features_batch,
+        )
+
+        @jax.jit
+        def run(params, buf, lengths):
+            # buf: [N, 2, bucket+2*PAD] (agent, client), int16 or f32.
+            x = buf.astype(jnp.float32)
+            if buf.dtype == jnp.int16:
+                x = x / 32768.0
+            N = x.shape[0]
+            agent = x[:, 0, PAD:PAD + bucket_len]
+            client = x[:, 1, PAD:PAD + bucket_len]
+            mixed = (agent + client) * 0.5
+            rows = jnp.stack([mixed, agent, client],
+                             axis=1).reshape(3 * N, bucket_len)
+            row_lens = jnp.repeat(lengths, 3)
+            feats, mask = log_mel_frontend(rows, row_lens)
+            feats, mask = _pad_seq_to_128(feats, mask)
+            logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
+                                 attention_impl=impl)
+            ids = w2v.greedy_ctc_ids(logits, mask, cfg.pad_token_id)
+            af = extract_features_batch(
+                x.reshape(2 * N, -1), jnp.repeat(lengths, 2))
+            return ids, mask, af.reshape(N, 2, -1)
+
+        self._jit_cache[key] = run
+        return run
+
+    def _prepare_fused_buffer(self, batch) -> tuple:
+        """Host prep: [N, 2, bucket+2*PAD] reflect-padded agent/client
+        buffer (int16 when enabled — lossless for PCM16 sources) padded
+        to the static device chunk count."""
+        from audio_processor_tpu.dsp.acoustic_features import (
+            PAD, prepare_reflect_padded,
+        )
+
+        n = len(batch)
+        n_dev = self.device_chunks
+        L = batch.bucket_len
+        waves = []
+        for c in batch.chunks:
+            waves.append(c.agent)
+            waves.append(c.client)
+        buf2, _ = prepare_reflect_padded(waves, L)   # [2n, L+2*PAD]
+        buf = buf2.reshape(n, 2, L + 2 * PAD)
+        lengths = batch.lengths.astype(np.int32)
+        if n < n_dev:
+            buf = np.concatenate(
+                [buf, np.zeros((n_dev - n, 2, L + 2 * PAD), np.float32)])
+            lengths = np.concatenate(
+                [lengths, np.full((n_dev - n,), L, np.int32)])
+        if self.int16_transfers:
+            buf = np.clip(np.round(buf * 32768.0),
+                          -32768, 32767).astype(np.int16)
+        return buf, lengths
 
     def _run_rows(self, rows: np.ndarray, lengths: np.ndarray,
                   bucket_len: int) -> List[str]:
@@ -121,8 +235,15 @@ class ASREngine:
     # ------------------------------------------------------------------
     def transcribe_chunks(self, chunks: Sequence[Chunk]) -> List[Dict]:
         """Adds transcription_chunk / agent_transcription /
-        client_transcription to every chunk (reference result contract,
-        services/audio_processor.py:288-296)."""
+        client_transcription (+ on-device acoustic sentiment features
+        when fusion is enabled) to every chunk (reference result
+        contract, services/audio_processor.py:288-296).
+
+        All device calls are dispatched before any result is fetched:
+        JAX dispatch is asynchronous, so host->device transfers and
+        compute of successive batches pipeline instead of
+        ping-ponging.
+        """
         if not chunks:
             return []
         results: Dict[int, Dict] = {}
@@ -130,16 +251,51 @@ class ASREngine:
             chunks, self.bucket_samples,
             sort_by_length=bool(self.config.get("enable_length_bucketing",
                                                 True)))
+        # Pass 1: dispatch every sub-batch.
+        pending = []  # (chunk_list, device_outputs, error)
         for batch in batches:
-            n = len(batch)
-            rows = batch.audio.reshape(n * 3, batch.bucket_len)
-            lengths = np.repeat(batch.lengths, 3).astype(np.int32)
+            for i in range(0, len(batch), self.device_chunks):
+                sub_chunks = batch.chunks[i:i + self.device_chunks]
+                sub = _SubBatch(batch, i, i + len(sub_chunks))
+                try:
+                    if self.fuse_acoustic_features:
+                        fn = self._fused_fn(batch.bucket_len)
+                        buf, lengths = self._prepare_fused_buffer(sub)
+                        out = fn(self.params, buf, lengths)
+                    else:
+                        fn = self._device_fn(batch.bucket_len)
+                        rows, lengths = self._prepare_rows(sub)
+                        out = fn(self.params, rows, lengths)
+                    pending.append((sub_chunks, out, None))
+                except Exception as e:  # pragma: no cover
+                    logger.error("ASR dispatch failed (bucket %d): %s",
+                                 batch.bucket_len, e)
+                    pending.append((sub_chunks, None, str(e)))
+
+        # Pass 2: fetch + decode in dispatch order.
+        for sub_chunks, out, err in pending:
+            n = len(sub_chunks)
+            if err is not None:
+                for c in sub_chunks:
+                    results[id(c)] = {
+                        "transcription_chunk": "",
+                        "agent_transcription": "",
+                        "client_transcription": "",
+                        "error": err,
+                    }
+                continue
             try:
-                texts = self._run_rows(rows, lengths, batch.bucket_len)
-            except Exception as e:  # pragma: no cover - device failure
-                logger.error("ASR batch failed (bucket %d): %s",
-                             batch.bucket_len, e)
-                for c in batch.chunks:
+                if self.fuse_acoustic_features:
+                    ids, mask, af = out
+                    af = np.asarray(af)[:n]
+                else:
+                    ids, mask = out
+                    af = None
+                ids = np.asarray(ids)[:3 * n]
+                mask = np.asarray(mask)[:3 * n]
+            except Exception as e:  # pragma: no cover
+                logger.error("ASR fetch failed: %s", e)
+                for c in sub_chunks:
                     results[id(c)] = {
                         "transcription_chunk": "",
                         "agent_transcription": "",
@@ -147,8 +303,9 @@ class ASREngine:
                         "error": str(e),
                     }
                 continue
-            for j, c in enumerate(batch.chunks):
-                results[id(c)] = {
+            texts = batch_decode(ids, self.vocab, mask)
+            for j, c in enumerate(sub_chunks):
+                r = {
                     "transcription_chunk":
                         remove_special_characters(texts[3 * j]),
                     "agent_transcription":
@@ -157,7 +314,12 @@ class ASREngine:
                         remove_special_characters(texts[3 * j + 2]),
                     "error": "",
                 }
-        out = []
+                if af is not None:
+                    r["agent_acoustic_features"] = af[j, 0]
+                    r["client_acoustic_features"] = af[j, 1]
+                results[id(c)] = r
+
+        out_rows = []
         for c in chunks:
             row = {
                 "file_name": c.file_name,
@@ -171,8 +333,23 @@ class ASREngine:
                 "transcription_chunk": "", "agent_transcription": "",
                 "client_transcription": "", "error": "missing_result",
             }))
-            out.append(row)
-        return out
+            out_rows.append(row)
+        return out_rows
+
+    def _prepare_rows(self, batch) -> tuple:
+        """Non-fused path: [3N, L] float32 view rows, padded to the
+        static device batch."""
+        n = len(batch)
+        rows = batch.audio.reshape(n * 3, batch.bucket_len)
+        lengths = np.repeat(batch.lengths, 3).astype(np.int32)
+        B = self.device_batch
+        if rows.shape[0] < B:
+            pad = B - rows.shape[0]
+            rows = np.concatenate(
+                [rows, np.zeros((pad, batch.bucket_len), np.float32)])
+            lengths = np.concatenate(
+                [lengths, np.full((pad,), batch.bucket_len, np.int32)])
+        return rows, lengths
 
     # ------------------------------------------------------------------
     def transcribe_mono_segments(self, waves: List[np.ndarray]) -> List[str]:

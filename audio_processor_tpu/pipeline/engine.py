@@ -234,7 +234,8 @@ class DataProcessor:
                 self._all_results.extend(
                     {k: v for k, v in r.items()
                      if not k.endswith("_waveform")
-                     and not k.endswith("_probabilities")}
+                     and not k.endswith("_probabilities")
+                     and not k.endswith("_features")}
                     for r in results)
             return len(files) - len(batch_failed)
         except Exception as e:

@@ -257,6 +257,21 @@ class AcousticSentimentAnalyzer:
             "length_buckets_sec", (5.0, 10.0, 15.0, 20.0, 25.0)))
         bucket = pick_bucket(max(w.shape[0] for w in waves), buckets)
         feats = self.extract_features(waves, bucket)        # [V, 38]
+        results = self.classify_features(feats, speaker)
+        final = _empty_results(n)
+        for row, i in enumerate(valid):
+            final[i] = results[row]
+        return final
+
+    def classify_features(self, feats: np.ndarray, speaker: str
+                          ) -> List[Dict[str, Any]]:
+        """Classify precomputed 38-dim feature rows (the fused ASR
+        program computes them on device alongside transcription)."""
+        entry = self.models.get(speaker)
+        n = feats.shape[0]
+        if entry is None or not self.models_available:
+            return _empty_results(n)
+        feats = np.asarray(feats, np.float32)
         nf = entry["n_features"]
         if feats.shape[1] < nf:
             feats = np.pad(feats, ((0, 0), (0, nf - feats.shape[1])))
@@ -280,11 +295,11 @@ class AcousticSentimentAnalyzer:
         classes = entry["classes"]
 
         out = _empty_results(n)
-        for row, i in enumerate(valid):
+        for row in range(n):
             if not ok[row]:
                 continue
             p = probas[row]
-            out[i] = {
+            out[row] = {
                 "prediction": classes[int(pred_idx[row])],
                 "confidence": float(p.max()),
                 "probabilities": p.tolist(),
@@ -403,10 +418,19 @@ class SentimentAnalyzer:
             agent_texts, "agent")
         c_text = self.text_analyzer.analyze_batch_sentiment(
             client_texts, "client")
-        a_ac = self.acoustic_analyzer.analyze_batch_sentiment(
-            agent_waves, sr, "agent")
-        c_ac = self.acoustic_analyzer.analyze_batch_sentiment(
-            client_waves, sr, "client")
+
+        def acoustic(speaker, waves):
+            # Prefer features computed on device by the fused ASR
+            # program (zero re-upload of chunk audio).
+            feats = [c.get(f"{speaker}_acoustic_features") for c in chunks]
+            if all(f is not None for f in feats) and feats:
+                return self.acoustic_analyzer.classify_features(
+                    np.stack(feats), speaker)
+            return self.acoustic_analyzer.analyze_batch_sentiment(
+                waves, sr, speaker)
+
+        a_ac = acoustic("agent", agent_waves)
+        c_ac = acoustic("client", client_waves)
 
         out = []
         for i in range(len(chunks)):
