@@ -158,7 +158,8 @@ def main(argv=None) -> int:
 
     topic_classifier = TopicClassifier(cfg)
     processor = DataProcessor(cfg, db_manager=db_manager,
-                              topic_classifier=topic_classifier)
+                              topic_classifier=topic_classifier,
+                              monitor=monitor)
     if monitor is not None:
         monitor.add_callback("queues", processor.get_queue_metrics)
 

@@ -76,8 +76,11 @@ class ASREngine:
         self.bucket_samples = tuple(
             int(b * sr) for b in config.get(
                 "length_buckets_sec", (5.0, 10.0, 15.0, 20.0, 25.0)))
-        # Device batch = chunks_per_batch * 3 views.
-        self.device_chunks = int(config.get("chunk_batch_size", 16))
+        # Device batch = chunks_per_batch * 3 views; with a mesh the
+        # batch scales by the data-parallel degree and shards over it.
+        data_par = 1 if mesh is None else int(mesh.devices.shape[0])
+        self.device_chunks = int(config.get("chunk_batch_size", 16)) \
+            * data_par
         self.device_batch = self.device_chunks * 3
         # int16 wire format halves host->device bytes; lossless for
         # PCM16-sourced audio (the call-center format). Disable for
@@ -98,12 +101,12 @@ class ASREngine:
     def _load_or_init(self):
         model_path = self.config.get("transcription_model", "")
         if model_path and Path(model_path).exists():
-            from audio_processor_tpu.models.convert_hf import (
-                load_w2v_bert_from_pretrained,
+            from audio_processor_tpu.models.checkpoint import (
+                load_or_convert_w2v_bert,
             )
 
-            logger.info("Converting HF checkpoint from %s", model_path)
-            params, cfg, vocab_dict = load_w2v_bert_from_pretrained(model_path)
+            logger.info("Loading checkpoint from %s", model_path)
+            params, cfg, vocab_dict = load_or_convert_w2v_bert(model_path)
             params = jax.tree.map(jnp.asarray, params)
             vocab = (CTCVocab(vocab_dict) if vocab_dict
                      else CTCVocab.darija_default())
@@ -156,8 +159,7 @@ class ASREngine:
             PAD, extract_features_batch,
         )
 
-        @jax.jit
-        def run(params, buf, lengths):
+        def raw(params, buf, lengths):
             # buf: [N, 2, bucket+2*PAD] (agent, client), int16 or f32.
             x = buf.astype(jnp.float32)
             if buf.dtype == jnp.int16:
@@ -178,6 +180,17 @@ class ASREngine:
                 x.reshape(2 * N, -1), jnp.repeat(lengths, 2))
             return ids, mask, af.reshape(N, 2, -1)
 
+        if self.mesh is None:
+            run = jax.jit(raw)
+        else:
+            # SPMD: chunk batch shards over the mesh 'data' axis;
+            # params stay replicated (or tensor-parallel if placed so).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            run = jax.jit(raw, in_shardings=(
+                None,
+                NamedSharding(self.mesh, P("data", None, None)),
+                NamedSharding(self.mesh, P("data"))))
         self._jit_cache[key] = run
         return run
 

@@ -67,12 +67,15 @@ class MemoryManager:
 
 class DataProcessor:
     def __init__(self, config, db_manager=None, asr_engine=None,
-                 sentiment_analyzer=None, topic_classifier=None):
+                 sentiment_analyzer=None, topic_classifier=None,
+                 monitor=None, mesh=None):
         self.config = config
         self.db_manager = db_manager
         self.asr_engine = asr_engine
         self.sentiment_analyzer = sentiment_analyzer
         self.topic_classifier = topic_classifier
+        self.monitor = monitor
+        self.mesh = mesh
 
         self.memory_manager = MemoryManager(
             float(config.get("max_memory_gb", 64.0)),
@@ -106,7 +109,13 @@ class DataProcessor:
         if self.asr_engine is None:
             from audio_processor_tpu.pipeline.asr_engine import ASREngine
 
-            self.asr_engine = ASREngine(self.config)
+            if self.mesh is None and self.config.get("mesh_shape"):
+                from audio_processor_tpu.parallel.multi_device import (
+                    MultiDeviceManager,
+                )
+
+                self.mesh = MultiDeviceManager(self.config).mesh
+            self.asr_engine = ASREngine(self.config, mesh=self.mesh)
         if self.sentiment_analyzer is None:
             from audio_processor_tpu.pipeline.sentiment import (
                 SentimentAnalyzer,
@@ -167,6 +176,7 @@ class DataProcessor:
                            decoded: Optional[List[Dict]] = None) -> int:
         logger.info("Processing batch %d with %d files",
                     batch_id + 1, len(files))
+        batch_t0 = time.perf_counter()
         try:
             if decoded is None:
                 decoded = self._decode_batch(files)
@@ -237,6 +247,12 @@ class DataProcessor:
                      and not k.endswith("_probabilities")
                      and not k.endswith("_features")}
                     for r in results)
+            if self.monitor is not None:
+                self.monitor.record_batch(
+                    batch_id, num_files=len(files),
+                    num_chunks=len(results),
+                    seconds=time.perf_counter() - batch_t0,
+                    audio_seconds=sum(d["duration"] for d in decoded))
             return len(files) - len(batch_failed)
         except Exception as e:
             logger.exception("Error processing batch %d: %s",

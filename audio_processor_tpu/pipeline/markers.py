@@ -56,11 +56,32 @@ class ProcessedMarkers:
 def cleanup_old_artifacts(config, markers: ProcessedMarkers,
                           temp_dir: Path, intermediate_dir: Path) -> int:
     """Delete aged artifacts; optionally processed input audio
-    (reference: pipeline.py:317-350). Returns deleted-file count."""
+    (reference: pipeline.py:317-350). Returns deleted-file count.
+
+    Intentional fix vs the reference: processed-audio deletion runs
+    BEFORE the marker directory is purged. The reference purges
+    markers first and then requires ``marker.exists()`` to delete the
+    audio (pipeline.py:335-348), so aged audio is in practice never
+    deleted — contradicting its own ``delete_processed_files``
+    contract (config.yaml:77).
+    """
     retention_days = int(config.get("retention_days", 30))
     delete_processed = bool(config.get("delete_processed_files", False))
     cutoff = datetime.now() - timedelta(days=retention_days)
     deleted = 0
+
+    if delete_processed:
+        input_dir = Path(config.get("input_folder", "."))
+        for pattern in ("*.wav", "*.ogg"):
+            for audio in input_dir.rglob(pattern):
+                marker = markers.dir / f"{audio.stem}.done"
+                try:
+                    if marker.exists() and datetime.fromtimestamp(
+                            marker.stat().st_mtime) < cutoff:
+                        audio.unlink(missing_ok=True)
+                        deleted += 1
+                except OSError:
+                    pass
 
     def _cleanup_dir(d: Path):
         nonlocal deleted
@@ -78,17 +99,4 @@ def cleanup_old_artifacts(config, markers: ProcessedMarkers,
     _cleanup_dir(temp_dir)
     _cleanup_dir(intermediate_dir)
     _cleanup_dir(markers.dir)
-
-    if delete_processed:
-        input_dir = Path(config.get("input_folder", "."))
-        for pattern in ("*.wav", "*.ogg"):
-            for audio in input_dir.rglob(pattern):
-                marker = markers.dir / f"{audio.stem}.done"
-                try:
-                    if marker.exists() and datetime.fromtimestamp(
-                            marker.stat().st_mtime) < cutoff:
-                        audio.unlink(missing_ok=True)
-                        deleted += 1
-                except OSError:
-                    pass
     return deleted

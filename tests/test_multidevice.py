@@ -1,0 +1,77 @@
+"""SPMD scale-out tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4.3): sharded inference must produce identical results to
+single-device, and the train step must run dp+tp."""
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.config import PipelineConfig
+from audio_processor_tpu.parallel.mesh import make_mesh
+from audio_processor_tpu.parallel.multi_device import MultiDeviceManager
+from audio_processor_tpu.pipeline.chunker import split_audio
+
+from tests.conftest import make_stereo_call
+
+
+def _tiny(cfg, mesh=None):
+    import jax
+
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.models.tokenizer import CTCVocab
+    from audio_processor_tpu.pipeline.asr_engine import ASREngine
+
+    vocab = CTCVocab.darija_default()
+    mcfg = w2v.W2VBertConfig(vocab_size=len(vocab), hidden_size=32,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             intermediate_size=64,
+                             conv_depthwise_kernel_size=7,
+                             left_max_position_embeddings=8,
+                             right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), mcfg)
+    return ASREngine(cfg, params=params, model_cfg=mcfg, vocab=vocab,
+                     mesh=mesh)
+
+
+def test_mesh_has_8_virtual_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_inference_matches_single_device():
+    cfg = PipelineConfig(enable_mixed_precision=False,
+                         chunk_duration_sec=4.0, overlap_sec=1.0,
+                         length_buckets_sec=(2.0, 4.0), chunk_batch_size=2)
+    mesh = make_mesh(n_devices=8, data=8, model=1)
+    call = make_stereo_call(dur=30.0)
+    chunks = split_audio(call, 16000, "c.wav", 4.0, 1.0)  # 10 chunks
+
+    single = _tiny(cfg)
+    multi = _tiny(cfg, mesh=mesh)
+    assert multi.device_chunks == 16  # 2 x 8 data-parallel
+
+    out_s = single.transcribe_chunks(chunks)
+    out_m = multi.transcribe_chunks(
+        split_audio(call, 16000, "c.wav", 4.0, 1.0))
+    for a, b in zip(out_s, out_m):
+        assert a["transcription_chunk"] == b["transcription_chunk"]
+        assert a["agent_transcription"] == b["agent_transcription"]
+        assert a["client_transcription"] == b["client_transcription"]
+    # fused features also match
+    for a, b in zip(out_s, out_m):
+        np.testing.assert_allclose(a["agent_acoustic_features"],
+                                   b["agent_acoustic_features"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_multi_device_manager_mesh_from_config():
+    cfg = PipelineConfig(mesh_shape={"data": 4, "model": 2})
+    mgr = MultiDeviceManager(cfg)
+    assert mgr.num_workers == 8
+    assert mgr.data_parallel_size == 4
+
+
+def test_train_step_dp_tp():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
