@@ -318,6 +318,44 @@ class DatabaseManager:
             logger.error("Failed to get messages: %s", e)
             return []
 
+    def get_chunk_by_id_enregistrement_and_id(self, cid: str,
+                                              id_chunk: str
+                                              ) -> Optional[Dict[str, Any]]:
+        try:
+            return self._execute(
+                "SELECT * FROM chunk WHERE id_enregistrement = %s "
+                "AND id_chunk = %s", (cid, id_chunk), fetch="one")
+        except Exception as e:
+            logger.error("Failed to get chunk: %s", e)
+            return None
+
+    def get_message_by_id_enregistrement_and_order_message(
+            self, cid: str, order_message: int
+    ) -> Optional[Dict[str, Any]]:
+        try:
+            return self._execute(
+                "SELECT * FROM message WHERE id_enregistrement = %s "
+                "AND order_message = %s", (cid, order_message),
+                fetch="one")
+        except Exception as e:
+            logger.error("Failed to get message: %s", e)
+            return None
+
+    def get_calls_by_agent_id(self, agent_id: str) -> List[Dict[str, Any]]:
+        try:
+            return self._execute(
+                """SELECT c.*, m.agent_id, m.agent_name, m.queue_name,
+                          m.call_date
+                   FROM call c
+                   JOIN call_metadata m
+                     ON c.id_enregistrement = m.id_enregistrement
+                   WHERE m.agent_id = %s
+                   ORDER BY m.call_date DESC""",
+                (agent_id,), fetch="all") or []
+        except Exception as e:
+            logger.error("Failed to get calls by agent_id: %s", e)
+            return []
+
     def get_call_metadata(self, cid: str) -> Optional[Dict[str, Any]]:
         try:
             return self._execute(

@@ -396,9 +396,13 @@ class SentimentAnalyzer:
     def analyze_batch_sentiment(self, chunks: List[Dict]) -> List[Dict]:
         if not chunks:
             return chunks
-        results = self._analyze_batch(chunks)
-        for i, chunk in enumerate(chunks):
-            chunk.update(results[i])
+        try:
+            results = self._analyze_batch(chunks)
+            for i, chunk in enumerate(chunks):
+                chunk.update(results[i])
+        except Exception as e:
+            logger.error("Error in batch sentiment analysis: %s", e)
+            return self._fallback_individual_processing(chunks)
         if self.db_manager:
             self._save_chunks_to_database(chunks)
             try:
@@ -471,6 +475,40 @@ class SentimentAnalyzer:
             })
             out.append(r)
         return out
+
+    def _fallback_individual_processing(self, chunks: List[Dict]
+                                        ) -> List[Dict]:
+        """Per-chunk degradation when batch analysis fails
+        (reference: sentiment_analysis.py:255-292)."""
+        logger.warning("Falling back to individual chunk processing")
+        for chunk in chunks:
+            try:
+                chunk.update(self._analyze_batch([chunk])[0])
+            except Exception as e:
+                logger.error("Error analyzing sentiment for %s: %s",
+                             chunk.get("file_name", "unknown"), e)
+                chunk.update({
+                    "agent_text_sentiment": "error",
+                    "agent_text_confidence": 0.0,
+                    "agent_acoustic_sentiment": "error",
+                    "agent_acoustic_confidence": 0.0,
+                    "agent_fusion_sentiment": "error",
+                    "agent_fusion_confidence": 0.0,
+                    "client_text_sentiment": "error",
+                    "client_text_confidence": 0.0,
+                    "client_acoustic_sentiment": "error",
+                    "client_acoustic_confidence": 0.0,
+                    "client_fusion_sentiment": "error",
+                    "client_fusion_confidence": 0.0,
+                    "sentiment_error": str(e),
+                })
+        if self.db_manager:
+            self._save_chunks_to_database(chunks)
+            try:
+                self._update_calls_aggregated_emotions(chunks)
+            except Exception as e:
+                logger.error("Failed to update call-level emotions: %s", e)
+        return chunks
 
     # ------------------------------------------------------------------
     def _save_chunks_to_database(self, chunks: List[Dict]):

@@ -99,3 +99,20 @@ def test_processing_stats(db):
     stats = db.get_processing_stats()
     assert stats["total_calls"] == 1
     assert stats["total_chunks"] == 1
+
+
+def test_extra_getters(db, tmp_path):
+    db.insert_call({"id_enregistrement": "c9"})
+    db.insert_chunk({"id_chunk": "2", "id_enregistrement": "c9",
+                     "transcription_chunk": "x"})
+    db.insert_message({"id_enregistrement": "c9", "order_message": 1,
+                       "text": "t", "speaker": "agent"})
+    (tmp_path / "c9.wav").write_bytes(b"x")
+    db.insert_call_metadata("c9", {"AGENT_ID": "a7",
+                                   "DATE_": "01/01/2026 00:00:00"})
+    assert db.get_chunk_by_id_enregistrement_and_id("c9", "2") \
+        ["transcription_chunk"] == "x"
+    assert db.get_message_by_id_enregistrement_and_order_message(
+        "c9", 1)["text"] == "t"
+    calls = db.get_calls_by_agent_id("a7")
+    assert len(calls) == 1 and calls[0]["id_enregistrement"] == "c9"
