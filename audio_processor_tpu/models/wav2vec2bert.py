@@ -207,7 +207,25 @@ def self_attention(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
     v = dense(p["linear_v"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     scale = 1.0 / np.sqrt(hd)
 
-    if impl == "flash" and L % 128 == 0:
+    if impl == "flash_rel" and L % 128 == 0:
+        # Custom Pallas kernel: the relative-key bias is expanded
+        # INSIDE the kernel from [B,H,L,P] bucket logits, so no
+        # [B,H,L,L] bias tensor ever exists in HBM
+        # (models/flash_rel_attention.py).
+        from audio_processor_tpu.models.flash_rel_attention import (
+            flash_rel_attention,
+        )
+
+        P = cfg.num_positions
+        E = p["distance_embedding"].astype(x.dtype)        # [P, hd]
+        E_pad = jnp.pad(E, ((0, 128 - P), (0, 0)))
+        s_rel = jnp.einsum("bhld,pd->bhlp", q, E_pad,
+                           preferred_element_type=jnp.bfloat16)
+        kv_mask = (attn_bias[:, 0, 0, :] >= 0).astype(jnp.float32)
+        out = flash_rel_attention(
+            q, k, v, s_rel, kv_mask, float(scale),
+            cfg.left_max_position_embeddings, P).astype(x.dtype)
+    elif impl == "flash" and L % 128 == 0:
         # Pallas TPU flash attention: the [B,H,L,L] score/prob tensors
         # never round-trip HBM (the XLA path spends ~half the whole
         # forward in that traffic). Kernel computes

@@ -1,0 +1,74 @@
+"""Interpret-mode validation of the custom flash+relative-bias kernel
+against a dense numpy reference (models/flash_rel_attention.py)."""
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.models.flash_rel_attention import (
+    BLOCK, flash_rel_attention,
+)
+
+LEFT, RIGHT = 64, 8
+P = LEFT + RIGHT + 1
+
+
+def dense_reference(q, k, v, E, kv_mask, scale):
+    L = q.shape[2]
+    i = np.arange(L)[:, None]
+    j = np.arange(L)[None, :]
+    pe = E[np.clip(j - i, -LEFT, RIGHT) + LEFT]
+    scores = (np.einsum("bhld,bhmd->bhlm", q, k)
+              + np.einsum("bhld,lmd->bhlm", q, pe)) * scale
+    scores = scores + (kv_mask[:, None, None, :] - 1.0) * 1e9
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhlm,bhmd->bhld", p, v)
+
+
+def run_kernel(q, k, v, E, kv_mask, scale):
+    import jax.numpy as jnp
+
+    B, H, L, d = q.shape
+    s_rel = np.zeros((B, H, L, 128), np.float32)
+    s_rel[..., :P] = np.einsum("bhld,pd->bhlp", q, E)
+    return np.asarray(flash_rel_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(s_rel), jnp.asarray(kv_mask),
+        scale, LEFT, P, interpret=True))
+
+
+@pytest.mark.parametrize("L", [128, 384, 640])
+def test_kernel_matches_dense(rng, L):
+    """Covers single-tile, band-only, and fully-clipped tile offsets."""
+    B, H, d = 1, 2, 64
+    q = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    E = rng.standard_normal((P, d)).astype(np.float32)
+    kv_mask = np.ones((B, L), np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = dense_reference(q, k, v, E, kv_mask, scale)
+    out = run_kernel(q, k, v, E, kv_mask, scale)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_respects_kv_mask(rng):
+    B, H, L, d = 2, 1, 256, 64
+    q = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    E = rng.standard_normal((P, d)).astype(np.float32)
+    kv_mask = np.ones((B, L), np.float32)
+    kv_mask[1, 200:] = 0.0
+    scale = 1.0 / np.sqrt(d)
+    ref = dense_reference(q, k, v, E, kv_mask, scale)
+    out = run_kernel(q, k, v, E, kv_mask, scale)
+    np.testing.assert_allclose(out[:, :, :200], ref[:, :, :200],
+                               atol=2e-5, rtol=1e-4)
+    # masked-kv region must not influence earlier outputs even when
+    # its values explode
+    v2 = v.copy()
+    v2[1, :, 200:] = 1e6
+    out2 = run_kernel(q, k, v2, E, kv_mask, scale)
+    np.testing.assert_allclose(out2[1, :, :200], out[1, :, :200],
+                               atol=2e-5, rtol=1e-4)
