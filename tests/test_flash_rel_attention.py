@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from audio_processor_tpu.models.flash_rel_attention import (
-    BLOCK, flash_rel_attention,
+    flash_rel_attention,
 )
 
 LEFT, RIGHT = 64, 8
