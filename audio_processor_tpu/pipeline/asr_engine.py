@@ -224,11 +224,13 @@ class ASREngine:
 
     def _run_rows(self, rows: np.ndarray, lengths: np.ndarray,
                   bucket_len: int) -> List[str]:
-        """Transcribe [N, L] audio rows (padded to bucket_len)."""
+        """Transcribe [N, L] audio rows (padded to bucket_len).
+        Dispatches every sub-batch before fetching any (async
+        pipelining, same as transcribe_chunks)."""
         fn = self._device_fn(bucket_len)
-        out_texts: List[str] = []
         B = self.device_batch
         n = rows.shape[0]
+        pending = []
         for i in range(0, n, B):
             sl_rows = rows[i:i + B]
             sl_len = lengths[i:i + B]
@@ -239,10 +241,12 @@ class ASREngine:
                     [sl_rows, np.zeros((pad, bucket_len), np.float32)])
                 sl_len = np.concatenate(
                     [sl_len, np.full((pad,), bucket_len, np.int32)])
-            ids, mask = fn(self.params, sl_rows, sl_len)
-            texts = batch_decode(np.asarray(ids)[:valid], self.vocab,
-                                 np.asarray(mask)[:valid])
-            out_texts.extend(texts)
+            pending.append((valid, fn(self.params, sl_rows, sl_len)))
+        out_texts: List[str] = []
+        for valid, (ids, mask) in pending:
+            out_texts.extend(batch_decode(
+                np.asarray(ids)[:valid], self.vocab,
+                np.asarray(mask)[:valid]))
         return out_texts
 
     # ------------------------------------------------------------------

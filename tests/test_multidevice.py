@@ -75,3 +75,41 @@ def test_train_step_dp_tp():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_engine_with_mesh_from_config(tmp_path):
+    """DataProcessor builds the mesh from config.mesh_shape and the
+    whole pipeline runs SPMD on the virtual 8-device mesh."""
+    from audio_processor_tpu.io import wav
+    from audio_processor_tpu.pipeline.engine import DataProcessor
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    for i in range(2):
+        wav.write(input_dir / f"m-{i}.wav", make_stereo_call(dur=6.0),
+                  16000)
+    cfg = PipelineConfig(
+        input_folder=str(input_dir), output_folder=str(tmp_path / "out"),
+        logs_folder=str(tmp_path / "logs"),
+        enable_mixed_precision=False, chunk_duration_sec=4.0,
+        overlap_sec=1.0, length_buckets_sec=(2.0, 4.0),
+        chunk_batch_size=1, mesh_shape={"data": 8, "model": 1})
+    mesh = make_mesh(n_devices=8, data=8)
+    proc = DataProcessor(cfg, asr_engine=_tiny(cfg, mesh=mesh), mesh=mesh)
+    proc.setup_models()
+    n = proc.run()
+    assert n == 2
+    assert proc.stats["files_failed"] == 0
+
+
+def test_distributed_helpers_single_host():
+    from audio_processor_tpu.parallel.distributed import (
+        initialize_distributed, is_primary_host, local_file_shard,
+        owns_call,
+    )
+
+    assert initialize_distributed() == 0  # no coordinator -> no-op
+    assert is_primary_host()
+    assert owns_call("anything")  # single process owns everything
+    files = [f"f{i}" for i in range(5)]
+    assert local_file_shard(files) == sorted(files)
