@@ -29,7 +29,6 @@ Audio shorter than one frame yields all-zero features
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax

@@ -16,7 +16,7 @@ defaults that matter and are reproduced here:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

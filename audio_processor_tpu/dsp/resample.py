@@ -107,7 +107,12 @@ def resample(waveform: jnp.ndarray, orig_freq: int, new_freq: int,
 
 def resample_np(waveform: np.ndarray, orig_freq: int,
                 new_freq: int, **kw) -> np.ndarray:
-    """Host/numpy reference path (same numerics, float64 accumulation)."""
+    """Host/numpy path (same numerics, float64 accumulation).
+
+    Vectorized over polyphase steps: a zero-copy sliding-window view
+    strided by orig_g feeds one batched matmul per call instead of a
+    Python loop per output sample.
+    """
     if orig_freq == new_freq:
         return np.asarray(waveform)
     kernels, width, orig_g, new_g = sinc_resample_kernel(
@@ -120,10 +125,10 @@ def resample_np(waveform: np.ndarray, orig_freq: int,
     x = np.pad(x, ((0, 0), (width, width + orig_g)))
     K = kernels.shape[1]
     n_steps = (x.shape[1] - K) // orig_g + 1
-    out = np.zeros((x.shape[0], n_steps * new_g))
-    for s in range(n_steps):
-        seg = x[:, s * orig_g: s * orig_g + K]
-        out[:, s * new_g: (s + 1) * new_g] = seg @ kernels.T
+    windows = np.lib.stride_tricks.sliding_window_view(
+        x, K, axis=1)[:, ::orig_g][:, :n_steps]     # [B, n_steps, K]
+    out = windows @ kernels.T                       # [B, n_steps, new_g]
+    out = out.reshape(x.shape[0], n_steps * new_g)
     tgt = resampled_length(T, orig_freq, new_freq)
-    out = out[:, :tgt]
-    return out.reshape(*shape[:-1], tgt).astype(np.float32)
+    return np.ascontiguousarray(out[:, :tgt]) \
+        .reshape(*shape[:-1], tgt).astype(np.float32)

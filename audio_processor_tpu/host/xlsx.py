@@ -8,7 +8,6 @@ rows as lists of Python values (str/float/None).
 
 from __future__ import annotations
 
-import re
 import zipfile
 from pathlib import Path
 from typing import Any, Dict, List, Optional

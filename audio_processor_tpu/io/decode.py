@@ -14,7 +14,6 @@ Every decode returns ([channels, frames] float32 in [-1, 1], rate).
 
 from __future__ import annotations
 
-import io as _io
 import shutil
 import subprocess
 from pathlib import Path

@@ -16,7 +16,6 @@ level-synchronous tree descent — reproducing sklearn's numerics:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Tuple
 
 import jax

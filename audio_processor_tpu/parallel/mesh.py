@@ -11,7 +11,7 @@ over ICI; result "aggregation" is just a device->host fetch.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

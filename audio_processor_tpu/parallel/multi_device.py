@@ -14,7 +14,7 @@ device->host fetch. Multi-host slices extend the same program via
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

@@ -17,7 +17,6 @@ for benchmarks and tests — clearly logged).
 
 from __future__ import annotations
 
-import functools
 import logging
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence

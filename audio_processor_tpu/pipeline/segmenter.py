@@ -13,7 +13,7 @@ waveform as a batched XLA program (models/vad.py).
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_processor_tpu.dsp.acoustic_features import (
-    NUM_FEATURES, extract_features_batch, prepare_reflect_padded,
+    extract_features_batch, prepare_reflect_padded,
 )
 from audio_processor_tpu.host.aggregation import (
     aggregate_agent_sentiment, aggregate_client_sentiment,
