@@ -56,6 +56,42 @@ def _decode_via_ffmpeg(path: str | Path) -> Tuple[np.ndarray, int]:
         ai.sample_rate
 
 
+def _decode_via_pygame(path: str | Path) -> Tuple[np.ndarray, int]:
+    """OGG/Vorbis decode via pygame's bundled SDL_mixer (a pure
+    fallback when ffmpeg is absent). The mixer is opened at the
+    stream's native rate/channels (from the first-party probe) so SDL
+    performs no resampling — the output is the raw Vorbis synthesis."""
+    import os
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    import pygame
+
+    from audio_processor_tpu.io.ogg import probe_ogg
+
+    info = probe_ogg(path)
+    rate = info.sample_rate if info else 44100
+    channels = max(1, min(2, info.num_channels if info else 2))
+    if pygame.mixer.get_init() != (rate, -16, channels):
+        pygame.mixer.quit()
+        pygame.mixer.init(frequency=rate, size=-16, channels=channels)
+    import pygame.sndarray as sndarray
+
+    arr = sndarray.array(pygame.mixer.Sound(str(path)))
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    x = (arr.astype(np.float32) / 32768.0).T
+    return np.ascontiguousarray(x), rate
+
+
+def _pygame_available() -> bool:
+    try:
+        import pygame  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _native_decoder():
     try:
         from audio_processor_tpu.io import native
@@ -79,9 +115,11 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
     if suffix == ".ogg":
         if _ffmpeg_available():
             return _decode_via_ffmpeg(p)
+        if _pygame_available():
+            return _decode_via_pygame(p)
         raise WavError(
             f"cannot decode {p}: no OGG decoder available "
-            "(native decoder not built and ffmpeg not installed)")
+            "(ffmpeg not installed and pygame/SDL_mixer not available)")
     # Unknown extension: try WAV parse, then ffmpeg.
     try:
         return wav_mod.read(p)

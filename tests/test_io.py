@@ -114,3 +114,36 @@ def test_ogg_probe_vorbis_header(tmp_path):
     assert ai.sample_rate == 44100
     assert ai.num_frames == 44100 * 3
     assert ai.encoding == "vorbis"
+
+
+OGG_SAMPLE = ("/opt/venv/lib/python3.12/site-packages/pygame/examples/"
+              "data/house_lo.ogg")
+
+
+def test_ogg_probe_real_file():
+    import pathlib
+
+    if not pathlib.Path(OGG_SAMPLE).exists():
+        pytest.skip("no ogg sample available")
+    ai = probe(OGG_SAMPLE)
+    assert ai is not None
+    assert ai.encoding == "vorbis"
+    assert ai.sample_rate == 11025
+    assert ai.num_channels == 1
+    assert ai.num_frames == 78331
+
+
+def test_ogg_decode_real_file():
+    import pathlib
+
+    if not pathlib.Path(OGG_SAMPLE).exists():
+        pytest.skip("no ogg sample available")
+    pytest.importorskip("pygame")
+    x, sr = load_audio(OGG_SAMPLE)
+    assert sr == 11025
+    assert x.shape[0] == 1
+    # SDL pads decode output to its buffer granularity; the true frame
+    # count from the granule position must be covered.
+    assert abs(x.shape[1] - 78331) < 2048
+    assert np.abs(x).max() <= 1.0
+    assert np.abs(x).max() > 0.05  # real audio, not silence
