@@ -85,6 +85,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-metadata", action="store_true")
     p.add_argument("--input", help="override input_folder")
     p.add_argument("--output", help="override output_folder")
+    p.add_argument("--watch", type=float, metavar="SECONDS", default=0,
+                   help="continuous mode: rescan the input folder every "
+                        "N seconds instead of exiting (the reference "
+                        "only supports cron re-invocation); idempotence "
+                        "markers make each sweep incremental")
     return p
 
 
@@ -168,6 +173,21 @@ def main(argv=None) -> int:
     rc = 0
     try:
         processor.run()
+        while args.watch > 0:
+            import time as _time
+
+            logger.info("Watch mode: sleeping %.0fs before next sweep",
+                        args.watch)
+            _time.sleep(args.watch)
+            if cfg.minio.enabled and not args.no_minio_sync:
+                from audio_processor_tpu.host.minio_sync import (
+                    MinIOSyncManager,
+                )
+
+                MinIOSyncManager(cfg).sync_to_local(cfg.input_folder)
+            processor.run()
+    except KeyboardInterrupt:
+        logger.info("Interrupted; shutting down")
     except Exception as e:
         logger.exception("Processing failed: %s", e)
         rc = 1
