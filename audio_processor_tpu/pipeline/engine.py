@@ -131,13 +131,16 @@ class DataProcessor:
         return dict(self._queue_depths)
 
     # ------------------------------------------------------------------
-    def _decode_one(self, file_path: Path):
+    def _decode_one(self, file_path: Path, preloaded=None):
         """Decode + resample + chunk one call, with retries
         (reference: audio_processor.py:369-403)."""
         last_error: Optional[Exception] = None
         for attempt in range(1, self.max_retries + 1):
             try:
-                waveform, sr = load_audio(file_path)
+                if preloaded is not None and attempt == 1:
+                    waveform, sr = preloaded
+                else:
+                    waveform, sr = load_audio(file_path)
                 target_sr = int(self.config.get("target_sample_rate", 16000))
                 if sr != target_sr:
                     from audio_processor_tpu.dsp.resample import resample_np
@@ -168,8 +171,29 @@ class DataProcessor:
                 "error": str(last_error), "waveform": None}
 
     def _decode_batch(self, files: Sequence[Path]) -> List[Dict]:
+        """Decode a file batch. WAVs go through the native C++ batch
+        reader in one GIL-free call (io/native.py); everything else
+        (OGG, fallback, retries) uses the per-file thread pool."""
+        files = [Path(f) for f in files]
+        preloaded: Dict[str, tuple] = {}
+        wavs = [f for f in files if f.suffix.lower() == ".wav"]
+        if wavs:
+            try:
+                from audio_processor_tpu.io import native
+
+                if native.available():
+                    for f, out in zip(wavs, native.read_wav_batch(
+                            wavs, n_threads=min(self.io_workers, 16))):
+                        if out is not None:
+                            preloaded[str(f)] = out
+            except Exception as e:
+                logger.debug("native batch read unavailable: %s", e)
+
+        def decode(f: Path) -> Dict:
+            return self._decode_one(f, preloaded.get(str(f)))
+
         with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-            return list(ex.map(self._decode_one, files))
+            return list(ex.map(decode, files))
 
     # ------------------------------------------------------------------
     def process_file_batch(self, batch_id: int, files: Sequence[Path],

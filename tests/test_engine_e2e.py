@@ -141,6 +141,11 @@ def test_failed_file_markers(workspace, monkeypatch):
     from pathlib import Path
 
     monkeypatch.setattr(engine_mod, "load_audio", flaky_load)
+    # Disable the native batch preload so the failure injection in
+    # load_audio is actually reached for corrupt.wav.
+    from audio_processor_tpu.io import native as native_mod
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
     db = DatabaseManager(cfg.replace(db_path=str(output_dir / "f.db")))
     proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
     proc.setup_models()
