@@ -75,6 +75,17 @@ class ASREngine:
         self.bucket_samples = tuple(
             int(b * sr) for b in config.get(
                 "length_buckets_sec", (5.0, 10.0, 15.0, 20.0, 25.0)))
+        # A chunk longer than the largest bucket would be silently
+        # truncated by the dense batcher; extend the bucket set instead.
+        chunk_samples = int(float(config.get("chunk_duration_sec", 25.0))
+                            * sr)
+        if chunk_samples > max(self.bucket_samples):
+            logger.warning(
+                "chunk_duration_sec (%s samples) exceeds the largest "
+                "length bucket; adding a %d-sample bucket",
+                chunk_samples, chunk_samples)
+            self.bucket_samples = tuple(
+                sorted(set(self.bucket_samples) | {chunk_samples}))
         # Device batch = chunks_per_batch * 3 views; with a mesh the
         # batch scales by the data-parallel degree and shards over it.
         data_par = 1 if mesh is None else int(mesh.devices.shape[0])

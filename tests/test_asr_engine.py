@@ -131,3 +131,31 @@ def test_synthetic_mode_without_checkpoint(tmp_path):
     out = eng.transcribe_mono_segments(
         [np.zeros(16000, np.float32)])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_bucket_guard_for_long_chunks():
+    """chunk_duration_sec beyond the largest bucket must extend the
+    bucket set (silent truncation would corrupt transcripts)."""
+    import jax
+
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+
+    cfg = PipelineConfig(enable_mixed_precision=False,
+                         chunk_duration_sec=8.0,
+                         length_buckets_sec=(2.0, 4.0))
+    vocab = CTCVocab.darija_default()
+    mcfg = w2v.W2VBertConfig(vocab_size=len(vocab), hidden_size=32,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             intermediate_size=64,
+                             conv_depthwise_kernel_size=7,
+                             left_max_position_embeddings=8,
+                             right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), mcfg)
+    eng = ASREngine(cfg, params=params, model_cfg=mcfg, vocab=vocab)
+    assert max(eng.bucket_samples) == 8 * 16000
+    from audio_processor_tpu.pipeline.chunker import split_audio
+
+    wf = np.random.default_rng(0).standard_normal(
+        (2, 16000 * 8)).astype(np.float32) * 0.1
+    out = eng.transcribe_chunks(split_audio(wf, 16000, "c.wav", 8.0, 1.0))
+    assert out[0]["error"] == ""
