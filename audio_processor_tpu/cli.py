@@ -85,6 +85,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-metadata", action="store_true")
     p.add_argument("--input", help="override input_folder")
     p.add_argument("--output", help="override output_folder")
+    p.add_argument("--stats", action="store_true",
+                   help="print database processing stats and exit")
     p.add_argument("--watch", type=float, metavar="SECONDS", default=0,
                    help="continuous mode: rescan the input folder every "
                         "N seconds instead of exiting (the reference "
@@ -135,7 +137,7 @@ def main(argv=None) -> int:
 
     # Database (reference: run.py:203).
     db_manager = None
-    if args.save_mode == "database" or args.load_metadata:
+    if args.save_mode == "database" or args.load_metadata or args.stats:
         from audio_processor_tpu.host.db import DatabaseManager
 
         try:
@@ -144,6 +146,16 @@ def main(argv=None) -> int:
             logger.error("Database unavailable: %s", e)
             if args.save_mode == "database":
                 return 4
+
+    if args.stats:
+        if db_manager is None:
+            logger.error("--stats requires a database")
+            return 4
+        import json as _json
+
+        print(_json.dumps(db_manager.get_processing_stats(), indent=2))
+        db_manager.close()
+        return 0
 
     if args.load_metadata and db_manager is not None:
         from audio_processor_tpu.host.metadata import load_metadata

@@ -224,6 +224,35 @@ class PerformanceMonitor:
                        current * 2)
         return current
 
+    def get_memory_recommendations(self) -> Dict[str, Any]:
+        """Advisory memory guidance (reference:
+        performance_monitor.py:306-331)."""
+        recs: Dict[str, Any] = {"recommendations": []}
+        try:
+            import psutil
+
+            vm = psutil.virtual_memory()
+            recs["current_memory_percent"] = vm.percent
+            if vm.percent > 85:
+                recs["recommendations"].append(
+                    "reduce file_batch_size or io_workers "
+                    "(host memory pressure)")
+            if self.peaks["memory_percent"] > 90:
+                recs["recommendations"].append(
+                    "peak memory exceeded 90%; lower max_memory_gb "
+                    "threshold to throttle earlier")
+        except ImportError:
+            pass
+        for d in device_memory_stats():
+            used, limit = d.get("bytes_in_use"), d.get("bytes_limit")
+            if used and limit and used / limit > 0.9:
+                recs["recommendations"].append(
+                    f"{d['device']}: HBM >90% used; reduce "
+                    "chunk_batch_size or length buckets")
+        if not recs["recommendations"]:
+            recs["recommendations"].append("memory usage is healthy")
+        return recs
+
     def optimize_worker_count(self, current: int) -> int:
         try:
             import psutil

@@ -25,6 +25,16 @@ from audio_processor_tpu.parallel.mesh import make_mesh
 logger = logging.getLogger(__name__)
 
 
+def get_optimal_device_count(max_devices: Optional[int] = None) -> int:
+    """Usable accelerator count (reference:
+    multi_gpu_manager.py:571-579 picked min(gpus, max_gpus))."""
+    import jax
+
+    n = len([d for d in jax.devices() if d.platform != "cpu"]) \
+        or len(jax.devices())
+    return min(n, max_devices) if max_devices else n
+
+
 def data_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     return {
         "buf3": NamedSharding(mesh, P("data", None, None)),   # [N,2,T]

@@ -162,3 +162,44 @@ def test_retention_cleanup(tmp_path):
     assert (temp / "new.bin").exists()
     assert not audio.exists()  # processed audio past retention removed
     assert deleted >= 2
+
+
+def test_memory_recommendations():
+    from audio_processor_tpu.obs.monitor import PerformanceMonitor
+
+    recs = PerformanceMonitor(PipelineConfig()).get_memory_recommendations()
+    assert recs["recommendations"]
+
+
+def test_optimal_device_count():
+    from audio_processor_tpu.parallel.multi_device import (
+        get_optimal_device_count,
+    )
+
+    assert get_optimal_device_count() == 8  # virtual CPU mesh
+    assert get_optimal_device_count(max_devices=4) == 4
+
+
+def test_cli_stats(tmp_path):
+    import json
+
+    import yaml
+
+    from audio_processor_tpu.cli import main
+    from audio_processor_tpu.host.db import DatabaseManager
+
+    cfg = PipelineConfig(database_type="sqlite",
+                         db_path=str(tmp_path / "s.db"),
+                         input_folder=str(tmp_path),
+                         logs_folder=str(tmp_path / "logs"))
+    db = DatabaseManager(cfg)
+    db.insert_call({"id_enregistrement": "x"})
+    db.close()
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump({
+        "database_type": "sqlite", "db_path": str(tmp_path / "s.db"),
+        "input_folder": str(tmp_path),
+        "output_folder": str(tmp_path / "out"),
+        "logs_folder": str(tmp_path / "logs")}))
+    rc = main(["--config", str(p), "--stats"])
+    assert rc == 0
