@@ -147,3 +147,98 @@ def test_ogg_decode_real_file():
     assert abs(x.shape[1] - 78331) < 2048
     assert np.abs(x).max() <= 1.0
     assert np.abs(x).max() > 0.05  # real audio, not silence
+
+
+def _write_wav_custom(path, data_f32, sr, bits, fmt):
+    """Hand-build WAV files in every supported encoding."""
+    import struct
+
+    x = np.asarray(data_f32)  # [C, T] in [-1, 1]
+    c, nf = x.shape
+    inter = x.T.reshape(-1)
+    if fmt == "float":
+        dt = "<f4" if bits == 32 else "<f8"
+        payload = inter.astype(dt).tobytes()
+        tag = 3
+    elif bits == 8:
+        payload = (np.clip(np.round(inter * 128.0) + 128, 0, 255)
+                   .astype("<u1").tobytes())
+        tag = 1
+    elif bits == 16:
+        payload = np.clip(np.round(inter * 32768.0), -32768, 32767) \
+            .astype("<i2").tobytes()
+        tag = 1
+    elif bits == 24:
+        vals = np.clip(np.round(inter * 8388608.0), -8388608,
+                       8388607).astype(np.int64)
+        b = np.zeros((vals.size, 3), np.uint8)
+        u = (vals & 0xFFFFFF).astype(np.uint32)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        payload = b.tobytes()
+        tag = 1
+    else:  # 32-bit int
+        payload = np.clip(np.round(inter * 2147483648.0), -2 ** 31,
+                          2 ** 31 - 1).astype("<i4").tobytes()
+        tag = 1
+    bytes_per = bits // 8
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, tag, c, sr,
+                                      sr * c * bytes_per, c * bytes_per,
+                                      bits))
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+@pytest.mark.parametrize("bits,fmt,tol", [
+    (8, "int", 1 / 120.0), (16, "int", 1 / 30000.0),
+    (24, "int", 1 / 8e6), (32, "int", 1e-7),
+    (32, "float", 1e-7), (64, "float", 1e-7),
+])
+def test_wav_all_encodings(tmp_path, bits, fmt, tol):
+    rng = np.random.default_rng(0)
+    data = (0.8 * rng.standard_normal((2, 500))).clip(-0.99, 0.99) \
+        .astype(np.float64)
+    p = tmp_path / f"x_{bits}_{fmt}.wav"
+    _write_wav_custom(p, data, 16000, bits, fmt)
+    x, sr = wav.read(p)
+    assert sr == 16000 and x.shape == (2, 500)
+    assert np.abs(x - data).max() < tol
+    ai = wav.info(p)
+    assert ai.bits_per_sample == bits
+    assert ai.num_frames == 500
+    # Native fast path must agree exactly with the Python reference.
+    if native.available():
+        out = native.read_wav(p)
+        assert out is not None
+        np.testing.assert_array_equal(out[0], x)
+
+
+def test_wav_extensible_format(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE wrapper around PCM16."""
+    import struct
+
+    rng = np.random.default_rng(1)
+    data = (0.5 * rng.standard_normal((2, 200))).astype(np.float64)
+    inter = data.T.reshape(-1)
+    payload = np.clip(np.round(inter * 32768.0), -32768, 32767) \
+        .astype("<i2").tobytes()
+    guid = struct.pack("<H", 1) + b"\x00\x00" + \
+        bytes.fromhex("0000001000800000aa00389b71")
+    assert len(guid) == 16
+    # base fmt (16) + cbSize=22 + validBits + channelMask + GUID
+    fmt_chunk = struct.pack("<HHIIHH", 0xFFFE, 2, 16000, 64000, 4, 16) \
+        + struct.pack("<HHI", 22, 16, 3) + guid
+    p = tmp_path / "ext.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 20 + len(fmt_chunk)
+                                      + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk)
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    x, sr = wav.read(p)
+    assert sr == 16000 and x.shape == (2, 200)
+    assert np.abs(x - data).max() < 1e-4
+    if native.available():
+        out = native.read_wav(p)
+        np.testing.assert_array_equal(out[0], x)
