@@ -220,12 +220,13 @@ def test_wav_extensible_format(tmp_path):
     import struct
 
     rng = np.random.default_rng(1)
-    data = (0.5 * rng.standard_normal((2, 200))).astype(np.float64)
+    data = (0.5 * rng.standard_normal((2, 200))).clip(-0.99, 0.99) \
+        .astype(np.float64)
     inter = data.T.reshape(-1)
     payload = np.clip(np.round(inter * 32768.0), -32768, 32767) \
         .astype("<i2").tobytes()
     guid = struct.pack("<H", 1) + b"\x00\x00" + \
-        bytes.fromhex("0000001000800000aa00389b71")
+        bytes.fromhex("000000100080 00aa00389b71".replace(" ", ""))
     assert len(guid) == 16
     # base fmt (16) + cbSize=22 + validBits + channelMask + GUID
     fmt_chunk = struct.pack("<HHIIHH", 0xFFFE, 2, 16000, 64000, 4, 16) \
