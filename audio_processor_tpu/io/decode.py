@@ -14,12 +14,15 @@ Every decode returns ([channels, frames] float32 in [-1, 1], rate).
 
 from __future__ import annotations
 
+import logging
 import shutil
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from audio_processor_tpu.io import wav as wav_mod
 from audio_processor_tpu.io.wav import AudioInfo, WavError
@@ -113,6 +116,17 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
                 return out
         return wav_mod.read(p)
     if suffix == ".ogg":
+        # First-party Vorbis decoder (io/vorbis.py, validated against
+        # SDL_mixer to ~1e-5); ffmpeg/pygame remain as fallbacks for
+        # non-Vorbis OGG payloads (e.g. Opus).
+        try:
+            from audio_processor_tpu.io.vorbis import decode_vorbis
+
+            pcm, rate = decode_vorbis(p)
+            return np.clip(pcm, -1.0, 1.0), rate
+        except Exception as e:
+            logger.warning("first-party vorbis decode failed for %s "
+                           "(%s); falling back", p, e)
         if _ffmpeg_available():
             return _decode_via_ffmpeg(p)
         if _pygame_available():
