@@ -116,9 +116,15 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
                 return out
         return wav_mod.read(p)
     if suffix == ".ogg":
-        # First-party Vorbis decoder (io/vorbis.py, validated against
-        # SDL_mixer to ~1e-5); ffmpeg/pygame remain as fallbacks for
+        # First-party Vorbis decoders: C++ fast path (native/vorbis.cpp,
+        # ~590x realtime), then the validated Python reference
+        # (io/vorbis.py); ffmpeg/pygame remain as fallbacks for
         # non-Vorbis OGG payloads (e.g. Opus).
+        nat = _native_decoder()
+        if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
+            out = nat.decode_vorbis(p)
+            if out is not None:
+                return np.clip(out[0], -1.0, 1.0), out[1]
         try:
             from audio_processor_tpu.io.vorbis import decode_vorbis
 

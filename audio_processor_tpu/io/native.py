@@ -48,10 +48,46 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             lib.ap_read_wav_batch.restype = ctypes.c_int
+            try:
+                lib.ap_vorbis_probe.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+                lib.ap_vorbis_probe.restype = ctypes.c_int
+                lib.ap_vorbis_decode.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+                lib.ap_vorbis_decode.restype = ctypes.c_int
+            except AttributeError:
+                pass  # older lib build without the vorbis decoder
             _lib = lib
         except OSError:
             _lib = False
     return _lib
+
+
+def has_vorbis() -> bool:
+    lib = _load()
+    return bool(lib) and hasattr(lib, "ap_vorbis_decode")
+
+
+def decode_vorbis(path: str | Path) -> Optional[Tuple[np.ndarray, int]]:
+    """First-party C++ Vorbis decode; None if unavailable/failed."""
+    lib = _load()
+    if not lib or not hasattr(lib, "ap_vorbis_decode"):
+        return None
+    meta = (ctypes.c_int64 * 3)()
+    rc = lib.ap_vorbis_probe(str(path).encode(), meta)
+    if rc != 0 or meta[1] <= 0 or meta[2] <= 0:
+        return None
+    frames, channels = int(meta[1]), int(meta[2])
+    buf = np.zeros((channels, frames), dtype=np.float32)
+    rc = lib.ap_vorbis_decode(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(frames), meta)
+    if rc != 0:
+        return None
+    written = min(int(meta[1]), frames)
+    return buf[:, :written], int(meta[0])
 
 
 def available() -> bool:

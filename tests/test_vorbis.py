@@ -107,3 +107,32 @@ def test_load_audio_uses_first_party_decoder(monkeypatch):
     assert sr == 11025
     assert x.shape[0] == 1
     assert np.abs(x).max() <= 1.0
+
+
+@needs_sample
+def test_cpp_decoder_matches_python_reference():
+    from audio_processor_tpu.io import native
+
+    if not native.has_vorbis():
+        pytest.skip("native vorbis not built")
+    out = native.decode_vorbis(OGG_SAMPLE)
+    assert out is not None
+    pcm_c, sr_c = out
+    pcm_p, sr_p = decode_vorbis(OGG_SAMPLE)
+    assert sr_c == sr_p == 11025
+    assert pcm_c.shape == pcm_p.shape
+    np.testing.assert_allclose(pcm_c, pcm_p, atol=2e-6)
+
+
+@needs_sample
+def test_native_vorbis_probe():
+    import ctypes
+
+    from audio_processor_tpu.io import native
+
+    if not native.has_vorbis():
+        pytest.skip("native vorbis not built")
+    lib = native._load()
+    meta = (ctypes.c_int64 * 3)()
+    assert lib.ap_vorbis_probe(str(OGG_SAMPLE).encode(), meta) == 0
+    assert (meta[0], meta[1], meta[2]) == (11025, 78331, 1)
