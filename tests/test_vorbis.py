@@ -136,3 +136,105 @@ def test_native_vorbis_probe():
     meta = (ctypes.c_int64 * 3)()
     assert lib.ap_vorbis_probe(str(OGG_SAMPLE).encode(), meta) == 0
     assert (meta[0], meta[1], meta[2]) == (11025, 78331, 1)
+
+
+# ----------------------------------------------------------------------
+# Stereo-critical paths (residue type 2, coupling) via hand-built
+# codebooks + bitstreams — no Vorbis encoder exists in this image, so
+# these paths can't be exercised with a real stereo file.
+# ----------------------------------------------------------------------
+
+def _write_bits(bit_list):
+    """bits as (value, nbits) pairs, LSb-first packing."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for value, nbits in bit_list:
+        acc |= (value & ((1 << nbits) - 1)) << nacc
+        nacc += nbits
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _manual_codebook(dims, vq_rows, lengths):
+    """Codebook with explicit VQ rows; codewords assigned per spec."""
+    cb = Codebook.__new__(Codebook)
+    cb.entries = len(vq_rows)
+    cb.dimensions = dims
+    cb.lengths = np.asarray(lengths)
+    cb._build_huffman()
+    cb.lookup_type = 2
+    cb.vq = np.asarray(vq_rows, np.float32)
+    return cb
+
+
+def _codeword_bits(cb, entry):
+    """(value, nbits) emitting the codeword MSB-first as the decoder
+    reads single bits."""
+    for (length, code), e in cb.decode_table.items():
+        if e == entry:
+            return [((code >> (length - 1 - i)) & 1, 1)
+                    for i in range(length)]
+    raise KeyError(entry)
+
+
+def test_residue_type2_interleave_and_decode():
+    from audio_processor_tpu.io.vorbis import Residue, decode_residue
+
+    # classbook: scalar book, 2 classes, 1 classword per codeword
+    classbook = _manual_codebook(1, [[0.0], [0.0]], [1, 1])
+    # value book: dims=2 so it spans interleaved channel samples
+    vbook = _manual_codebook(2, [[1.0, 2.0], [3.0, 4.0]], [1, 1])
+    r = Residue(kind=2, begin=0, end=8, partition_size=4,
+                classifications=2, classbook=0,
+                cascade=[1, 1], books=[[1] + [-1] * 7, [1] + [-1] * 7])
+    codebooks = [classbook, vbook]
+
+    bits = []
+    # partition 0: class 0; partition 1: class 1
+    bits += _codeword_bits(classbook, 0)
+    # partition 0 values: 2 vq reads of dim 2 (psize=4)
+    bits += _codeword_bits(vbook, 0) + _codeword_bits(vbook, 1)
+    bits += _codeword_bits(classbook, 1)
+    bits += _codeword_bits(vbook, 1) + _codeword_bits(vbook, 0)
+    br = BitReader(_write_bits(bits))
+
+    out = decode_residue(br, r, codebooks, [False, False], n_half=4)
+    # interleaved vector was [1,2,3,4, 3,4,1,2] -> ch0 takes even idx
+    np.testing.assert_allclose(out[0], [1, 3, 3, 1])
+    np.testing.assert_allclose(out[1], [2, 4, 4, 2])
+
+
+def test_residue_type0_stride():
+    from audio_processor_tpu.io.vorbis import Residue, decode_residue
+
+    classbook = _manual_codebook(1, [[0.0]], [1])
+    vbook = _manual_codebook(2, [[1.0, 10.0], [2.0, 20.0]], [1, 1])
+    r = Residue(kind=0, begin=0, end=4, partition_size=4,
+                classifications=1, classbook=0,
+                cascade=[1], books=[[1] + [-1] * 7])
+    bits = _codeword_bits(classbook, 0)
+    bits += _codeword_bits(vbook, 0) + _codeword_bits(vbook, 1)
+    br = BitReader(_write_bits(bits))
+    out = decode_residue(br, r, [classbook, vbook], [False], n_half=4)
+    # step = psize/dims = 2: entry j goes to v[j], v[j+step]
+    np.testing.assert_allclose(out[0], [1, 2, 10, 20])
+
+
+def test_inverse_coupling_rules():
+    """Square-polar inverse coupling (spec 4.3.5.2)."""
+    M = np.array([3.0, 3.0, -3.0, -3.0, 0.0], np.float32)
+    A = np.array([1.0, -1.0, 1.0, -1.0, 2.0], np.float32)
+    pos = M > 0
+    apos = A > 0
+    newM = np.where(pos, np.where(apos, M, M + A),
+                    np.where(apos, M, M - A))
+    newA = np.where(pos, np.where(apos, M - A, M),
+                    np.where(apos, M + A, M))
+    np.testing.assert_allclose(newM, [3, 2, -3, -2, 0])
+    np.testing.assert_allclose(newA, [2, 3, -2, -3, 2])
