@@ -96,6 +96,7 @@ class DataProcessor:
             "files_skipped": 0,
         }
         self._file_statuses: List[Dict[str, Any]] = []
+        self._file_latencies: List[float] = []
         self.failed_files: List[Dict[str, Any]] = []
         self._all_results: List[Dict[str, Any]] = []
         self._queue_depths = {"decode_queue": 0, "device_queue": 0,
@@ -271,12 +272,18 @@ class DataProcessor:
                      and not k.endswith("_probabilities")
                      and not k.endswith("_features")}
                     for r in results)
+            batch_seconds = time.perf_counter() - batch_t0
+            # Per-call latency (batch residency is the per-file upper
+            # bound in this batched design).
+            self._file_latencies.extend([batch_seconds] * len(files))
             if self.monitor is not None:
                 self.monitor.record_batch(
                     batch_id, num_files=len(files),
                     num_chunks=len(results),
-                    seconds=time.perf_counter() - batch_t0,
+                    seconds=batch_seconds,
                     audio_seconds=sum(d["duration"] for d in decoded))
+                for d in decoded:
+                    self.monitor.record_file(d["file"].name, batch_seconds)
             return len(files) - len(batch_failed)
         except Exception as e:
             logger.exception("Error processing batch %d: %s",
@@ -442,6 +449,12 @@ class DataProcessor:
             "files_success": self.stats.get("files_success", 0),
             "files_failed": self.stats.get("files_failed", 0),
             "files_skipped": self.stats.get("files_skipped", 0),
+            "p50_call_latency_seconds": (
+                float(np.percentile(self._file_latencies, 50))
+                if self._file_latencies else None),
+            "p95_call_latency_seconds": (
+                float(np.percentile(self._file_latencies, 95))
+                if self._file_latencies else None),
             "config_snapshot": {
                 "file_batch_size": self.config.get("file_batch_size", 8),
                 "chunk_batch_size": self.config.get("chunk_batch_size", 16),

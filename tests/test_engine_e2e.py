@@ -202,3 +202,17 @@ def test_batching_rules(tmp_path):
     for b in batches:
         assert sum(f.stat().st_size for f in b) <= 1.6 * 1024 * 1024
     assert sum(len(b) for b in batches) == 5
+
+
+def test_run_summary_latency_percentiles(workspace):
+    import json
+
+    cfg, input_dir, output_dir = workspace
+    proc = DataProcessor(cfg, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    proc.run()
+    summary = json.loads(
+        sorted(output_dir.glob("run_summary_*.json"))[-1].read_text())
+    assert summary["p50_call_latency_seconds"] > 0
+    assert summary["p95_call_latency_seconds"] >= \
+        summary["p50_call_latency_seconds"]
