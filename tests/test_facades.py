@@ -87,3 +87,21 @@ def test_db_call_row_written(processor, tmp_path, stereo_call):
     processor._process_single_file(p)
     assert db.calls[0]["id_enregistrement"] == "call9"
     assert db.calls[0]["duration_seconds"] == pytest.approx(10.0, abs=0.01)
+
+
+def test_ogg_through_facade(processor):
+    """Real Vorbis file -> first-party decode -> resample 11k->16k ->
+    chunk -> transcribe (mono files are valid through the facade; only
+    the scanner rejects them)."""
+    import pathlib
+
+    ogg = pathlib.Path("/opt/venv/lib/python3.12/site-packages/pygame/"
+                       "examples/data/house_lo.ogg")
+    if not ogg.exists():
+        pytest.skip("no ogg sample")
+    results = processor.process_batch(0, [ogg])
+    assert len(results) >= 1
+    assert all(r["error"] == "" for r in results)
+    assert results[0]["file_name"] == "house_lo.ogg"
+    # 7.1s @ 11025 resampled to 16k, 4s chunks/1s overlap -> 3 chunks
+    assert len(results) == 3
