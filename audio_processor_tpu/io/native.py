@@ -49,6 +49,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             lib.ap_read_wav_batch.restype = ctypes.c_int
             try:
+                lib.ap_prepare_fused.argtypes = [
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int16), ctypes.c_int32]
+                lib.ap_prepare_fused.restype = ctypes.c_int
+            except AttributeError:
+                pass
+            try:
                 lib.ap_vorbis_probe.argtypes = [
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
                 lib.ap_vorbis_probe.restype = ctypes.c_int
@@ -62,6 +73,44 @@ def _load():
         except OSError:
             _lib = False
     return _lib
+
+
+def has_prepare_fused() -> bool:
+    lib = _load()
+    return bool(lib) and hasattr(lib, "ap_prepare_fused")
+
+
+def prepare_fused_int16(agents, clients, lengths, bucket_len: int,
+                        pad: int, n_threads: int = 8
+                        ) -> Optional[np.ndarray]:
+    """GIL-free reflect-pad + int16 quantize into [N, 2, bucket+2*pad].
+
+    agents/clients: lists of contiguous float32 arrays; lengths: valid
+    sample counts (clamped to bucket_len).
+    """
+    lib = _load()
+    if not lib or not hasattr(lib, "ap_prepare_fused"):
+        return None
+    n = len(agents)
+    out = np.empty((n, 2, bucket_len + 2 * pad), dtype=np.int16)
+    a_ptrs = (ctypes.POINTER(ctypes.c_float) * n)()
+    c_ptrs = (ctypes.POINTER(ctypes.c_float) * n)()
+    lens = (ctypes.c_int64 * n)()
+    keepalive = []
+    for i in range(n):
+        a = np.ascontiguousarray(agents[i], dtype=np.float32)
+        c = np.ascontiguousarray(clients[i], dtype=np.float32)
+        keepalive.append((a, c))
+        a_ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        c_ptrs[i] = c.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        lens[i] = min(int(lengths[i]), bucket_len)
+    rc = lib.ap_prepare_fused(
+        n, a_ptrs, c_ptrs, lens, bucket_len, pad,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        int(n_threads))
+    if rc != 0:
+        return None
+    return out
 
 
 def has_vorbis() -> bool:

@@ -207,7 +207,8 @@ class ASREngine:
     def _prepare_fused_buffer(self, batch) -> tuple:
         """Host prep: [N, 2, bucket+2*PAD] reflect-padded agent/client
         buffer (int16 when enabled — lossless for PCM16 sources) padded
-        to the static device chunk count."""
+        to the static device chunk count. Uses the GIL-free C++ prep
+        (native/audioio.cpp::ap_prepare_fused) when available."""
         from audio_processor_tpu.dsp.acoustic_features import (
             PAD, prepare_reflect_padded,
         )
@@ -215,18 +216,38 @@ class ASREngine:
         n = len(batch)
         n_dev = self.device_chunks
         L = batch.bucket_len
+        lengths = batch.lengths.astype(np.int32)
+        if n < n_dev:
+            lengths = np.concatenate(
+                [lengths, np.full((n_dev - n,), L, np.int32)])
+
+        if self.int16_transfers:
+            from audio_processor_tpu.io import native
+
+            if native.has_prepare_fused():
+                zero = np.zeros(0, np.float32)
+                agents = [c.agent for c in batch.chunks] + \
+                    [zero] * (n_dev - n)
+                clients = [c.client for c in batch.chunks] + \
+                    [zero] * (n_dev - n)
+                # Data lengths (0 for padding rows) for the prep; the
+                # device-side `lengths` keep L for padding rows so the
+                # masked statistics stay well-defined on zero audio.
+                data_lens = np.array(
+                    [c.num_samples for c in batch.chunks]
+                    + [0] * (n_dev - n), np.int64)
+                buf = native.prepare_fused_int16(
+                    agents, clients, data_lens, L, PAD)
+                if buf is not None:
+                    return buf, lengths
+
         waves = []
         for c in batch.chunks:
             waves.append(c.agent)
             waves.append(c.client)
-        buf2, _ = prepare_reflect_padded(waves, L)   # [2n, L+2*PAD]
-        buf = buf2.reshape(n, 2, L + 2 * PAD)
-        lengths = batch.lengths.astype(np.int32)
-        if n < n_dev:
-            buf = np.concatenate(
-                [buf, np.zeros((n_dev - n, 2, L + 2 * PAD), np.float32)])
-            lengths = np.concatenate(
-                [lengths, np.full((n_dev - n,), L, np.int32)])
+        waves += [np.zeros(0, np.float32)] * (2 * (n_dev - n))
+        buf2, _ = prepare_reflect_padded(waves, L)   # [2n_dev, L+2*PAD]
+        buf = buf2.reshape(n_dev, 2, L + 2 * PAD)
         if self.int16_transfers:
             buf = np.clip(np.round(buf * 32768.0),
                           -32768, 32767).astype(np.int16)

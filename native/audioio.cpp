@@ -18,6 +18,7 @@
 // dst layout: channel-major [C, T] float32 in [-1, 1].
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -229,3 +230,58 @@ int ap_read_wav_batch(int64_t n, const char** paths, float** dsts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Fused-pipeline host prep: reflect-pad agent/client chunk pairs and
+// quantize to int16 in one GIL-free multithreaded pass (the layout the
+// fused TPU program consumes; see pipeline/asr_engine.py).
+// out layout: [n, 2, bucket_len + 2*pad] int16.
+// ---------------------------------------------------------------------
+
+extern "C" int ap_prepare_fused(int64_t n, const float** agents,
+                                const float** clients,
+                                const int64_t* lengths,
+                                int64_t bucket_len, int64_t pad,
+                                int16_t* out, int32_t n_threads) {
+  if (n <= 0) return 0;
+  const int64_t row = bucket_len + 2 * pad;
+
+  auto quant = [](float v) -> int16_t {
+    float x = v * 32768.0f;
+    x = std::nearbyintf(x);
+    if (x > 32767.f) x = 32767.f;
+    if (x < -32768.f) x = -32768.f;
+    return static_cast<int16_t>(x);
+  };
+
+  auto fill = [&](const float* src, int64_t len, int16_t* dst) {
+    std::memset(dst, 0, sizeof(int16_t) * row);
+    if (len <= 0) return;
+    if (len > bucket_len) len = bucket_len;
+    for (int64_t i = 0; i < len; ++i) dst[pad + i] = quant(src[i]);
+    int64_t edge = std::min<int64_t>(pad, len - 1);
+    for (int64_t i = 0; i < edge; ++i) {
+      dst[pad - 1 - i] = quant(src[i + 1]);          // left reflect
+      dst[pad + len + i] = quant(src[len - 2 - i]);  // right reflect
+    }
+  };
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      fill(agents[i], lengths[i], out + i * 2 * row);
+      fill(clients[i], lengths[i], out + i * 2 * row + row);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    int nt = static_cast<int>(std::min<int64_t>(n_threads, n));
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}

@@ -105,3 +105,34 @@ def test_sentiment_uses_precomputed_features(monkeypatch):
     }]
     an.analyze_batch_sentiment(chunks)
     assert called["extract"] == 0
+
+
+def test_native_prepare_matches_numpy():
+    """C++ ap_prepare_fused must produce byte-identical buffers to the
+    numpy reflect-pad + round + clip path."""
+    from audio_processor_tpu.dsp.acoustic_features import (
+        PAD, prepare_reflect_padded,
+    )
+    from audio_processor_tpu.io import native
+
+    if not native.has_prepare_fused():
+        pytest.skip("native prepare not built")
+    rng = np.random.default_rng(0)
+    lens = [5000, 16000, 123, 0]
+    agents = [rng.standard_normal(n).astype(np.float32) * 0.9
+              for n in lens]
+    clients = [rng.standard_normal(n).astype(np.float32) * 0.9
+               for n in lens]
+    L = 16000
+    got = native.prepare_fused_int16(agents, clients,
+                                     np.array(lens, np.int64), L, PAD)
+    assert got is not None and got.shape == (4, 2, L + 2 * PAD)
+
+    waves = []
+    for a, c in zip(agents, clients):
+        waves.append(a)
+        waves.append(c)
+    ref_f, _ = prepare_reflect_padded(waves, L)
+    ref = np.clip(np.round(ref_f * 32768.0), -32768, 32767) \
+        .astype(np.int16).reshape(4, 2, L + 2 * PAD)
+    np.testing.assert_array_equal(got, ref)
