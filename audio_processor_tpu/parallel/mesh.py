@@ -25,6 +25,14 @@ def make_mesh(n_devices: Optional[int] = None,
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"make_mesh needs {n_devices} devices but jax.devices() on "
+            f"backend '{jax.default_backend()}' has only {len(devices)}. "
+            "For a virtual CPU mesh, set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices} and force "
+            "the CPU backend (jax.config.update('jax_platforms', 'cpu')) "
+            "BEFORE the JAX backend initializes.")
     devices = devices[:n_devices]
     if data is None:
         data = n_devices // model
