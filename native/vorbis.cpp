@@ -89,6 +89,8 @@ class BitReader {
     return out;
   }
 
+  size_t remaining_bits() const { return nbits_ - pos_; }
+
  private:
   const uint8_t* data_;
   size_t nbits_, pos_;
@@ -156,6 +158,14 @@ struct Codebook {
     if (br.read(24) != 0x564342) throw std::runtime_error("cb sync");
     dimensions = br.read(16);
     entries = br.read(24);
+    // A zero-dimension codebook causes division by zero (residue kind-0
+    // step) and a stuck partition loop when used as a classbook; the
+    // spec requires dimensions >= 1.
+    if (dimensions == 0) throw std::runtime_error("cb dimensions 0");
+    // Cap the VQ table a crafted stream can demand (real streams stay
+    // in the low thousands of entries; 4M floats = 16 MB is generous).
+    if (static_cast<int64_t>(entries) * dimensions > (1 << 22))
+      throw std::runtime_error("cb too large");
     lengths.assign(entries, 0);
     if (!br.read(1)) {  // unordered
       int sparse = br.read(1);
@@ -170,6 +180,10 @@ struct Codebook {
       int cur = 0, len = br.read(5) + 1;
       while (cur < entries) {
         int num = br.read(ilog(entries - cur));
+        // ilog bits can express values past entries-cur (OOB write),
+        // and code lengths past 32 overflow build_huffman's tables.
+        if (cur + num > entries) throw std::runtime_error("cb ordered");
+        if (len > 32) throw std::runtime_error("cb code length");
         for (int i = 0; i < num; ++i) lengths[cur + i] = len;
         cur += num;
         ++len;
@@ -194,6 +208,12 @@ struct Codebook {
     } else {
       lookup_values = static_cast<int64_t>(entries) * dimensions;
     }
+    // The stream must actually contain lookup_values * value_bits bits;
+    // check BEFORE allocating so a truncated/crafted header can't force
+    // a multi-GB allocation (lookup_type 2: entries * dimensions values).
+    if (static_cast<uint64_t>(lookup_values) * value_bits >
+        br.remaining_bits())
+      throw std::out_of_range("cb lookup truncated");
     std::vector<double> mults(lookup_values);
     for (int64_t i = 0; i < lookup_values; ++i)
       mults[i] = br.read(value_bits);

@@ -238,3 +238,63 @@ def test_inverse_coupling_rules():
                     np.where(apos, M + A, M))
     np.testing.assert_allclose(newM, [3, 2, -3, -2, 0])
     np.testing.assert_allclose(newA, [2, 3, -2, -3, 2])
+
+
+# ------------------------------------------------------------------
+# Native decoder robustness: corrupted/truncated streams must return
+# an error code (or a clean decode), never crash the process. Runs in
+# a subprocess so a segfault would fail the test instead of pytest.
+# (Hardening per round-1 advisor findings: setup index validation,
+# blocksize/codebook range checks, residue partition-end clamping.)
+# ------------------------------------------------------------------
+
+_FUZZ_DRIVER = r"""
+import sys, tempfile, os
+import numpy as np
+from audio_processor_tpu.io import native
+
+sample_path, n_variants = sys.argv[1], int(sys.argv[2])
+data = bytearray(open(sample_path, "rb").read())
+rng = np.random.default_rng(1234)
+td = tempfile.mkdtemp()
+ran = 0
+for k in range(n_variants):
+    buf = bytearray(data)
+    kind = k % 4
+    if kind == 0:    # flip bytes in the header pages (setup tables)
+        for _ in range(rng.integers(1, 8)):
+            buf[int(rng.integers(0, min(4096, len(buf))))] = int(
+                rng.integers(0, 256))
+    elif kind == 1:  # flip bytes anywhere (audio packets)
+        for _ in range(rng.integers(1, 32)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+    elif kind == 2:  # truncate
+        buf = buf[: int(rng.integers(1, len(buf)))]
+    else:            # random garbage behind a valid OggS magic
+        n = int(rng.integers(32, 8192))
+        buf = bytearray(b"OggS") + bytearray(
+            rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    p = os.path.join(td, "fuzz.ogg")
+    open(p, "wb").write(bytes(buf))
+    native.decode_vorbis(p)  # must not crash; None/err is fine
+    ran += 1
+print(f"fuzz-ok {ran}")
+"""
+
+
+@needs_sample
+def test_native_decoder_survives_corrupt_streams():
+    import subprocess
+    import sys
+
+    from audio_processor_tpu.io import native
+
+    if not native.has_vorbis():
+        pytest.skip("native vorbis lib not built")
+    r = subprocess.run(
+        [sys.executable, "-c", _FUZZ_DRIVER, str(OGG_SAMPLE), "400"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, (
+        f"native decoder crashed on corrupt input:\n{r.stdout}\n{r.stderr}")
+    assert "fuzz-ok 400" in r.stdout
