@@ -115,6 +115,9 @@ class PipelineConfig:
     max_retries: int = 3
     timeout_seconds: int = 300
     continue_on_error: bool = True
+    # Abort a sweep after this many errors (reference hardcodes 10,
+    # pipeline.py:386).
+    max_errors: int = 10
 
     # Resource limits (config.yaml:94-97)
     max_concurrent_files: int = 64

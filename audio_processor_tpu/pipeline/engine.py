@@ -22,6 +22,7 @@ import json
 import logging
 import time
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from datetime import datetime
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
@@ -216,6 +217,12 @@ class DataProcessor:
                         "filename": d["file"].name,
                         "path": str(d["file"]),
                         "error": err, "chunks": []})
+            # Per-file failures count toward the abort gate, matching
+            # the reference's per-task error accounting
+            # (pipeline.py:409-427).
+            self.stats["errors"] += len(batch_failed)
+            for d in decoded:
+                if str(d["file"]) in batch_failed:
                     continue
                 all_chunks.extend(d["chunks"])
                 if self.db_manager is not None:
@@ -348,29 +355,59 @@ class DataProcessor:
             logger.info("No batches to process after filtering")
             return 0
 
-        max_errors = 10
+        max_errors = int(self.config.get("max_errors", 10))
+        # Error budget is per sweep, not per process lifetime: in
+        # --watch mode a long-lived processor must not inherit old
+        # sweeps' errors (reference aborts per run, pipeline.py:386).
+        errors_at_start = self.stats["errors"]
+        timeout = int(self.config.get("timeout_seconds", 300))
         total_success = 0
         # Producer/consumer: decode batch N+1 on host while batch N is
-        # on device.
-        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+        # on device. Device work runs on its own bounded future so a
+        # hung dispatch counts as a timeout error instead of blocking
+        # forever (reference bounds each batch future, pipeline.py:409).
+        prefetcher = ThreadPoolExecutor(max_workers=1)
+        device_pool = ThreadPoolExecutor(max_workers=1)
+        try:
             next_decode = prefetcher.submit(self._decode_batch, batches[0])
             for i, batch in enumerate(batches):
                 self.memory_manager.wait_for_memory()
-                decoded = next_decode.result(
-                    timeout=int(self.config.get("timeout_seconds", 300)))
+                try:
+                    decoded = next_decode.result(timeout=timeout)
+                except FuturesTimeoutError:
+                    logger.error("Batch %d decode exceeded %ds timeout",
+                                 i + 1, timeout)
+                    self.stats["errors"] += 1
+                    decoded = None
                 self._queue_depths["decode_queue"] = max(
                     0, len(batches) - i - 1)
                 if i + 1 < len(batches):
                     next_decode = prefetcher.submit(
                         self._decode_batch, batches[i + 1])
-                total_success += self.process_file_batch(i, batch, decoded)
-                if self.stats["errors"] >= max_errors:
-                    logger.error("Aborting after %d errors",
-                                 self.stats["errors"])
+                if decoded is not None:
+                    fut = device_pool.submit(
+                        self.process_file_batch, i, batch, decoded)
+                    try:
+                        total_success += fut.result(timeout=timeout)
+                    except FuturesTimeoutError:
+                        logger.error(
+                            "Batch %d device work exceeded %ds timeout",
+                            i + 1, timeout)
+                        self.stats["errors"] += 1
+                sweep_errors = self.stats["errors"] - errors_at_start
+                if sweep_errors >= max_errors:
+                    logger.error("Aborting after %d errors this sweep",
+                                 sweep_errors)
                     break
                 if (i + 1) % max(1, len(batches) // 10) == 0:
                     logger.info("Progress: %d/%d batches done",
                                 i + 1, len(batches))
+        finally:
+            # Don't join potentially-hung workers; leftover futures are
+            # cancelled and abandoned threads finish (or not) on their
+            # own without blocking the sweep.
+            prefetcher.shutdown(wait=False, cancel_futures=True)
+            device_pool.shutdown(wait=False, cancel_futures=True)
         return total_success
 
     # ------------------------------------------------------------------

@@ -216,3 +216,90 @@ def test_run_summary_latency_percentiles(workspace):
     assert summary["p50_call_latency_seconds"] > 0
     assert summary["p95_call_latency_seconds"] >= \
         summary["p50_call_latency_seconds"]
+
+
+class _FakeOkEngine:
+    """Minimal ASR engine stand-in: returns one ok row per chunk."""
+
+    def transcribe_chunks(self, chunks):
+        return [{"file_name": c.file_name, "chunk_idx": c.chunk_idx,
+                 "start_time": 0.0, "end_time": 1.0,
+                 "transcription_chunk": "x", "agent_transcription": "x",
+                 "client_transcription": "x", "error": ""}
+                for c in chunks]
+
+
+class _HangingEngine(_FakeOkEngine):
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def transcribe_chunks(self, chunks):
+        import time
+
+        time.sleep(self.seconds)
+        return super().transcribe_chunks(chunks)
+
+
+def _error_workspace(tmp_path, n_files, **cfg_kw):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    for i in range(n_files):
+        wav.write(input_dir / f"c{i}.wav", make_stereo_call(dur=2.0), 16000)
+    cfg = PipelineConfig(
+        input_folder=str(input_dir), output_folder=str(tmp_path / "out"),
+        chunk_duration_sec=2.0, overlap_sec=0.5,
+        length_buckets_sec=(2.0,), chunk_batch_size=4,
+        file_batch_size=1, **cfg_kw)
+    return cfg, input_dir
+
+
+def test_hung_device_batch_counts_timeout_and_trips_gate(tmp_path):
+    """A device dispatch that exceeds timeout_seconds counts as an
+    error and the sweep aborts at max_errors, matching the reference's
+    bounded batch futures (pipeline.py:409-427)."""
+    cfg, input_dir = _error_workspace(tmp_path, 4, timeout_seconds=1,
+                                      max_errors=2)
+    proc = DataProcessor(cfg, asr_engine=_HangingEngine(seconds=3.0))
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert proc.stats["errors"] >= 2
+    assert ok == 0  # every attempted batch timed out
+    # gate tripped before all 4 batches were attempted
+    assert proc.stats["files_processed"] < 4
+
+
+def test_per_file_decode_failures_trip_gate(tmp_path, monkeypatch):
+    """Per-file decode failures count toward the abort-after-N gate
+    (reference counts per-task errors, pipeline.py:409-427)."""
+    import audio_processor_tpu.pipeline.engine as engine_mod
+    from audio_processor_tpu.io import native as native_mod
+
+    def broken_load(path):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(engine_mod, "load_audio", broken_load)
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    cfg, input_dir = _error_workspace(tmp_path, 6, max_errors=3,
+                                      max_retries=1)
+    proc = DataProcessor(cfg, asr_engine=_FakeOkEngine())
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 0
+    assert proc.stats["errors"] == 3
+    # aborted after 3 of 6 single-file batches
+    assert proc.stats["files_failed"] == 3
+    assert proc.stats["files_processed"] == 3
+
+
+def test_error_budget_is_per_sweep(tmp_path, monkeypatch):
+    """In --watch mode, errors from an earlier sweep must not make
+    later sweeps abort immediately (advisor finding r1)."""
+    cfg, input_dir = _error_workspace(tmp_path, 3, max_errors=3,
+                                      max_retries=1)
+    proc = DataProcessor(cfg, asr_engine=_FakeOkEngine())
+    # Simulate an earlier sweep that burned the lifetime budget.
+    proc.stats["errors"] = 50
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 3  # fresh sweep processes everything
+    assert proc.stats["files_success"] == 3
