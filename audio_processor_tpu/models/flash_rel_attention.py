@@ -3,22 +3,27 @@
 The conformer's relative_key attention needs
 ``scores[l, m] = (q_l·k_m + q_l·E[clip(m-l, -left, right)]) / sqrt(d)``.
 Expanding the bias to a [B, H, L, L] tensor (what both HF and the
-generic flash-attention ``ab`` input require) costs two HBM round
-trips of ~0.6 GB per layer. This kernel keeps everything in VMEM:
+generic flash-attention ``ab`` input require) costs ~2.5 GB of HBM
+write+read per layer at production geometry (B=48, H=16, L=1280 bf16).
+This kernel keeps everything in VMEM:
 
 - Outside the kernel we compute the *bucketed* rel logits once:
   ``s_rel[b, h, l, p] = q·E[p]`` — P = left+right+1 buckets (73),
-  padded to 128 lanes. That is ~5000x smaller than the full bias.
-- Inside the kernel, each (batch, head) program expands its [L, 128]
-  bucket logits into a clip-extended width-2L window via a one-hot
-  matmul (``u[l, r] = s_rel[l, clip(r - L + left, 0, P-1)]``, columns
-  r centered so column r holds relative distance r - L), then aligns
-  rows with a log2 barrel shift (masked ``pltpu.roll``s) so that
-  ``u_rolled[l, c] = u[l, c - l]``. The bias for kv block ``ki`` is
-  then the contiguous static-stride slice
-  ``u_rolled[:, ki*BK + L : ki*BK + L + BK]`` — no gathers anywhere.
-- The whole q axis is one tile (L <= 640 for 25 s chunks), kv blocks
-  stream with the standard online-softmax m/l/acc recurrence (fp32).
+  padded to 128 lanes. That is ~10x smaller than q itself.
+- Inside the kernel, each (batch, head) program barrel-shifts a
+  [L, W=256] wrapped copy of its bucket logits so that
+  ``t[l, c] = s_rel[l, (c - l + left) mod W]``; the bias for kv block
+  ``ki`` at in-band distances is then the width-BK slice starting at
+  ``(ki*BK) mod W`` — always 128-aligned (a Mosaic requirement for
+  lane-dim slices); the table is extended by BK columns so the slice
+  never wraps. Distances outside the band — which is almost
+  everywhere, since the clip saturates for ``m-l`` outside
+  [-left, right] — are recovered with iota-based selects of the two
+  saturation columns ``s_rel[l, 0]`` / ``s_rel[l, P-1]``. No gathers,
+  no expansion matmul, ~2 MB of scratch instead of the previous
+  [L, 2L] fp32 window (13 MB at L=1280, a VMEM OOM).
+- The whole q axis is one tile; kv blocks stream with the standard
+  online-softmax m/l/acc recurrence (fp32).
 
 Semantics match ``softmax((q k^T + rel) * sm_scale + mask_bias) @ v``
 with mask_bias = -1e9 on padded kv positions. Verified against a dense
@@ -32,37 +37,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BK = 128             # kv tile size
+W = 256              # wrapped rel-table width (power of two, >= 2*BK)
 
 
-@functools.lru_cache(maxsize=16)
-def _expand_matrix(num_buckets: int, left: int, L: int) -> np.ndarray:
-    """[128, 2L] one-hot M with M[p, r] = 1 iff
-    clip(r - L + left, 0, num_buckets-1) == p (column r <-> relative
-    distance r - L)."""
-    r = np.arange(2 * L)
-    buckets = np.clip(r - L + left, 0, num_buckets - 1)
-    m = np.zeros((128, 2 * L), np.float32)
-    m[buckets, r] = 1.0
-    return m
-
-
-def _roll_bits(L: int):
-    bits = []
-    b = 1
-    while b < L:
-        bits.append(b)
-        b *= 2
-    return tuple(bits)
-
-
-def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref, m_expand_ref,
-            o_ref, m_scr, l_scr, acc_scr, u_scr, *, sm_scale: float,
-            kv_blocks: int, seq_len: int):
+def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
+            o_ref, m_scr, l_scr, acc_scr, t_scr, *, sm_scale: float,
+            kv_blocks: int, seq_len: int, left: int, right: int,
+            num_buckets: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -70,17 +55,23 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref, m_expand_ref,
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
-        # Expand bucket logits to the width-2L window, then barrel-
-        # shift row l right by l so all rows align:
-        # u_rolled[l, c] = u[l, c - l].
-        u = jax.lax.dot(srel_ref[0, 0].astype(jnp.float32),
-                        m_expand_ref[...],
-                        preferred_element_type=jnp.float32)  # [L, 2L]
+        # Wrapped rolled table: t[l, c] = s_rel[l, (c - l + left) mod W]
+        # — `left` is absorbed into the roll so per-block slices start
+        # at (ki*BK) % W, a multiple of 128 (Mosaic requires lane-dim
+        # slice starts provably 128-aligned). Aligned with a log2
+        # barrel shift (masked rolls); extended by BK columns so
+        # slices never wrap.
+        u = srel_ref[0, 0].astype(jnp.float32)          # [L, 128]
+        u = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)  # [L, W]
         rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-        for bit in _roll_bits(seq_len):
+        amount = (rows - left) & (W - 1)                # (l - left) mod W
+        bit = 1
+        while bit < W:
             rolled = pltpu.roll(u, bit, axis=1)
-            u = jnp.where((rows & bit) != 0, rolled, u)
-        u_scr[...] = u
+            u = jnp.where((amount & bit) != 0, rolled, u)
+            bit *= 2
+        t_scr[:, :W] = u
+        t_scr[:, W:] = u[:, :BK]
 
     q = q_ref[0, 0]                                   # [L, d]
     k = k_ref[0, 0]                                   # [BK, d]
@@ -90,9 +81,19 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref, m_expand_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # [L, BK]
 
-    # Relative bias: contiguous slice of the rolled window.
-    start = pl.multiple_of(ki * BK + seq_len, BK)
-    rel = u_scr[:, pl.ds(start, BK)]
+    # Relative bias. In-band (-left <= m-l <= right): slice of the
+    # rolled table at bucket p = (m - l) + left. Out of band: the clip
+    # saturates, so the bias is the per-row saturation column.
+    off = pl.multiple_of((ki * BK) % W, BK)
+    band = t_scr[:, pl.ds(off, BK)]                   # [L, BK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (seq_len, BK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (seq_len, BK), 1)
+    d_grid = ki * BK + cols - rows                    # m - l
+    srel = srel_ref[0, 0].astype(jnp.float32)
+    lo = srel[:, :1]                                  # q·E[0]
+    hi = srel[:, num_buckets - 1:num_buckets]         # q·E[P-1]
+    rel = jnp.where(d_grid < -left, lo,
+                    jnp.where(d_grid > right, hi, band))
     s = (s + rel) * sm_scale
 
     # Padding mask on kv positions: masked (0) -> add -1e9.
@@ -128,13 +129,14 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, H, L, d = q.shape
     assert L % BK == 0, f"L={L} must be a multiple of {BK}"
+    assert num_buckets <= 128, "bucket logits must fit one 128 lane tile"
+    right = num_buckets - 1 - left
     nk = L // BK
     grid = (B, H, nk)
 
-    m_expand = jnp.asarray(_expand_matrix(num_buckets, left, L))
-
     kernel = functools.partial(_kernel, sm_scale=float(sm_scale),
-                               kv_blocks=nk, seq_len=L)
+                               kv_blocks=nk, seq_len=L, left=left,
+                               right=right, num_buckets=num_buckets)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -144,18 +146,17 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, 1, BK, d), lambda b, h, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, L, 128), lambda b, h, ki: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, BK), lambda b, h, ki: (b, 0, ki)),
-            pl.BlockSpec((128, 2 * L), lambda b, h, ki: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, L, d), lambda b, h, ki:
                                (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((L, 128), jnp.float32),    # m
-            pltpu.VMEM((L, 128), jnp.float32),    # l
-            pltpu.VMEM((L, d), jnp.float32),      # acc
-            pltpu.VMEM((L, 2 * L), jnp.float32),  # u (rel window)
+            pltpu.VMEM((L, 128), jnp.float32),      # m
+            pltpu.VMEM((L, 128), jnp.float32),      # l
+            pltpu.VMEM((L, d), jnp.float32),        # acc
+            pltpu.VMEM((L, W + BK), jnp.float32),   # rolled rel table
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, s_rel, kv_mask[:, None, :], m_expand)
+    )(q, k, v, s_rel, kv_mask[:, None, :])

@@ -47,13 +47,21 @@ def _pad_seq_to_128(feats: jnp.ndarray, mask: jnp.ndarray):
 
 
 class _SubBatch:
-    """Zero-copy slice view over a ChunkBatch."""
+    """Slice view over a ChunkBatch. ``audio`` stays lazy so the fused
+    path (which uploads raw agent/client rows) never materializes the
+    dense [N, 3, L] host tensor."""
 
     def __init__(self, batch, start: int, end: int):
         self.bucket_len = batch.bucket_len
         self.chunks = batch.chunks[start:end]
-        self.audio = batch.audio[start:end]
         self.lengths = batch.lengths[start:end]
+        self._batch = batch
+        self._span = (start, end)
+
+    @property
+    def audio(self):
+        s, e = self._span
+        return self._batch.audio[s:e]
 
     def __len__(self) -> int:
         return len(self.chunks)
@@ -98,11 +106,14 @@ class ASREngine:
         self.int16_transfers = bool(config.get("int16_transfers", True))
         self.fuse_acoustic_features = bool(
             config.get("fuse_acoustic_features", True))
-        # Flash attention (pallas) on TPU; the XLA einsum path is the
-        # behavioral reference (and the CPU/test path).
+        # Flash attention with in-kernel relative bias (pallas) on TPU
+        # — measured 1.02 s vs 1.43 s per 48x1280 batch for the stock
+        # flash kernel with a precomputed [B,H,L,L] bias, and 2.27 s
+        # for XLA einsum attention (tools/profile_attn.py, v5e). The
+        # XLA path is the behavioral reference (and the CPU/test path).
         impl_cfg = config.get("attention_impl", "auto")
         if impl_cfg == "auto":
-            impl_cfg = ("flash" if jax.default_backend()
+            impl_cfg = ("flash_rel" if jax.default_backend()
                         not in ("cpu",) else "xla")
         self.attention_impl = impl_cfg
         self._jit_cache: Dict = {}
@@ -204,7 +215,24 @@ class ASREngine:
         self._jit_cache[key] = run
         return run
 
-    def _prepare_fused_buffer(self, batch) -> tuple:
+    def _tail_size(self, n: int) -> int:
+        """Static device chunk count for a sub-batch of n chunks: the
+        full size mid-bucket, or the smallest power-of-two fraction
+        (>= 1/4, still divisible by the data-parallel degree) that fits
+        a final partial sub-batch — padding rows cost real upload bytes
+        and MXU time (~20% of the bench workload before this)."""
+        n_dev = self.device_chunks
+        data_par = 1 if self.mesh is None else int(self.mesh.devices.shape[0])
+        for _ in range(2):
+            half = n_dev // 2
+            if n <= half and half % max(data_par, 1) == 0 and half >= 1:
+                n_dev = half
+            else:
+                break
+        return n_dev
+
+    def _prepare_fused_buffer(self, batch, n_dev: Optional[int] = None
+                              ) -> tuple:
         """Host prep: [N, 2, bucket+2*PAD] reflect-padded agent/client
         buffer (int16 when enabled — lossless for PCM16 sources) padded
         to the static device chunk count. Uses the GIL-free C++ prep
@@ -214,7 +242,8 @@ class ASREngine:
         )
 
         n = len(batch)
-        n_dev = self.device_chunks
+        if n_dev is None:
+            n_dev = self.device_chunks
         L = batch.bucket_len
         lengths = batch.lengths.astype(np.int32)
         if n < n_dev:
@@ -308,7 +337,8 @@ class ASREngine:
                 try:
                     if self.fuse_acoustic_features:
                         fn = self._fused_fn(batch.bucket_len)
-                        buf, lengths = self._prepare_fused_buffer(sub)
+                        buf, lengths = self._prepare_fused_buffer(
+                            sub, self._tail_size(len(sub)))
                         out = fn(self.params, buf, lengths)
                     else:
                         fn = self._device_fn(batch.bucket_len)

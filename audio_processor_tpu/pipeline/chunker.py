@@ -16,28 +16,52 @@ the downstream XLA program compiles once per bucket
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 
-@dataclass
 class Chunk:
-    """One chunk of one call, with the three speaker views."""
+    """One chunk of one call, with the three speaker views.
 
-    file_name: str
-    chunk_idx: int
-    start_time: float
-    end_time: float
-    mixed: np.ndarray   # [T] float32
-    agent: np.ndarray   # [T] float32
-    client: np.ndarray  # [T] float32
-    meta: Dict = field(default_factory=dict)
+    ``mixed`` (channel mean) is computed lazily: the fused device
+    program builds the mixed view on the TPU from the raw agent/client
+    rows, so the host only pays for it on the legacy (non-fused) path.
+    """
+
+    __slots__ = ("file_name", "chunk_idx", "start_time", "end_time",
+                 "agent", "client", "meta", "_mixed")
+
+    def __init__(self, file_name: str, chunk_idx: int, start_time: float,
+                 end_time: float, mixed: np.ndarray = None,
+                 agent: np.ndarray = None, client: np.ndarray = None,
+                 meta: Dict = None):
+        self.file_name = file_name
+        self.chunk_idx = chunk_idx
+        self.start_time = start_time
+        self.end_time = end_time
+        if agent is None:
+            agent = mixed
+        if client is None:
+            client = agent
+        self.agent = agent
+        self.client = client
+        self.meta = meta if meta is not None else {}
+        self._mixed = mixed
+
+    @property
+    def mixed(self) -> np.ndarray:
+        if self._mixed is None:
+            if self.agent is self.client:
+                self._mixed = self.agent
+            else:
+                self._mixed = ((self.agent + self.client) *
+                               np.float32(0.5))
+        return self._mixed
 
     @property
     def num_samples(self) -> int:
-        return int(self.mixed.shape[-1])
+        return int(self.agent.shape[-1])
 
 
 def chunk_boundaries(total_samples: int, chunk_samples: int,
@@ -86,18 +110,24 @@ def split_audio(waveform: np.ndarray, sample_rate: int, file_name: str,
     chunk_samples = int(chunk_duration_sec * sample_rate)
     overlap_samples = int(overlap_sec * sample_rate)
     step_samples = chunk_samples - overlap_samples
-    mixed, agent, client = speaker_views(waveform)
+    waveform = np.asarray(waveform)
+    if waveform.ndim == 1:
+        waveform = waveform[None, :]
+    waveform = waveform.astype(np.float32, copy=False)
+    if waveform.shape[0] >= 2:
+        agent, client = waveform[0], waveform[1]
+    else:
+        agent = client = waveform[0]
     out: List[Chunk] = []
     for idx, (s, e) in enumerate(
-            chunk_boundaries(mixed.shape[-1], chunk_samples, step_samples)):
+            chunk_boundaries(agent.shape[-1], chunk_samples, step_samples)):
         out.append(Chunk(
             file_name=file_name,
             chunk_idx=idx,
             start_time=s / sample_rate,
             end_time=e / sample_rate,
-            mixed=mixed[s:e],
-            agent=agent[s:e],
-            client=client[s:e],
+            agent=agent[s:e],    # contiguous views, no copies: the
+            client=client[s:e],  # mixed view is built on device
         ))
     return out
 
@@ -114,20 +144,36 @@ def pick_bucket(num_samples: int, bucket_samples: Sequence[int]) -> int:
     return max(bucket_samples)
 
 
-@dataclass
 class ChunkBatch:
     """Dense, statically-shaped batch of chunks for one bucket.
 
     ``audio`` is [N, 3, L]: the three speaker views stacked so one
     device program transcribes mixed/agent/client in a single batched
     forward pass (vs the reference's 3 sequential forwards,
-    audio_processor.py:269-272).
+    audio_processor.py:269-272). It is built lazily — the fused engine
+    path uploads raw agent/client rows and never touches it, saving a
+    ~[N, 3, L] host allocation + copy per batch.
     """
 
-    audio: np.ndarray       # [N, 3, L] float32, zero-padded
-    lengths: np.ndarray     # [N] int32 valid samples
-    bucket_len: int
-    chunks: List[Chunk]     # originating chunk metadata, len N
+    def __init__(self, lengths: np.ndarray, bucket_len: int,
+                 chunks: List[Chunk], audio: np.ndarray = None):
+        self.lengths = lengths          # [N] int32 valid samples
+        self.bucket_len = bucket_len
+        self.chunks = chunks            # originating metadata, len N
+        self._audio = audio
+
+    @property
+    def audio(self) -> np.ndarray:      # [N, 3, L] float32, zero-padded
+        if self._audio is None:
+            n, L = len(self.chunks), self.bucket_len
+            audio = np.zeros((n, 3, L), dtype=np.float32)
+            for i, c in enumerate(self.chunks):
+                t = int(self.lengths[i])
+                audio[i, 0, :t] = c.mixed[:t]
+                audio[i, 1, :t] = c.agent[:t]
+                audio[i, 2, :t] = c.client[:t]
+            self._audio = audio
+        return self._audio
 
     def __len__(self) -> int:
         return len(self.chunks)
@@ -154,15 +200,8 @@ def chunk_batch(chunks: Sequence[Chunk], bucket_samples: Sequence[int],
         group = by_bucket[bucket_len]
         if sort_by_length:
             group = sorted(group, key=lambda c: c.num_samples)
-        n = len(group)
-        audio = np.zeros((n, 3, bucket_len), dtype=np.float32)
-        lengths = np.zeros((n,), dtype=np.int32)
-        for i, c in enumerate(group):
-            t = min(c.num_samples, bucket_len)
-            audio[i, 0, :t] = c.mixed[:t]
-            audio[i, 1, :t] = c.agent[:t]
-            audio[i, 2, :t] = c.client[:t]
-            lengths[i] = t
-        batches.append(ChunkBatch(audio=audio, lengths=lengths,
-                                  bucket_len=bucket_len, chunks=list(group)))
+        lengths = np.array([min(c.num_samples, bucket_len)
+                            for c in group], dtype=np.int32)
+        batches.append(ChunkBatch(lengths=lengths, bucket_len=bucket_len,
+                                  chunks=list(group)))
     return batches

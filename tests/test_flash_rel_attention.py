@@ -72,3 +72,20 @@ def test_kernel_respects_kv_mask(rng):
     out2 = run_kernel(q, k, v2, E, kv_mask, scale)
     np.testing.assert_allclose(out2[1, :, :200], out[1, :, :200],
                                atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_matches_dense_production_length(rng):
+    """L=1280 (25 s bucket): the rolled table wraps mod W=256 many
+    times; every saturation regime and both slice offsets occur."""
+    B, H, L, d = 1, 1, 1280, 64
+    q = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    E = rng.standard_normal((P, d)).astype(np.float32)
+    kv_mask = np.ones((B, L), np.float32)
+    kv_mask[0, 1000:] = 0.0
+    scale = 1.0 / np.sqrt(d)
+    ref = dense_reference(q, k, v, E, kv_mask, scale)
+    out = run_kernel(q, k, v, E, kv_mask, scale)
+    np.testing.assert_allclose(out[:, :, :1000], ref[:, :, :1000],
+                               atol=2e-5, rtol=1e-4)
