@@ -1,19 +1,31 @@
 #!/usr/bin/env python
-"""End-to-end benchmark: scan -> decode -> chunk -> fbank -> ASR ->
-CTC text, on the real chip. Prints ONE JSON line.
+"""Benchmark on the real chip. Prints ONE JSON line.
 
-Metric: end-to-end ASR RTFx (audio-hours processed per wall-clock hour
-per chip) on synthetic 2-channel calls — all three views
-(mixed/agent/client) transcribed per chunk like the reference's hot
-loop (services/audio_processor.py:247-309).
+Two timed workloads over the same 8 synthetic 2-channel 3-minute calls
+(BASELINE.md config 5: 8-file batches):
+
+- ``asr_rtfx``: scan -> decode -> chunk -> fused fbank+ASR(3 views)+
+  acoustic-features -> CTC text (the reference hot loop,
+  services/audio_processor.py:247-309).
+- ``e2e_rtfx`` (headline) + ``files_per_hour``: the FULL config-5
+  pipeline — scan -> decode -> chunk -> fused ASR+features -> text
+  BERT x2 (DarijaBERT geometry) -> SVC/RF -> late fusion ->
+  call-level aggregation -> SQLite + CSV + run reports — i.e.
+  DataProcessor.run() (reference: services/pipeline.py:477-530 +
+  sentiment_analysis.py:65-167).
+
+All models run with synthetic weights at PRODUCTION geometry (full
+w2v-bert-2.0 encoder, full DarijaBERT classifiers, SVC with RBF
+kernel + 100-tree RandomForest on 38-dim features); checkpoints for
+the real weights aren't shipped in this image. Weight values don't
+change the device work per audio second.
 
 vs_baseline: the reference README claims ~600 files/hour on an
 80GB-GPU host (README.md:91) with typical call-center files of ~3 min,
-i.e. ~30 audio-hours/hour => baseline RTFx 30 (see BASELINE.md).
+i.e. ~30 audio-hours/hour => baseline e2e RTFx 30 (see BASELINE.md).
 """
 
 import json
-import os
 import sys
 import tempfile
 import time
@@ -22,12 +34,20 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_RTFX = 30.0
+BASELINE_FILES_PER_HOUR = 600.0
 NUM_CALLS = 8
 CALL_SEC = 180.0  # 3 minutes
 SR = 16000
 
+CLIENT_LABELS = ["content", "mécontent", "neutre", "très mécontent"]
+AGENT_LABELS = ["aggressive", "courtois", "neutre", "sec"]
 
-def make_calls(tmp: Path):
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def make_calls(dir_: Path):
     from audio_processor_tpu.io import wav
 
     rng = np.random.default_rng(0)
@@ -38,56 +58,197 @@ def make_calls(tmp: Path):
             0.2 * np.sin(2 * np.pi * (180 + 10 * i) * t)
         client = 0.05 * rng.standard_normal(t.shape[0]) + \
             0.2 * np.sin(2 * np.pi * (240 + 10 * i) * t)
-        p = tmp / f"call_{i}.wav"
+        p = dir_ / f"call_{i}.wav"
         wav.write(p, np.stack([agent, client]).astype(np.float32), SR)
         paths.append(p)
     return paths
 
 
-def main():
-    from audio_processor_tpu.config import PipelineConfig
+def make_text_model(d: Path, labels, seed: int):
+    """Random-weight BertForSequenceClassification at DarijaBERT
+    geometry (SI2M-Lab/DarijaBERT: vocab 80k, hidden 768, 12 layers)
+    — the reference's text-sentiment backbone
+    (services/sentiment_analysis.py:952-975)."""
+    import torch
+    from transformers import BertConfig as HFBertConfig
+    from transformers import (BertForSequenceClassification,
+                              BertTokenizerFast)
+
+    torch.manual_seed(seed)
+    cfg = HFBertConfig(
+        vocab_size=80000, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, num_labels=len(labels),
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        id2label={i: l for i, l in enumerate(labels)},
+        label2id={l: i for i, l in enumerate(labels)})
+    model = BertForSequenceClassification(cfg)
+    model.eval()
+    model.save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
+        [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+        ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+        [f"tok{i}" for i in range(80000 - 57)]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(str(d / "vocab.txt"), lowercase=True) \
+        .save_pretrained(d)
+
+
+def make_acoustic_models(base: Path):
+    """SVC (client) + RandomForest (agent) + scalers on 38-dim
+    features, production-scale (reference loads these via joblib,
+    sentiment_analysis.py:563-601)."""
+    import joblib
+    from sklearn.ensemble import RandomForestClassifier
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.svm import SVC
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2000, 38))
+    for labels, kind in ((CLIENT_LABELS, "svc"), (AGENT_LABELS, "forest")):
+        y = np.asarray(labels)[rng.integers(0, len(labels), x.shape[0])]
+        xc = x + rng.standard_normal((len(labels), 38))[
+            np.searchsorted(np.asarray(labels), y)]
+        scaler = StandardScaler().fit(xc)
+        xs = scaler.transform(xc)
+        if kind == "svc":
+            model = SVC(kernel="rbf", probability=True,
+                        random_state=0).fit(xs, y)
+        else:
+            model = RandomForestClassifier(
+                n_estimators=100, random_state=0).fit(xs, y)
+        joblib.dump(model, base / f"{kind}_model.joblib")
+        joblib.dump(scaler, base / f"{kind}_scaler.joblib")
+
+
+def run_asr_bench(engine, cfg, input_dir: Path):
     from audio_processor_tpu.io.decode import load_audio
     from audio_processor_tpu.io.scanner import AudioFileScanner
-    from audio_processor_tpu.pipeline.asr_engine import ASREngine
     from audio_processor_tpu.pipeline.chunker import split_audio
 
-    cfg = PipelineConfig(transcription_model="", chunk_batch_size=16)
-    engine = ASREngine(cfg)  # full-size geometry, synthetic weights
+    # Warm-up: compile every bucket used by a full call shape.
+    paths = sorted(input_dir.glob("*.wav"))
+    warm = split_audio(load_audio(paths[0])[0], SR, "warm.wav",
+                       cfg.chunk_duration_sec, cfg.overlap_sec)
+    engine.transcribe_chunks(warm)
 
-    with tempfile.TemporaryDirectory() as td:
-        tmp = Path(td)
-        paths = make_calls(tmp)
-
-        # Warm-up: compile every bucket used by a full call shape.
-        warm = split_audio(load_audio(paths[0])[0], SR, "warm.wav",
-                           cfg.chunk_duration_sec, cfg.overlap_sec)
-        engine.transcribe_chunks(warm)
-
-        # Two timed passes; report the best (tunneled-TPU transports
-        # show large run-to-run variance from unrelated host activity).
-        dt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            files = AudioFileScanner(cfg).scan_files_parallel(tmp)
-            all_chunks = []
-            for f in files:
-                waveform, sr = load_audio(f)
-                assert sr == SR
-                all_chunks.extend(split_audio(
-                    waveform, sr, f.name,
-                    cfg.chunk_duration_sec, cfg.overlap_sec))
-            results = engine.transcribe_chunks(all_chunks)
-            dt = min(dt, time.perf_counter() - t0)
-
+    # Two timed passes; report the best (tunneled-TPU transports show
+    # large run-to-run variance from unrelated host activity).
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        files = AudioFileScanner(cfg).scan_files_parallel(input_dir)
+        all_chunks = []
+        for f in files:
+            waveform, sr = load_audio(f)
+            assert sr == SR
+            all_chunks.extend(split_audio(
+                waveform, sr, f.name,
+                cfg.chunk_duration_sec, cfg.overlap_sec))
+        results = engine.transcribe_chunks(all_chunks)
+        dt = min(dt, time.perf_counter() - t0)
     assert len(results) == len(all_chunks) and all(
         r["error"] == "" for r in results)
+    return dt
+
+
+def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
+                  work: Path):
+    """Config-5 full pipeline via DataProcessor.run(); one warm-up
+    sweep (compiles text/acoustic programs), then one timed sweep with
+    fresh markers/DB/outputs."""
+    from audio_processor_tpu.host.db import DatabaseManager
+    from audio_processor_tpu.pipeline.engine import DataProcessor
+
+    for phase in ("warmup", "timed"):
+        out = work / f"out_{phase}"
+        cfg = make_cfg(input_folder=str(input_dir),
+                       output_folder=str(out),
+                       db_path=str(work / f"{phase}.sqlite"))
+        db = DatabaseManager(cfg)
+        analyzer.set_database_manager(db)
+        proc = DataProcessor(cfg, db_manager=db, asr_engine=engine,
+                             sentiment_analyzer=analyzer)
+        t0 = time.perf_counter()
+        n = proc.run()
+        dt = time.perf_counter() - t0
+        db.close()
+        assert n == NUM_CALLS, f"{phase}: {n}/{NUM_CALLS} succeeded"
+        assert proc.stats["errors"] == 0
+        if phase == "timed":
+            csvs = list(out.glob("optimized_results_*.csv"))
+            assert csvs and csvs[0].stat().st_size > 0
+            return dt
+        log(f"e2e warmup sweep {dt:.1f}s")
+
+
+def main():
+    from audio_processor_tpu.config import PipelineConfig
+    from audio_processor_tpu.pipeline.asr_engine import ASREngine
+    from audio_processor_tpu.pipeline.sentiment import SentimentAnalyzer
+
+    with tempfile.TemporaryDirectory() as td:
+        work = Path(td)
+        input_dir = work / "input"
+        input_dir.mkdir()
+        make_calls(input_dir)
+
+        log("building synthetic production-geometry sentiment models")
+        models = work / "models"
+        client_dir, agent_dir = models / "client", models / "agent"
+        client_dir.mkdir(parents=True)
+        agent_dir.mkdir()
+        make_text_model(client_dir, CLIENT_LABELS, 0)
+        make_text_model(agent_dir, AGENT_LABELS, 1)
+        make_acoustic_models(models)
+
+        def make_cfg(**kw):
+            return PipelineConfig(
+                transcription_model="", chunk_batch_size=16,
+                file_batch_size=8,
+                logs_folder=str(work / "logs"),
+                database_type="sqlite",
+                client_text_model_path=str(client_dir),
+                agent_text_model_path=str(agent_dir),
+                client_acoustic_model_path=str(models / "svc_model.joblib"),
+                client_acoustic_scaler_path=str(
+                    models / "svc_scaler.joblib"),
+                agent_acoustic_model_path=str(
+                    models / "forest_model.joblib"),
+                agent_acoustic_scaler_path=str(
+                    models / "forest_scaler.joblib"),
+                save_csv_results=True,
+                **kw)
+
+        cfg = make_cfg(input_folder=str(input_dir),
+                       output_folder=str(work / "out_asr"),
+                       db_path=str(work / "asr.sqlite"))
+        log("loading ASR engine (full w2v-bert-2.0 geometry)")
+        engine = ASREngine(cfg)  # full-size geometry, synthetic weights
+        log("ASR-only timed loop")
+        asr_dt = run_asr_bench(engine, cfg, input_dir)
+
+        log("building sentiment analyzer")
+        analyzer = SentimentAnalyzer(cfg)
+        assert analyzer.text_analyzer.models_available
+        assert analyzer.acoustic_analyzer.models_available
+        log("config-5 full-pipeline run")
+        e2e_dt = run_e2e_bench(engine, analyzer, make_cfg, input_dir,
+                               work)
+
     audio_hours = NUM_CALLS * CALL_SEC / 3600.0
-    rtfx = audio_hours / (dt / 3600.0)
+    asr_rtfx = audio_hours / (asr_dt / 3600.0)
+    e2e_rtfx = audio_hours / (e2e_dt / 3600.0)
+    files_per_hour = NUM_CALLS / (e2e_dt / 3600.0)
     print(json.dumps({
-        "metric": "e2e_asr_rtfx",
-        "value": round(rtfx, 2),
+        "metric": "e2e_rtfx",
+        "value": round(e2e_rtfx, 2),
         "unit": "audio_hours/hour/chip",
-        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+        "vs_baseline": round(e2e_rtfx / BASELINE_RTFX, 2),
+        "asr_rtfx": round(asr_rtfx, 2),
+        "files_per_hour": round(files_per_hour, 1),
+        "files_per_hour_vs_baseline": round(
+            files_per_hour / BASELINE_FILES_PER_HOUR, 2),
     }))
 
 
