@@ -35,6 +35,10 @@ from audio_processor_tpu.dsp.stft import frame_signal
 
 @dataclasses.dataclass(frozen=True)
 class PyanNetConfig:
+    """Geometry of pyannote.audio's PyanNet segmentation model
+    (pyannote SincNet + monolithic BiLSTM + leaky-ReLU linear stack;
+    defaults match pyannote's LSTM_DEFAULTS / LINEAR_DEFAULTS)."""
+
     sample_rate: int = 16000
     sinc_filters: int = 80
     sinc_kernel: int = 251
@@ -45,7 +49,9 @@ class PyanNetConfig:
     lstm_hidden: int = 128
     lstm_layers: int = 2
     linear_hidden: int = 128
+    linear_layers: int = 2
     num_outputs: int = 1
+    leaky_slope: float = 0.01   # F.leaky_relu default
 
 
 def _hamming(n: int) -> np.ndarray:
@@ -80,6 +86,9 @@ def init_pyannet(rng, cfg: PyanNetConfig) -> Dict[str, Any]:
         return {"kernel": jax.random.normal(k, (i, o)) * (1.0 / np.sqrt(i)),
                 "bias": jnp.zeros((o,))}
 
+    def norm(c):
+        return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
     def lstm(k, i, h):
         k1, k2 = jax.random.split(k)
         return {"w_ih": jax.random.normal(k1, (i, 4 * h)) / np.sqrt(i),
@@ -87,12 +96,18 @@ def init_pyannet(rng, cfg: PyanNetConfig) -> Dict[str, Any]:
                 "b": jnp.zeros((4 * h,))}
 
     params: Dict[str, Any] = {
+        "wav_norm": norm(1),
         "sinc": {"low_hz": jnp.linspace(30.0, 7000.0, F),
                  "band_hz": jnp.full((F,), 100.0)},
+        "norm0": norm(F),
         "conv1": {"kernel": jax.random.normal(
-            next(ks), (cfg.conv_kernel, F, C)) / np.sqrt(F * cfg.conv_kernel)},
+            next(ks), (cfg.conv_kernel, F, C)) / np.sqrt(F * cfg.conv_kernel),
+            "bias": jnp.zeros((C,))},
+        "norm1": norm(C),
         "conv2": {"kernel": jax.random.normal(
-            next(ks), (cfg.conv_kernel, C, C)) / np.sqrt(C * cfg.conv_kernel)},
+            next(ks), (cfg.conv_kernel, C, C)) / np.sqrt(C * cfg.conv_kernel),
+            "bias": jnp.zeros((C,))},
+        "norm2": norm(C),
         "lstm": [], "linear": [],
         "classifier": dense(next(ks), 2 * H, cfg.num_outputs),
     }
@@ -101,8 +116,11 @@ def init_pyannet(rng, cfg: PyanNetConfig) -> Dict[str, Any]:
         params["lstm"].append({"fwd": lstm(next(ks), in_dim, H),
                                "bwd": lstm(next(ks), in_dim, H)})
         in_dim = 2 * H
-    params["linear"].append(dense(next(ks), 2 * H, cfg.linear_hidden))
-    params["linear"].append(dense(next(ks), cfg.linear_hidden, 2 * H))
+    d = 2 * H
+    for _ in range(cfg.linear_layers):
+        params["linear"].append(dense(next(ks), d, cfg.linear_hidden))
+        d = cfg.linear_hidden
+    params["classifier"] = dense(next(ks), d, cfg.num_outputs)
     return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
 
 
@@ -127,18 +145,32 @@ def _lstm_scan(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
     return jnp.swapaxes(hs, 0, 1)
 
 
-def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Per-sample per-channel normalization over time ([B, T, C])."""
+def _instance_norm(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                   eps: float = 1e-5) -> jnp.ndarray:
+    """Affine per-sample per-channel normalization over time
+    ([B, T, C]); matches torch InstanceNorm1d(affine=True)."""
     mean = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.var(x, axis=1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _maxpool(x: jnp.ndarray, pool: int) -> jnp.ndarray:
+    return -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
+                                  (1, pool, 1), (1, pool, 1), "VALID")
 
 
 def pyannet_forward(params: Dict[str, Any], cfg: PyanNetConfig,
                     waveform: jnp.ndarray) -> jnp.ndarray:
-    """[B, T] -> [B, frames] speech probabilities."""
+    """[B, T] -> [B, frames] speech probabilities.
+
+    Faithful to pyannote.audio's PyanNet forward: per SincNet block
+    conv -> abs (sinc block only) -> maxpool -> affine InstanceNorm ->
+    leaky_relu; monolithic BiLSTM; leaky_relu linear stack; sigmoid
+    classifier (max over outputs for multi-speaker segmentation
+    checkpoints, which is the VAD pipeline's reduction)."""
+    slope = cfg.leaky_slope
     x = waveform[:, :, None]                                 # [B, T, 1]
-    x = _instance_norm(x)
+    x = _instance_norm(params["wav_norm"], x)
 
     filt = sinc_filters(params["sinc"]["low_hz"], params["sinc"]["band_hz"],
                         cfg.sinc_kernel, cfg.sample_rate)     # [F, K]
@@ -147,20 +179,17 @@ def pyannet_forward(params: Dict[str, Any], cfg: PyanNetConfig,
         window_strides=(cfg.sinc_stride,), padding=((0, 0),),
         dimension_numbers=("NHC", "HIO", "NHC"))              # [B, T1, F]
     x = jnp.abs(x)
-    x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
-                               (1, cfg.pool, 1), (1, cfg.pool, 1), "VALID")
-    x = _instance_norm(x)
+    x = _maxpool(x, cfg.pool)
+    x = jax.nn.leaky_relu(_instance_norm(params["norm0"], x), slope)
 
-    for conv_name in ("conv1", "conv2"):
+    for conv_name, norm_name in (("conv1", "norm1"), ("conv2", "norm2")):
         x = jax.lax.conv_general_dilated(
             x, params[conv_name]["kernel"],
             window_strides=(1,), padding=((0, 0),),
             dimension_numbers=("NHC", "HIO", "NHC"))
-        x = jnp.abs(x)
-        x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
-                                   (1, cfg.pool, 1), (1, cfg.pool, 1),
-                                   "VALID")
-        x = _instance_norm(x)
+        x = x + params[conv_name]["bias"]
+        x = _maxpool(x, cfg.pool)
+        x = jax.nn.leaky_relu(_instance_norm(params[norm_name], x), slope)
 
     for layer in params["lstm"]:
         fwd = _lstm_scan(layer["fwd"], x)
@@ -168,10 +197,11 @@ def pyannet_forward(params: Dict[str, Any], cfg: PyanNetConfig,
         x = jnp.concatenate([fwd, bwd], axis=-1)
 
     for lin in params["linear"]:
-        x = jnp.tanh(jnp.matmul(x, lin["kernel"]) + lin["bias"])
+        x = jax.nn.leaky_relu(
+            jnp.matmul(x, lin["kernel"]) + lin["bias"], slope)
     cls = params["classifier"]
-    logits = jnp.matmul(x, cls["kernel"]) + cls["bias"]
-    return jax.nn.sigmoid(logits)[..., 0]
+    probs = jax.nn.sigmoid(jnp.matmul(x, cls["kernel"]) + cls["bias"])
+    return jnp.max(probs, axis=-1)
 
 
 def pyannet_frame_hop_sec(cfg: PyanNetConfig) -> float:
@@ -184,8 +214,10 @@ def convert_pyannet(state_dict: Dict[str, Any],
     """pyannote.audio PyanNet torch state dict -> param tree.
 
     Layout per pyannote.audio models.segmentation.PyanNet: sincnet
-    (sincnet.conv1d_*.low_hz_/band_hz_, wav_norm + conv blocks), lstm.*
-    (weight_ih_l{k}[_reverse] ...), linear.{k}, classifier."""
+    (wav_norm1d, conv1d.0.filterbank.low_hz_/band_hz_ [asteroid
+    Encoder(ParamSincFB)], conv1d.{1,2} with biases, norm1d.{0,1,2}
+    affine InstanceNorms), lstm.* (weight_ih_l{k}[_reverse] ...),
+    linear.{k}, classifier."""
     def np_(k):
         t = state_dict[k]
         try:
@@ -193,16 +225,35 @@ def convert_pyannet(state_dict: Dict[str, Any],
         except AttributeError:
             return np.asarray(t)
 
+    def first(*keys):
+        for k in keys:
+            if k in state_dict:
+                return np_(k)
+        raise KeyError(keys[0])
+
+    def norm(i):
+        return {"scale": np_(f"sincnet.norm1d.{i}.weight"),
+                "bias": np_(f"sincnet.norm1d.{i}.bias")}
+
     params: Dict[str, Any] = {
+        "wav_norm": {"scale": np_("sincnet.wav_norm1d.weight"),
+                     "bias": np_("sincnet.wav_norm1d.bias")},
         "sinc": {
-            "low_hz": np_("sincnet.conv1d.0.low_hz_").reshape(-1),
-            "band_hz": np_("sincnet.conv1d.0.band_hz_").reshape(-1),
+            "low_hz": first("sincnet.conv1d.0.filterbank.low_hz_",
+                            "sincnet.conv1d.0.low_hz_").reshape(-1),
+            "band_hz": first("sincnet.conv1d.0.filterbank.band_hz_",
+                             "sincnet.conv1d.0.band_hz_").reshape(-1),
         },
+        "norm0": norm(0),
         # torch conv weight [out, in, K] -> [K, in, out]
         "conv1": {"kernel": np_("sincnet.conv1d.1.weight")
-                  .transpose(2, 1, 0)},
+                  .transpose(2, 1, 0),
+                  "bias": np_("sincnet.conv1d.1.bias")},
+        "norm1": norm(1),
         "conv2": {"kernel": np_("sincnet.conv1d.2.weight")
-                  .transpose(2, 1, 0)},
+                  .transpose(2, 1, 0),
+                  "bias": np_("sincnet.conv1d.2.bias")},
+        "norm2": norm(2),
         "lstm": [], "linear": [],
     }
     for layer in range(cfg.lstm_layers):

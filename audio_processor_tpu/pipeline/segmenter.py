@@ -86,7 +86,13 @@ class SpeechSegment:
                                 weights_only=False)
                 if isinstance(sd, dict) and "state_dict" in sd:
                     sd = sd["state_dict"]
-                self._vad_cfg = vad_mod.PyanNetConfig()
+                # Multi-speaker segmentation checkpoints (pyannote's
+                # VAD pipeline model) have >1 output; infer from the
+                # classifier head and reduce with max like the pipeline.
+                n_out = int(np.asarray(
+                    sd["classifier.bias"].shape)[0]) if \
+                    "classifier.bias" in sd else 1
+                self._vad_cfg = vad_mod.PyanNetConfig(num_outputs=n_out)
                 self._vad_params = vad_mod.convert_pyannet(sd, self._vad_cfg)
                 logger.info("Loaded PyanNet VAD from %s", model_path)
                 return

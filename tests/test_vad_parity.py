@@ -1,0 +1,204 @@
+"""Parity of the JAX PyanNet VAD against a torch implementation of
+pyannote.audio's PyanNet architecture.
+
+pyannote.audio is not installable in this image, so the oracle below
+replicates its published forward pass exactly — SincNet with asteroid's
+ParamSincFB filterbank (sin-difference form), affine InstanceNorms,
+conv -> abs(sinc only) -> maxpool -> norm -> leaky_relu block order,
+monolithic batch-first BiLSTM, leaky-ReLU linear stack, sigmoid
+classifier — with pyannote's state-dict key layout
+(sincnet.wav_norm1d, sincnet.conv1d.0.filterbank.low_hz_, ...,
+lstm.weight_ih_l{k}[_reverse], linear.{k}, classifier). Same oracle
+technique as the tiny HF models in test_wav2vec2bert/test_bert.
+
+Reference VAD call path: services/speech_segment.py:175-187, 314-326.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from audio_processor_tpu.models.vad import (
+    PyanNetConfig, binarize, convert_pyannet, pyannet_forward,
+    pyannet_frame_hop_sec,
+)
+
+SR = 16000
+
+
+class _ParamSincFB(nn.Module):
+    """asteroid_filterbanks.ParamSincFB equivalent (the filterbank
+    inside pyannote's SincNet)."""
+
+    def __init__(self, n_filters=80, kernel_size=251, stride=10,
+                 sample_rate=16000, min_low_hz=50.0, min_band_hz=50.0):
+        super().__init__()
+        self.stride = stride
+        self.sample_rate = sample_rate
+        self.min_low_hz = min_low_hz
+        self.min_band_hz = min_band_hz
+        low = np.linspace(30.0, 6000.0, n_filters)
+        band = np.linspace(80.0, 400.0, n_filters)
+        self.low_hz_ = nn.Parameter(
+            torch.tensor(low[:, None], dtype=torch.float32))
+        self.band_hz_ = nn.Parameter(
+            torch.tensor(band[:, None], dtype=torch.float32))
+        n = (kernel_size - 1) / 2
+        self.register_buffer(
+            "t_", (torch.arange(kernel_size, dtype=torch.float32) - n)
+            / sample_rate)
+        self.register_buffer(
+            "window_", torch.hamming_window(kernel_size, periodic=False))
+
+    def filters(self):
+        low = self.min_low_hz + self.low_hz_.abs()
+        high = torch.clamp(low + self.min_band_hz + self.band_hz_.abs(),
+                           self.min_low_hz, self.sample_rate / 2)
+        t = self.t_[None, :]
+        # (sin(2pi f2 t) - sin(2pi f1 t)) / (pi t) windowed, t=0 -> 2*band;
+        # normalized by 2*band (asteroid's band_pass / (2*band)).
+        num = (torch.sin(2 * np.pi * high * t)
+               - torch.sin(2 * np.pi * low * t))
+        denom = np.pi * self.t_[None, :]
+        bp = torch.where(self.t_[None, :] == 0,
+                         2 * (high - low),
+                         num / torch.where(denom == 0,
+                                           torch.ones_like(denom), denom))
+        bp = bp * self.window_[None, :]
+        return bp / (2 * (high - low))
+
+
+class _Encoder(nn.Module):
+    def __init__(self, fb):
+        super().__init__()
+        self.filterbank = fb
+
+    def forward(self, x):
+        return F.conv1d(x, self.filterbank.filters()[:, None, :],
+                        stride=self.filterbank.stride)
+
+
+class _SincNet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.wav_norm1d = nn.InstanceNorm1d(1, affine=True)
+        self.conv1d = nn.ModuleList([
+            _Encoder(_ParamSincFB()),
+            nn.Conv1d(80, 60, 5, stride=1),
+            nn.Conv1d(60, 60, 5, stride=1),
+        ])
+        self.pool1d = nn.ModuleList(
+            [nn.MaxPool1d(3, stride=3) for _ in range(3)])
+        self.norm1d = nn.ModuleList([
+            nn.InstanceNorm1d(80, affine=True),
+            nn.InstanceNorm1d(60, affine=True),
+            nn.InstanceNorm1d(60, affine=True),
+        ])
+
+    def forward(self, waveforms):  # [B, 1, T]
+        outputs = self.wav_norm1d(waveforms)
+        for c, (conv1d, pool1d, norm1d) in enumerate(
+                zip(self.conv1d, self.pool1d, self.norm1d)):
+            outputs = conv1d(outputs)
+            if c == 0:
+                outputs = torch.abs(outputs)
+            outputs = F.leaky_relu(norm1d(pool1d(outputs)))
+        return outputs
+
+
+class _PyanNet(nn.Module):
+    def __init__(self, num_outputs=3):
+        super().__init__()
+        self.sincnet = _SincNet()
+        self.lstm = nn.LSTM(60, 128, num_layers=2, batch_first=True,
+                            bidirectional=True)
+        self.linear = nn.ModuleList(
+            [nn.Linear(256, 128), nn.Linear(128, 128)])
+        self.classifier = nn.Linear(128, num_outputs)
+        self.activation = nn.Sigmoid()
+
+    def forward(self, waveforms):  # [B, 1, T] -> [B, frames, outputs]
+        outputs = self.sincnet(waveforms)            # [B, C, T']
+        outputs, _ = self.lstm(outputs.permute(0, 2, 1))
+        for linear in self.linear:
+            outputs = F.leaky_relu(linear(outputs))
+        return self.activation(self.classifier(outputs))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch.manual_seed(0)
+    model = _PyanNet(num_outputs=3)
+    # Push the affine norms away from identity so a converter that
+    # drops them would fail loudly.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "norm1d" in name:
+                p.add_(0.3 * torch.randn_like(p))
+    model.eval()
+    return model
+
+
+def test_pyannet_forward_matches_torch(oracle, rng):
+    cfg = PyanNetConfig(num_outputs=3)
+    params = convert_pyannet(oracle.state_dict(), cfg)
+    wav = (0.1 * rng.standard_normal((2, 32000))).astype(np.float32)
+    wav[0, 8000:16000] += np.sin(
+        2 * np.pi * 300 * np.arange(8000) / SR).astype(np.float32)
+
+    with torch.no_grad():
+        ref = oracle(torch.tensor(wav)[:, None, :]).numpy()  # [B, F, 3]
+    ref_vad = ref.max(axis=-1)
+
+    out = np.asarray(pyannet_forward(params, cfg, wav))
+    assert out.shape == ref_vad.shape
+    np.testing.assert_allclose(out, ref_vad, atol=2e-5, rtol=1e-4)
+
+
+def test_frame_hop_matches_torch_frame_count(oracle):
+    cfg = PyanNetConfig(num_outputs=3)
+    hop = pyannet_frame_hop_sec(cfg)
+    assert abs(hop - 10 * 27 / SR) < 1e-9
+    with torch.no_grad():
+        frames = oracle(torch.zeros(1, 1, 48000)).shape[1]
+    # hop * frames must span ~the whole 3 s input
+    assert 3.0 - frames * hop < 0.25
+
+
+def test_segmenter_uses_pyannet_checkpoint(oracle, tmp_path, rng):
+    """A configured PyanNet checkpoint becomes the VAD (energy VAD is
+    only the no-checkpoint fallback), and the post-merge/pad/window
+    boundaries equal applying the reference rules to the oracle's own
+    probabilities."""
+    from audio_processor_tpu.config import PipelineConfig
+    from audio_processor_tpu.pipeline.segmenter import SpeechSegment
+
+    ckpt = tmp_path / "pyannet.ckpt"
+    torch.save({"state_dict": oracle.state_dict()}, ckpt)
+    cfg = PipelineConfig(vad_model_id=str(ckpt), vad_gap_threshold=0.8,
+                         vad_padding=0.5, vad_max_segment_sec=25.0)
+    seg = SpeechSegment(cfg)
+    assert seg._vad_params is not None, "checkpoint must engage PyanNet"
+
+    wav = (0.01 * rng.standard_normal(SR * 4)).astype(np.float32)
+    wav[SR:2 * SR] += np.sin(
+        2 * np.pi * 250 * np.arange(SR) / SR).astype(np.float32)
+    segs = seg.get_speech_segments(wav, SR, "agent")
+
+    # Independent reference: oracle probs -> binarize -> merge -> pad,
+    # the reference's rules (speech_segment.py:366-418).
+    with torch.no_grad():
+        probs = oracle(torch.tensor(wav)[None, None, :])[0].max(-1)[0]
+    hop = pyannet_frame_hop_sec(PyanNetConfig(num_outputs=3))
+    spans = binarize(np.asarray(probs), hop, onset=0.5, offset=0.5)
+    merged = []
+    for s, e in spans:
+        if merged and s - merged[-1][1] <= 0.8:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    expect = [(max(0.0, s - 0.5), min(4.0, e + 0.5)) for s, e in merged]
+    got = [(round(d["start"], 3), round(d["end"], 3)) for d in segs]
+    assert got == [(round(s, 3), round(e, 3)) for s, e in expect]
