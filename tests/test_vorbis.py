@@ -298,3 +298,61 @@ def test_native_decoder_survives_corrupt_streams():
     assert r.returncode == 0, (
         f"native decoder crashed on corrupt input:\n{r.stdout}\n{r.stderr}")
     assert "fuzz-ok 400" in r.stdout
+
+
+# ------------------------------------------------------------------
+# Stereo validation on full generated streams (tests/vorbis_encoder.py
+# — no Vorbis encoder exists in this image, so we emit spec-valid
+# streams ourselves): residue type 2 with channel interleave,
+# square-polar coupling, mixed 256/2048 block sizes with transition
+# windows. Three independent decoders must agree sample-by-sample.
+# ------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_stereo_stream_python_cpp_sdl_agree(seed, tmp_path):
+    import os
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    pygame = pytest.importorskip("pygame")
+    import pygame.sndarray as sa
+
+    from tests.vorbis_encoder import SR as ENC_SR
+    from tests.vorbis_encoder import make_stereo_stream
+    from audio_processor_tpu.io import native
+
+    data = make_stereo_stream(n_packets=40, seed=seed)
+    p = tmp_path / "stereo.ogg"
+    p.write_bytes(data)
+
+    py_pcm, py_sr = decode_vorbis(data)
+    assert py_sr == ENC_SR and py_pcm.shape[0] == 2
+    assert py_pcm.shape[1] > 20000
+
+    if native.has_vorbis():
+        cpp = native.decode_vorbis(p)
+        assert cpp is not None, "native stereo decode failed"
+        cpp_pcm, cpp_sr = cpp
+        assert cpp_sr == py_sr
+        n = min(py_pcm.shape[1], cpp_pcm.shape[1])
+        np.testing.assert_array_equal(py_pcm[:, :n], cpp_pcm[:, :n])
+
+    pygame.mixer.quit()
+    pygame.mixer.init(frequency=ENC_SR, size=-16, channels=2)
+    ref = sa.array(pygame.mixer.Sound(str(p))).astype(np.float32) / 32768.0
+    m = min(ref.shape[0], py_pcm.shape[1])
+    assert m > 20000
+    np.testing.assert_allclose(np.clip(py_pcm[:, :m].T, -1, 1), ref[:m],
+                               atol=2e-5)  # int16 quantization bound
+
+
+def test_stereo_ogg_through_load_audio(tmp_path):
+    """A stereo .ogg survives the production decode facade (the
+    reference scanner requires 2-channel input)."""
+    from tests.vorbis_encoder import make_stereo_stream
+    from audio_processor_tpu.io.decode import load_audio
+
+    p = tmp_path / "call.ogg"
+    p.write_bytes(make_stereo_stream(n_packets=24, seed=7))
+    wav, sr = load_audio(p)
+    assert wav.shape[0] == 2 and wav.shape[1] > 10000
+    assert sr == 8000
