@@ -219,8 +219,11 @@ def self_attention(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
         P = cfg.num_positions
         E = p["distance_embedding"].astype(x.dtype)        # [P, hd]
         E_pad = jnp.pad(E, ((0, 128 - P), (0, 0)))
+        # fp32 accumulation AND fp32 result: the rel logits add to
+        # fp32-accumulated qk scores inside the kernel; rounding them
+        # to bf16 here costs ~5% greedy-id flips vs the xla path.
         s_rel = jnp.einsum("bhld,pd->bhlp", q, E_pad,
-                           preferred_element_type=jnp.bfloat16)
+                           preferred_element_type=jnp.float32)
         kv_mask = (attn_bias[:, 0, 0, :] >= 0).astype(jnp.float32)
         out = flash_rel_attention(
             q, k, v, s_rel, kv_mask, float(scale),

@@ -328,27 +328,56 @@ class ASREngine:
             chunks, self.bucket_samples,
             sort_by_length=bool(self.config.get("enable_length_bucketing",
                                                 True)))
-        # Pass 1: dispatch every sub-batch.
-        pending = []  # (chunk_list, device_outputs, error)
+        subs = []
         for batch in batches:
             for i in range(0, len(batch), self.device_chunks):
-                sub_chunks = batch.chunks[i:i + self.device_chunks]
-                sub = _SubBatch(batch, i, i + len(sub_chunks))
-                try:
-                    if self.fuse_acoustic_features:
-                        fn = self._fused_fn(batch.bucket_len)
-                        buf, lengths = self._prepare_fused_buffer(
+                n = min(self.device_chunks, len(batch) - i)
+                subs.append((batch, _SubBatch(batch, i, i + n)))
+
+        # Pass 0: host prep of every sub-batch buffer concurrently (the
+        # C++ prep releases the GIL), so prep never sits between
+        # dispatches on the critical path.
+        prepped: List = [None] * len(subs)
+        if self.fuse_acoustic_features and len(subs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(subs))) as ex:
+                futs = [
+                    ex.submit(self._prepare_fused_buffer, sub,
+                              self._tail_size(len(sub)))
+                    for _, sub in subs
+                ]
+                for k, f in enumerate(futs):
+                    try:
+                        prepped[k] = f.result()
+                    except Exception as e:  # pragma: no cover
+                        prepped[k] = e
+
+        # Pass 1: dispatch every sub-batch (async; uploads of batch
+        # i+1 overlap device compute of batch i).
+        pending = []  # (chunk_list, device_outputs, error)
+        for k, (batch, sub) in enumerate(subs):
+            sub_chunks = sub.chunks
+            try:
+                if self.fuse_acoustic_features:
+                    fn = self._fused_fn(batch.bucket_len)
+                    pre = prepped[k]
+                    if isinstance(pre, Exception):
+                        raise pre
+                    if pre is None:
+                        pre = self._prepare_fused_buffer(
                             sub, self._tail_size(len(sub)))
-                        out = fn(self.params, buf, lengths)
-                    else:
-                        fn = self._device_fn(batch.bucket_len)
-                        rows, lengths = self._prepare_rows(sub)
-                        out = fn(self.params, rows, lengths)
-                    pending.append((sub_chunks, out, None))
-                except Exception as e:  # pragma: no cover
-                    logger.error("ASR dispatch failed (bucket %d): %s",
-                                 batch.bucket_len, e)
-                    pending.append((sub_chunks, None, str(e)))
+                    buf, lengths = pre
+                    out = fn(self.params, buf, lengths)
+                else:
+                    fn = self._device_fn(batch.bucket_len)
+                    rows, lengths = self._prepare_rows(sub)
+                    out = fn(self.params, rows, lengths)
+                pending.append((sub_chunks, out, None))
+            except Exception as e:  # pragma: no cover
+                logger.error("ASR dispatch failed (bucket %d): %s",
+                             batch.bucket_len, e)
+                pending.append((sub_chunks, None, str(e)))
 
         # Pass 2: fetch + decode in dispatch order.
         for sub_chunks, out, err in pending:
