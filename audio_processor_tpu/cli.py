@@ -92,6 +92,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "N seconds instead of exiting (the reference "
                         "only supports cron re-invocation); idempotence "
                         "markers make each sweep incremental")
+    p.add_argument("--serve", action="store_true",
+                   help="online mode: HTTP inference server with "
+                        "request micro-batching into the same fused "
+                        "device program (serving.py)")
+    p.add_argument("--port", type=int, default=8080,
+                   help="--serve listen port")
     return p
 
 
@@ -169,6 +175,27 @@ def main(argv=None) -> int:
 
         monitor = PerformanceMonitor(cfg)
         monitor.start_monitoring()
+
+    if args.serve:
+        from audio_processor_tpu.pipeline.sentiment import SentimentAnalyzer
+        from audio_processor_tpu.serving import serve
+
+        analyzer = SentimentAnalyzer(cfg, db_manager=db_manager)
+        server = serve(cfg, port=args.port,
+                       sentiment_analyzer=analyzer)
+        logger.info("Online inference server on port %d "
+                    "(POST /v1/transcribe, GET /healthz, /v1/stats)",
+                    args.port)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            logger.info("Interrupted; shutting down server")
+        finally:
+            server.service.close()
+            server.server_close()
+            if monitor is not None:
+                monitor.stop_monitoring()
+        return 0
 
     from audio_processor_tpu.host.topics import TopicClassifier
     from audio_processor_tpu.pipeline.engine import DataProcessor

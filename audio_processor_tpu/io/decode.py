@@ -149,6 +149,23 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
         raise
 
 
+def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode an in-memory WAV/OGG payload -> ([C, T] float32, sr).
+
+    Serving path (serving.py): format sniffed from magic bytes, no
+    temp-file round trip (the reference writes temp WAVs even for its
+    offline VAD path, speech_segment.py:314-326)."""
+    head = bytes(data[:4])
+    if head == b"RIFF":
+        return wav_mod.read_bytes(data)
+    if head == b"OggS":
+        from audio_processor_tpu.io.vorbis import decode_vorbis
+
+        pcm, rate = decode_vorbis(bytes(data))
+        return np.clip(pcm, -1.0, 1.0), rate
+    raise WavError("unrecognized audio payload (expect WAV or OGG)")
+
+
 def probe(path: str | Path) -> Optional[AudioInfo]:
     """Header-only probe; None when the file can't be parsed.
 

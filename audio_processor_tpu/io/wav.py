@@ -106,6 +106,11 @@ def read(path: str | Path, dtype=np.float32) -> Tuple[np.ndarray, int]:
     sample_rate). Matches torchaudio.load normalization conventions."""
     with open(path, "rb") as f:
         data = f.read()
+    return read_bytes(data, dtype)
+
+
+def read_bytes(data: bytes, dtype=np.float32) -> Tuple[np.ndarray, int]:
+    """Decode an in-memory WAV payload (serving path — no temp file)."""
     ai, off, size = _parse_header(data)
     raw = data[off:off + size]
     n = ai.num_frames * ai.num_channels

@@ -1,0 +1,237 @@
+"""Online serving mode: HTTP inference with request micro-batching.
+
+The reference is a batch pipeline only (one cron run per invocation,
+run_cron.sh:12); this module adds a TPU-native online path that did
+not exist there: an HTTP server whose requests are aggregated by a
+micro-batcher into the SAME statically-shaped fused device program the
+batch pipeline uses (pipeline/asr_engine.py), so online and offline
+traffic share one compiled program cache and the chip always sees
+dense, bucketed batches.
+
+Design:
+- stdlib only (ThreadingHTTPServer) — no framework dependency.
+- POST /v1/transcribe with a WAV or OGG body: decode -> resample ->
+  25 s/1 s chunking -> fused ASR (+ acoustic features) -> optional
+  sentiment -> JSON response per chunk + joined transcripts.
+- Requests queue into a micro-batch; the single device worker drains
+  the queue every ``batch_window_ms`` (or immediately when a full
+  device batch is waiting). One device stream, many HTTP threads —
+  the same inversion as the batch engine (no model sharing races).
+- GET /healthz liveness; GET /v1/stats serving counters.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class _Request:
+    __slots__ = ("chunks", "event", "results", "error", "received")
+
+    def __init__(self, chunks):
+        self.chunks = chunks
+        self.event = threading.Event()
+        self.results: Optional[List[Dict[str, Any]]] = None
+        self.error: Optional[str] = None
+        self.received = time.perf_counter()
+
+
+class InferenceService:
+    """Micro-batching front of the fused ASR engine (+ sentiment)."""
+
+    def __init__(self, config, asr_engine=None, sentiment_analyzer=None):
+        from audio_processor_tpu.pipeline.asr_engine import ASREngine
+
+        self.config = config
+        self.engine = asr_engine or ASREngine(config)
+        self.sentiment = sentiment_analyzer
+        self.batch_window_ms = float(config.get("serve_batch_window_ms",
+                                                20.0))
+        self.max_chunks = int(config.get("chunk_batch_size", 16))
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="serve-batcher")
+        self.stats = {"requests": 0, "chunks": 0, "batches": 0,
+                      "errors": 0, "audio_seconds": 0.0}
+        self._stats_lock = threading.Lock()
+        self._worker.start()
+
+    # -------------------------------------------------------- intake
+    def transcribe_bytes(self, payload: bytes,
+                         with_sentiment: bool = False,
+                         timeout: float = 120.0) -> Dict[str, Any]:
+        """Decode an uploaded WAV/OGG payload and run it through the
+        batched device path. Blocking; thread-safe."""
+        from audio_processor_tpu.io.decode import load_audio_bytes
+        from audio_processor_tpu.pipeline.chunker import split_audio
+
+        t0 = time.perf_counter()
+        waveform, sr = load_audio_bytes(payload)
+        target_sr = int(self.config.get("target_sample_rate", 16000))
+        if sr != target_sr:
+            from audio_processor_tpu.dsp.resample import resample_np
+
+            waveform = resample_np(waveform, sr, target_sr)
+            sr = target_sr
+        chunks = split_audio(
+            waveform, sr, "request.wav",
+            float(self.config.get("chunk_duration_sec", 25.0)),
+            float(self.config.get("overlap_sec", 1.0)))
+        if not chunks:
+            raise ValueError("no audio decoded from request body")
+
+        req = _Request(chunks)
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        rows = req.results
+        if with_sentiment and self.sentiment is not None:
+            rows = self.sentiment.analyze_batch_sentiment(
+                [dict(r) for r in rows])
+        duration = waveform.shape[-1] / sr
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["chunks"] += len(rows)
+            self.stats["audio_seconds"] += duration
+
+        def row_out(r):
+            keep = {k: v for k, v in r.items()
+                    if not k.endswith("_waveform")
+                    and not k.endswith("_features")
+                    and not k.endswith("_probabilities")}
+            return keep
+
+        return {
+            "duration_seconds": duration,
+            "num_chunks": len(rows),
+            "transcription": " ".join(
+                r.get("transcription_chunk", "") for r in rows).strip(),
+            "agent_transcription": " ".join(
+                r.get("agent_transcription", "") for r in rows).strip(),
+            "client_transcription": " ".join(
+                r.get("client_transcription", "") for r in rows).strip(),
+            "chunks": [row_out(r) for r in rows],
+            "latency_seconds": time.perf_counter() - t0,
+        }
+
+    # -------------------------------------------------- batch worker
+    def _run(self):
+        window = self.batch_window_ms / 1000.0
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            n_chunks = len(first.chunks)
+            deadline = time.perf_counter() + window
+            while n_chunks < self.max_chunks:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                group.append(nxt)
+                n_chunks += len(nxt.chunks)
+            self._process(group)
+
+    def _process(self, group: List[_Request]):
+        all_chunks = [c for r in group for c in r.chunks]
+        try:
+            results = self.engine.transcribe_chunks(all_chunks)
+        except Exception as e:  # pragma: no cover
+            logger.exception("serving batch failed")
+            with self._stats_lock:
+                self.stats["errors"] += 1
+            for r in group:
+                r.error = str(e)
+                r.event.set()
+            return
+        with self._stats_lock:
+            self.stats["batches"] += 1
+        pos = 0
+        for r in group:
+            r.results = results[pos:pos + len(r.chunks)]
+            pos += len(r.chunks)
+            r.event.set()
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+
+def make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("serve: " + fmt, *args)
+
+        def _send(self, code: int, obj: Dict[str, Any]):
+            body = json.dumps(obj, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/v1/stats":
+                with service._stats_lock:
+                    self._send(200, dict(service.stats))
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if not self.path.startswith("/v1/transcribe"):
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0 or length > 512 * 1024 * 1024:
+                self._send(400, {"error": "bad content length"})
+                return
+            payload = self.rfile.read(length)
+            with_sentiment = "sentiment=1" in (self.path.split("?", 1)[1:]
+                                               or [""])[0]
+            try:
+                out = service.transcribe_bytes(
+                    payload, with_sentiment=with_sentiment)
+                self._send(200, out)
+            except Exception as e:
+                with service._stats_lock:
+                    service.stats["errors"] += 1
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(config, host: str = "0.0.0.0", port: int = 8080,
+          asr_engine=None, sentiment_analyzer=None
+          ) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever() or use
+    the returned handle in tests)."""
+    service = InferenceService(config, asr_engine=asr_engine,
+                               sentiment_analyzer=sentiment_analyzer)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.service = service  # type: ignore[attr-defined]
+    logger.info("serving on %s:%d (batch window %.0f ms, max %d chunks)",
+                host, port, service.batch_window_ms, service.max_chunks)
+    return server

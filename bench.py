@@ -155,12 +155,14 @@ def run_asr_bench(engine, cfg, input_dir: Path):
 def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
                   work: Path):
     """Config-5 full pipeline via DataProcessor.run(); one warm-up
-    sweep (compiles text/acoustic programs), then one timed sweep with
-    fresh markers/DB/outputs."""
+    sweep (compiles text/acoustic programs), then two timed sweeps
+    with fresh markers/DB/outputs — best-of-2, same policy as the ASR
+    loop (the tunneled transport has large run-to-run variance)."""
     from audio_processor_tpu.host.db import DatabaseManager
     from audio_processor_tpu.pipeline.engine import DataProcessor
 
-    for phase in ("warmup", "timed"):
+    best = float("inf")
+    for phase in ("warmup", "timed1", "timed2"):
         out = work / f"out_{phase}"
         cfg = make_cfg(input_folder=str(input_dir),
                        output_folder=str(out),
@@ -175,11 +177,14 @@ def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
         db.close()
         assert n == NUM_CALLS, f"{phase}: {n}/{NUM_CALLS} succeeded"
         assert proc.stats["errors"] == 0
-        if phase == "timed":
-            csvs = list(out.glob("optimized_results_*.csv"))
-            assert csvs and csvs[0].stat().st_size > 0
-            return dt
-        log(f"e2e warmup sweep {dt:.1f}s")
+        if phase == "warmup":
+            log(f"e2e warmup sweep {dt:.1f}s")
+            continue
+        csvs = list(out.glob("optimized_results_*.csv"))
+        assert csvs and csvs[0].stat().st_size > 0
+        log(f"e2e {phase} sweep {dt:.1f}s")
+        best = min(best, dt)
+    return best
 
 
 def main():

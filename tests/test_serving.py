@@ -1,0 +1,134 @@
+"""Online serving mode (serving.py): HTTP transcription with request
+micro-batching into the fused device program. Beyond the reference
+(which is batch/cron only, run_cron.sh:12)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.config import PipelineConfig
+from audio_processor_tpu.io import wav
+from audio_processor_tpu.serving import InferenceService, serve
+
+from tests.conftest import make_stereo_call
+from tests.test_engine_e2e import tiny_engine
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        extras={"serve_batch_window_ms": 30.0})
+
+
+@pytest.fixture(scope="module")
+def server(cfg, tmp_path_factory):
+    srv = serve(cfg, host="127.0.0.1", port=0, asr_engine=tiny_engine(cfg))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.service.close()
+    srv.server_close()
+
+
+def _wav_bytes(dur=4.0, seed=0):
+    buf = io.BytesIO()
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "x.wav"
+        wav.write(p, make_stereo_call(dur=dur), 16000)
+        return p.read_bytes()
+
+
+def _post(port, payload, path="/v1/transcribe"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=payload,
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    port = server.server_address[1]
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        assert r.status == 200
+        assert json.loads(r.read()) == {"status": "ok"}
+
+
+def test_transcribe_roundtrip(server):
+    port = server.server_address[1]
+    status, out = _post(port, _wav_bytes(dur=6.0))
+    assert status == 200
+    assert out["num_chunks"] == 2          # 4 s chunks, 1 s overlap, 6 s
+    assert abs(out["duration_seconds"] - 6.0) < 0.01
+    for key in ("transcription", "agent_transcription",
+                "client_transcription", "chunks", "latency_seconds"):
+        assert key in out
+    assert all(c["error"] == "" for c in out["chunks"])
+    # waveforms/features must not leak into the JSON
+    assert not any(k.endswith("_waveform") for c in out["chunks"]
+                   for k in c)
+
+
+def test_concurrent_requests_are_batched(server):
+    port = server.server_address[1]
+    n = 6
+    results = [None] * n
+    errs = []
+
+    def call(i):
+        try:
+            results[i] = _post(port, _wav_bytes(dur=4.0))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    before = dict(server.service.stats)
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errs
+    assert all(r is not None and r[0] == 200 for r in results)
+    after = dict(server.service.stats)
+    assert after["requests"] - before["requests"] == n
+    # micro-batching: fewer device batches than requests
+    assert after["batches"] - before["batches"] < n
+
+
+def test_bad_payload_is_rejected(server):
+    port = server.server_address[1]
+    try:
+        status, out = _post(port, b"this is not audio at all")
+    except urllib.error.HTTPError as e:
+        status, out = e.code, json.loads(e.read())
+    assert status == 400
+    assert "error" in out
+
+
+def test_ogg_payload(server):
+    from tests.vorbis_encoder import make_stereo_stream
+
+    port = server.server_address[1]
+    status, out = _post(port, make_stereo_stream(n_packets=24, seed=3))
+    assert status == 200
+    assert out["num_chunks"] >= 1
+
+
+def test_service_direct_api(cfg):
+    svc = InferenceService(cfg, asr_engine=tiny_engine(cfg))
+    try:
+        out = svc.transcribe_bytes(_wav_bytes(dur=4.0))
+        assert out["num_chunks"] == 1
+    finally:
+        svc.close()
