@@ -152,17 +152,21 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
 def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     """Decode an in-memory WAV/OGG payload -> ([C, T] float32, sr).
 
-    Serving path (serving.py): format sniffed from magic bytes, no
-    temp-file round trip (the reference writes temp WAVs even for its
-    offline VAD path, speech_segment.py:314-326)."""
+    Serving path (serving.py): format sniffed from magic bytes. WAV
+    decodes fully in memory; OGG spools to a temp file so it gets the
+    same decoder chain as load_audio (C++ fast path ~590x realtime,
+    Python Vorbis reference, then ffmpeg/pygame for non-Vorbis
+    payloads like Opus)."""
     head = bytes(data[:4])
     if head == b"RIFF":
         return wav_mod.read_bytes(data)
     if head == b"OggS":
-        from audio_processor_tpu.io.vorbis import decode_vorbis
+        import tempfile
 
-        pcm, rate = decode_vorbis(bytes(data))
-        return np.clip(pcm, -1.0, 1.0), rate
+        with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
+            f.write(data)
+            f.flush()
+            return load_audio(f.name)
     raise WavError("unrecognized audio payload (expect WAV or OGG)")
 
 

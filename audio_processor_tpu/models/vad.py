@@ -109,7 +109,6 @@ def init_pyannet(rng, cfg: PyanNetConfig) -> Dict[str, Any]:
             "bias": jnp.zeros((C,))},
         "norm2": norm(C),
         "lstm": [], "linear": [],
-        "classifier": dense(next(ks), 2 * H, cfg.num_outputs),
     }
     in_dim = C
     for _ in range(cfg.lstm_layers):

@@ -334,50 +334,55 @@ class ASREngine:
                 n = min(self.device_chunks, len(batch) - i)
                 subs.append((batch, _SubBatch(batch, i, i + n)))
 
-        # Pass 0: host prep of every sub-batch buffer concurrently (the
-        # C++ prep releases the GIL), so prep never sits between
-        # dispatches on the critical path.
-        prepped: List = [None] * len(subs)
-        if self.fuse_acoustic_features and len(subs) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(4, len(subs))) as ex:
-                futs = [
-                    ex.submit(self._prepare_fused_buffer, sub,
-                              self._tail_size(len(sub)))
-                    for _, sub in subs
-                ]
-                for k, f in enumerate(futs):
-                    try:
-                        prepped[k] = f.result()
-                    except Exception as e:  # pragma: no cover
-                        prepped[k] = e
-
         # Pass 1: dispatch every sub-batch (async; uploads of batch
-        # i+1 overlap device compute of batch i).
+        # i+1 overlap device compute of batch i). Host prep runs a few
+        # sub-batches AHEAD on a small thread pool (the C++ prep
+        # releases the GIL) so prep never sits between dispatches —
+        # bounded look-ahead keeps host memory O(1) in sweep size
+        # (each 25 s sub-batch buffer is ~25 MB).
+        from concurrent.futures import ThreadPoolExecutor
+
+        PREP_AHEAD = 3
+
+        def _prep(idx: int):
+            s = subs[idx][1]
+            return self._prepare_fused_buffer(s, self._tail_size(len(s)))
+
+        prep_pool = None
+        prep_futs: Dict[int, object] = {}
+        if self.fuse_acoustic_features and len(subs) > 1:
+            prep_pool = ThreadPoolExecutor(max_workers=2)
+            for k in range(min(PREP_AHEAD, len(subs))):
+                prep_futs[k] = prep_pool.submit(_prep, k)
+
         pending = []  # (chunk_list, device_outputs, error)
-        for k, (batch, sub) in enumerate(subs):
-            sub_chunks = sub.chunks
-            try:
-                if self.fuse_acoustic_features:
-                    fn = self._fused_fn(batch.bucket_len)
-                    pre = prepped[k]
-                    if isinstance(pre, Exception):
-                        raise pre
-                    if pre is None:
-                        pre = self._prepare_fused_buffer(
-                            sub, self._tail_size(len(sub)))
-                    buf, lengths = pre
-                    out = fn(self.params, buf, lengths)
-                else:
-                    fn = self._device_fn(batch.bucket_len)
-                    rows, lengths = self._prepare_rows(sub)
-                    out = fn(self.params, rows, lengths)
-                pending.append((sub_chunks, out, None))
-            except Exception as e:  # pragma: no cover
-                logger.error("ASR dispatch failed (bucket %d): %s",
-                             batch.bucket_len, e)
-                pending.append((sub_chunks, None, str(e)))
+        try:
+            for k, (batch, sub) in enumerate(subs):
+                sub_chunks = sub.chunks
+                try:
+                    if self.fuse_acoustic_features:
+                        fn = self._fused_fn(batch.bucket_len)
+                        if prep_pool is not None \
+                                and k + PREP_AHEAD < len(subs):
+                            prep_futs[k + PREP_AHEAD] = prep_pool.submit(
+                                _prep, k + PREP_AHEAD)
+                        fut = prep_futs.pop(k, None)
+                        buf, lengths = (fut.result() if fut is not None
+                                        else _prep(k))
+                        out = fn(self.params, buf, lengths)
+                        del buf
+                    else:
+                        fn = self._device_fn(batch.bucket_len)
+                        rows, lengths = self._prepare_rows(sub)
+                        out = fn(self.params, rows, lengths)
+                    pending.append((sub_chunks, out, None))
+                except Exception as e:  # pragma: no cover
+                    logger.error("ASR dispatch failed (bucket %d): %s",
+                                 batch.bucket_len, e)
+                    pending.append((sub_chunks, None, str(e)))
+        finally:
+            if prep_pool is not None:
+                prep_pool.shutdown(wait=False)
 
         # Pass 2: fetch + decode in dispatch order.
         for sub_chunks, out, err in pending:

@@ -114,7 +114,11 @@ def split_audio(waveform: np.ndarray, sample_rate: int, file_name: str,
     if waveform.ndim == 1:
         waveform = waveform[None, :]
     waveform = waveform.astype(np.float32, copy=False)
-    if waveform.shape[0] >= 2:
+    # Same channel semantics as speaker_views (2-channel -> agent/
+    # client; anything else -> mono ch0), but without computing the
+    # mixed view — Chunk builds it lazily / the fused program builds
+    # it on device.
+    if waveform.shape[0] == 2:
         agent, client = waveform[0], waveform[1]
     else:
         agent = client = waveform[0]

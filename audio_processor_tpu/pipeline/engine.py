@@ -20,6 +20,7 @@ from __future__ import annotations
 import gc
 import json
 import logging
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FuturesTimeoutError
@@ -104,6 +105,11 @@ class DataProcessor:
                               "result_queue": 0}
         self.max_retries = int(config.get("max_retries", 3))
         self.io_workers = int(config.get("io_workers", 32))
+        # Files whose batch is still executing on an abandoned
+        # (timed-out) worker: the next --watch sweep must not pick
+        # them up concurrently (they have no marker yet).
+        self._in_flight: set = set()
+        self._in_flight_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def setup_models(self):
@@ -203,6 +209,8 @@ class DataProcessor:
         logger.info("Processing batch %d with %d files",
                     batch_id + 1, len(files))
         batch_t0 = time.perf_counter()
+        with self._in_flight_lock:
+            self._in_flight.update(str(f) for f in files)
         try:
             if decoded is None:
                 decoded = self._decode_batch(files)
@@ -297,6 +305,9 @@ class DataProcessor:
                              batch_id + 1, e)
             self.stats["errors"] += 1
             return 0
+        finally:
+            with self._in_flight_lock:
+                self._in_flight.difference_update(str(f) for f in files)
 
     def _run_message_path(self, decoded: List[Dict]) -> None:
         from audio_processor_tpu.pipeline.segmenter import (
@@ -341,7 +352,15 @@ class DataProcessor:
         logger.info("Starting processing of %d files", len(files))
         self.stats["start_time"] = datetime.now()
 
-        filtered = [f for f in files if not self.markers.is_processed(f)]
+        with self._in_flight_lock:
+            in_flight = set(self._in_flight)
+        if in_flight:
+            logger.warning("Skipping %d files still in flight on an "
+                           "abandoned (timed-out) batch worker",
+                           len(in_flight))
+        filtered = [f for f in files
+                    if not self.markers.is_processed(f)
+                    and str(f) not in in_flight]
         skipped = len(files) - len(filtered)
         if skipped:
             logger.info("Skipping %d already-processed files", skipped)

@@ -22,7 +22,6 @@ Design:
 
 from __future__ import annotations
 
-import io
 import json
 import logging
 import queue
@@ -59,19 +58,42 @@ class InferenceService:
         self.batch_window_ms = float(config.get("serve_batch_window_ms",
                                                 20.0))
         self.max_chunks = int(config.get("chunk_batch_size", 16))
+        # Default generously above the full-model TPU compile time
+        # (first request per (bucket, batch) shape compiles, 2-4 min
+        # through this image's tunnel); warmup below pre-compiles the
+        # common shapes so live requests don't pay it.
+        self.request_timeout = float(config.get("serve_timeout_s", 600.0))
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="serve-batcher")
         self.stats = {"requests": 0, "chunks": 0, "batches": 0,
-                      "errors": 0, "audio_seconds": 0.0}
+                      "batch_errors": 0, "request_errors": 0,
+                      "audio_seconds": 0.0}
         self._stats_lock = threading.Lock()
+        if bool(config.get("serve_warmup", True)):
+            self._warmup()
         self._worker.start()
+
+    def _warmup(self):
+        """Compile the full-batch program for the top bucket (the
+        shape every full-length chunk hits) before accepting traffic."""
+        from audio_processor_tpu.pipeline.chunker import Chunk
+
+        sr = int(self.config.get("target_sample_rate", 16000))
+        dur = float(self.config.get("chunk_duration_sec", 25.0))
+        zeros = np.zeros(int(sr * dur), np.float32)
+        warm = [Chunk("warmup.wav", i, 0.0, dur, agent=zeros,
+                      client=zeros) for i in range(self.max_chunks)]
+        t0 = time.perf_counter()
+        self.engine.transcribe_chunks(warm)
+        logger.info("serving warmup compiled in %.1fs",
+                    time.perf_counter() - t0)
 
     # -------------------------------------------------------- intake
     def transcribe_bytes(self, payload: bytes,
                          with_sentiment: bool = False,
-                         timeout: float = 120.0) -> Dict[str, Any]:
+                         timeout: Optional[float] = None) -> Dict[str, Any]:
         """Decode an uploaded WAV/OGG payload and run it through the
         batched device path. Blocking; thread-safe."""
         from audio_processor_tpu.io.decode import load_audio_bytes
@@ -94,7 +116,8 @@ class InferenceService:
 
         req = _Request(chunks)
         self._queue.put(req)
-        if not req.event.wait(timeout):
+        if not req.event.wait(timeout if timeout is not None
+                              else self.request_timeout):
             raise TimeoutError("inference timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
@@ -158,7 +181,7 @@ class InferenceService:
         except Exception as e:  # pragma: no cover
             logger.exception("serving batch failed")
             with self._stats_lock:
-                self.stats["errors"] += 1
+                self.stats["batch_errors"] += 1
             for r in group:
                 r.error = str(e)
                 r.event.set()
@@ -195,8 +218,11 @@ def make_handler(service: InferenceService):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
             elif self.path == "/v1/stats":
+                # copy under the lock, send outside it — a slow-reading
+                # client must not be able to block the batch worker
                 with service._stats_lock:
-                    self._send(200, dict(service.stats))
+                    snapshot = dict(service.stats)
+                self._send(200, snapshot)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -217,7 +243,7 @@ def make_handler(service: InferenceService):
                 self._send(200, out)
             except Exception as e:
                 with service._stats_lock:
-                    service.stats["errors"] += 1
+                    service.stats["request_errors"] += 1
                 self._send(400, {"error": str(e)})
 
     return Handler

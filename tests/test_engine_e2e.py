@@ -303,3 +303,24 @@ def test_error_budget_is_per_sweep(tmp_path, monkeypatch):
     ok = proc.process_files_parallel(files)
     assert ok == 3  # fresh sweep processes everything
     assert proc.stats["files_success"] == 3
+
+
+def test_timed_out_batch_files_not_reprocessed_by_next_sweep(tmp_path):
+    """A batch abandoned on a timed-out worker keeps its files out of
+    the next sweep (no concurrent duplicate processing); once the
+    worker finishes, the markers make later sweeps skip them too."""
+    import time
+
+    cfg, input_dir = _error_workspace(tmp_path, 2, timeout_seconds=1,
+                                      max_errors=10)
+    proc = DataProcessor(cfg, asr_engine=_HangingEngine(seconds=2.5))
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 0 and proc.stats["errors"] >= 1
+    # the abandoned worker is still running: a new sweep must skip
+    # everything (in-flight), not double-process
+    assert len(proc._in_flight) > 0
+    ok2 = proc.process_files_parallel(files)
+    assert ok2 == 0
+    time.sleep(4)  # let the abandoned workers finish and mark files
+    assert len(proc._in_flight) == 0
