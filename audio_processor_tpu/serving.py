@@ -71,24 +71,41 @@ class InferenceService:
                       "batch_errors": 0, "request_errors": 0,
                       "audio_seconds": 0.0}
         self._stats_lock = threading.Lock()
-        if bool(config.get("serve_warmup", True)):
-            self._warmup()
+        warmup = config.get("serve_warmup", True)
+        if warmup:
+            self._warmup(all_buckets=(warmup == "all"))
         self._worker.start()
 
-    def _warmup(self):
+    def _warmup(self, all_buckets: bool = False):
         """Compile the full-batch program for the top bucket (the
-        shape every full-length chunk hits) before accepting traffic."""
+        shape every full-length chunk hits) before accepting traffic;
+        ``serve_warmup: all`` pre-compiles every length bucket so no
+        live request ever pays a compile (first compiles take minutes
+        on a cold TPU)."""
         from audio_processor_tpu.pipeline.chunker import Chunk
 
-        sr = int(self.config.get("target_sample_rate", 16000))
-        dur = float(self.config.get("chunk_duration_sec", 25.0))
-        zeros = np.zeros(int(sr * dur), np.float32)
-        warm = [Chunk("warmup.wav", i, 0.0, dur, agent=zeros,
-                      client=zeros) for i in range(self.max_chunks)]
+        buckets = (list(self.engine.bucket_samples) if all_buckets
+                   else [max(self.engine.bucket_samples)])
+        # Tail shapes too: a 1-chunk request dispatches at the
+        # smallest tail batch, which is its own compiled shape.
+        sizes = sorted({self.max_chunks, self._engine_tail(1)} |
+                       ({self._engine_tail(self.max_chunks // 2)}
+                        if self.max_chunks > 1 else set()))
         t0 = time.perf_counter()
-        self.engine.transcribe_chunks(warm)
-        logger.info("serving warmup compiled in %.1fs",
-                    time.perf_counter() - t0)
+        n_shapes = 0
+        for n_samples in buckets:
+            zeros = np.zeros(n_samples, np.float32)
+            for n in sizes:
+                warm = [Chunk("warmup.wav", i, 0.0, 0.0, agent=zeros,
+                              client=zeros) for i in range(n)]
+                self.engine.transcribe_chunks(warm)
+                n_shapes += 1
+        logger.info("serving warmup compiled %d shape(s) in %.1fs",
+                    n_shapes, time.perf_counter() - t0)
+
+    def _engine_tail(self, n: int) -> int:
+        tail = getattr(self.engine, "_tail_size", None)
+        return tail(n) if tail is not None else n
 
     # -------------------------------------------------------- intake
     def transcribe_bytes(self, payload: bytes,
