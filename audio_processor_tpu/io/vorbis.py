@@ -670,10 +670,17 @@ class VorbisDecoder:
 
         for pkt in self._audio_packets:
             br = BitReader(pkt)
+            mapping = None
+            n = 0
+            floors = None
+            residue_out = None
             try:
                 if br.read(1) != 0:
                     continue  # not an audio packet
-                mode = s.modes[br.read(mode_bits)]
+                mode_idx = br.read(mode_bits)
+                if mode_idx >= len(s.modes):
+                    continue  # corrupt packet
+                mode = s.modes[mode_idx]
                 n = s.blocksize1 if mode.blockflag else s.blocksize0
                 prev_flag = next_flag = 1
                 if mode.blockflag:
@@ -703,7 +710,17 @@ class VorbisDecoder:
                     for i, c in enumerate(chans):
                         residue_out[c] = dec[i]
             except EOFError:
-                pass  # spec: end-of-packet during audio decode is legal
+                # spec: end-of-packet during audio decode is legal —
+                # keep what was fully decoded for THIS packet only
+                # (never reuse a previous packet's floors/residue).
+                if mapping is None or n == 0:
+                    continue
+                n_half = n // 2
+                if floors is None:
+                    floors = []
+                floors = floors + [None] * (ch - len(floors))
+                if residue_out is None:
+                    residue_out = np.zeros((ch, n_half), np.float32)
 
             # Inverse coupling (last step first).
             for mag, ang in reversed(mapping.coupling):

@@ -356,3 +356,51 @@ def test_stereo_ogg_through_load_audio(tmp_path):
     wav, sr = load_audio(p)
     assert wav.shape[0] == 2 and wav.shape[1] > 10000
     assert sr == 8000
+
+
+def test_truncated_long_packet_after_short_block(tmp_path):
+    """Regression (found by ASAN fuzzing): a short-block packet
+    followed by a long-block packet truncated mid-floor must not
+    synthesize from the previous block's shorter floor curve (stale
+    floor_used state -> heap overflow read in the native decoder)."""
+    import subprocess
+    import sys
+
+    from tests import vorbis_encoder as V
+
+    setup = VorbisSetup(V.ident_packet(), V.setup_packet())
+    rng = np.random.default_rng(5)
+    p_short = V.audio_packet(setup, rng, 0)
+    p_long = V.audio_packet(setup, rng, 1, prev_flag=0, next_flag=1)
+    streams = []
+    for cut in (2, 3, 5, len(p_long) // 3, len(p_long) - 1):
+        pages = [
+            V.ogg_page([V.ident_packet()], 1, 0, 0, 0x02),
+            V.ogg_page([V.comment_packet(), V.setup_packet()], 1, 1, 0, 0),
+            V.ogg_page([p_short, p_short, p_long[:cut], p_short],
+                       1, 2, 4096, 0x04),
+        ]
+        streams.append(b"".join(pages))
+
+    # Python decoder: must not raise and must not reuse stale floors.
+    for data in streams:
+        pcm, sr = decode_vorbis(data)
+        assert sr == 8000
+
+    # Native decoder: subprocess so a regression (segfault) fails the
+    # test instead of killing pytest.
+    paths = []
+    for i, data in enumerate(streams):
+        p = tmp_path / f"trunc{i}.ogg"
+        p.write_bytes(data)
+        paths.append(str(p))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from audio_processor_tpu.io import native\n"
+        "for p in %r:\n"
+        "    native.decode_vorbis(p)\n"
+        "print('trunc-ok')\n"
+    ) % (str(Path(__file__).resolve().parent.parent), paths)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "trunc-ok" in r.stdout, r.stderr
