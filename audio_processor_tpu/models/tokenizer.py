@@ -90,3 +90,66 @@ def batch_decode(ids: np.ndarray, vocab: CTCVocab,
         out.append(decode_ids(row, vocab,
                               skip_special_tokens=skip_special_tokens))
     return out
+
+
+def decode_words(ids: Iterable[int], vocab: CTCVocab, frame_sec: float,
+                 offset_sec: float = 0.0) -> List[Dict]:
+    """Greedy CTC frame ids -> words with start/end times.
+
+    Beyond the reference (which returns plain text only): each word
+    carries the time span of its character emissions — a frame emits a
+    character on the first frame of a run of equal ids (CTC rule), and
+    the run's repeats extend the character's end time. Frames are
+    ``frame_sec`` apart (20 ms for the stride-2 stacked fbank
+    frontend); ``offset_sec`` shifts spans to call time (chunk start).
+    """
+    words: List[Dict] = []
+    cur: List[str] = []
+    cur_start = cur_end = 0.0
+
+    def flush():
+        nonlocal cur, cur_start, cur_end
+        if cur:
+            words.append({"word": "".join(cur),
+                          "start": round(offset_sec + cur_start, 3),
+                          "end": round(offset_sec + cur_end, 3)})
+        cur = []
+
+    prev = None
+    for f, i in enumerate(int(x) for x in ids):
+        if i == prev:
+            if cur and i != vocab.pad_id:
+                cur_end = (f + 1) * frame_sec   # repeat extends the run
+            continue
+        prev = i
+        if i == vocab.pad_id or i in vocab.special_ids:
+            continue
+        tok = vocab.id_to_token.get(i)
+        if tok is None:
+            continue
+        if tok == vocab.word_delimiter_token:
+            flush()
+            continue
+        if not cur:
+            cur_start = f * frame_sec
+        cur.append(tok)
+        cur_end = (f + 1) * frame_sec
+    flush()
+    return words
+
+
+def batch_decode_words(ids: np.ndarray, vocab: CTCVocab,
+                       frame_sec: float,
+                       mask: Optional[np.ndarray] = None,
+                       offsets_sec: Optional[Sequence[float]] = None
+                       ) -> List[List[Dict]]:
+    """[B, T] frame ids -> per-row word/time lists."""
+    ids = np.asarray(ids)
+    out = []
+    for b in range(ids.shape[0]):
+        row = ids[b]
+        if mask is not None:
+            row = row[np.asarray(mask[b]).astype(bool)]
+        off = float(offsets_sec[b]) if offsets_sec is not None else 0.0
+        out.append(decode_words(row, vocab, frame_sec, off))
+    return out

@@ -27,7 +27,9 @@ import numpy as np
 
 from audio_processor_tpu.dsp.fbank import log_mel_frontend
 from audio_processor_tpu.models import wav2vec2bert as w2v
-from audio_processor_tpu.models.tokenizer import CTCVocab, batch_decode
+from audio_processor_tpu.models.tokenizer import (
+    CTCVocab, batch_decode, decode_words,
+)
 from audio_processor_tpu.pipeline.chunker import Chunk, chunk_batch
 from audio_processor_tpu.utils.text import remove_special_characters
 
@@ -106,6 +108,10 @@ class ASREngine:
         self.int16_transfers = bool(config.get("int16_transfers", True))
         self.fuse_acoustic_features = bool(
             config.get("fuse_acoustic_features", True))
+        # Word-level CTC timestamps (beyond the reference's plain
+        # text): adds {mixed,agent,client}_words to every chunk row.
+        self.emit_word_timestamps = bool(
+            config.get("emit_word_timestamps", False))
         # Flash attention with in-kernel relative bias (pallas) on TPU
         # — measured 1.02 s vs 1.43 s per 48x1280 batch for the stock
         # flash kernel with a precomputed [B,H,L,L] bias, and 2.27 s
@@ -429,6 +435,21 @@ class ASREngine:
                 if af is not None:
                     r["agent_acoustic_features"] = af[j, 0]
                     r["client_acoustic_features"] = af[j, 1]
+                if self.emit_word_timestamps:
+                    from audio_processor_tpu.dsp.fbank import (
+                        HOP_LENGTH, STRIDE,
+                    )
+
+                    sr = int(self.config.get("target_sample_rate", 16000))
+                    frame_sec = HOP_LENGTH * STRIDE / sr
+                    for view, name in ((0, "mixed_words"),
+                                       (1, "agent_words"),
+                                       (2, "client_words")):
+                        row = ids[3 * j + view]
+                        valid = row[mask[3 * j + view].astype(bool)]
+                        r[name] = decode_words(
+                            valid, self.vocab, frame_sec,
+                            offset_sec=c.start_time)
                 results[id(c)] = r
 
         out_rows = []
