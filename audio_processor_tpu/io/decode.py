@@ -163,10 +163,31 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     if head == b"OggS":
         import tempfile
 
-        with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
-            f.write(data)
-            f.flush()
-            return load_audio(f.name)
+        nat = _native_decoder()
+        if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
+            with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
+                f.write(data)
+                f.flush()
+                out = nat.decode_vorbis(f.name)
+                if out is not None:
+                    return np.clip(out[0], -1.0, 1.0), out[1]
+        from audio_processor_tpu.io.vorbis import decode_vorbis
+
+        try:
+            pcm, rate = decode_vorbis(bytes(data))
+            return np.clip(pcm, -1.0, 1.0), rate
+        except Exception as e:
+            # Non-Vorbis payloads (e.g. Opus) go to the subprocess
+            # fallbacks; otherwise surface the REAL parse error, not a
+            # misleading "no decoder available".
+            if _ffmpeg_available() or _pygame_available():
+                with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
+                    f.write(data)
+                    f.flush()
+                    if _ffmpeg_available():
+                        return _decode_via_ffmpeg(f.name)
+                    return _decode_via_pygame(f.name)
+            raise WavError(f"OGG payload decode failed: {e}") from e
     raise WavError("unrecognized audio payload (expect WAV or OGG)")
 
 

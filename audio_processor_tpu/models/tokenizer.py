@@ -116,12 +116,14 @@ def decode_words(ids: Iterable[int], vocab: CTCVocab, frame_sec: float,
         cur = []
 
     prev = None
+    prev_emitted = False   # did the previous frame emit a character?
     for f, i in enumerate(int(x) for x in ids):
         if i == prev:
-            if cur and i != vocab.pad_id:
+            if prev_emitted and cur:
                 cur_end = (f + 1) * frame_sec   # repeat extends the run
             continue
         prev = i
+        prev_emitted = False
         if i == vocab.pad_id or i in vocab.special_ids:
             continue
         tok = vocab.id_to_token.get(i)
@@ -134,6 +136,7 @@ def decode_words(ids: Iterable[int], vocab: CTCVocab, frame_sec: float,
             cur_start = f * frame_sec
         cur.append(tok)
         cur_end = (f + 1) * frame_sec
+        prev_emitted = True
     flush()
     return words
 

@@ -88,8 +88,8 @@ class InferenceService:
                    else [max(self.engine.bucket_samples)])
         # Tail shapes too: a 1-chunk request dispatches at the
         # smallest tail batch, which is its own compiled shape.
-        sizes = sorted({self.max_chunks, self._engine_tail(1)} |
-                       ({self._engine_tail(self.max_chunks // 2)}
+        sizes = sorted({self.max_chunks, self.engine._tail_size(1)} |
+                       ({self.engine._tail_size(self.max_chunks // 2)}
                         if self.max_chunks > 1 else set()))
         t0 = time.perf_counter()
         n_shapes = 0
@@ -102,10 +102,6 @@ class InferenceService:
                 n_shapes += 1
         logger.info("serving warmup compiled %d shape(s) in %.1fs",
                     n_shapes, time.perf_counter() - t0)
-
-    def _engine_tail(self, n: int) -> int:
-        tail = getattr(self.engine, "_tail_size", None)
-        return tail(n) if tail is not None else n
 
     # -------------------------------------------------------- intake
     def transcribe_bytes(self, payload: bytes,

