@@ -70,6 +70,7 @@ class InferenceService:
         self.stats = {"requests": 0, "chunks": 0, "batches": 0,
                       "batch_errors": 0, "request_errors": 0,
                       "audio_seconds": 0.0}
+        self._latencies: List[float] = []   # last 1000 request latencies
         self._stats_lock = threading.Lock()
         warmup = config.get("serve_warmup", True)
         if warmup:
@@ -139,10 +140,14 @@ class InferenceService:
             rows = self.sentiment.analyze_batch_sentiment(
                 [dict(r) for r in rows])
         duration = waveform.shape[-1] / sr
+        latency = time.perf_counter() - t0
         with self._stats_lock:
             self.stats["requests"] += 1
             self.stats["chunks"] += len(rows)
             self.stats["audio_seconds"] += duration
+            self._latencies.append(latency)
+            if len(self._latencies) > 1000:
+                del self._latencies[:-1000]
 
         def row_out(r):
             keep = {k: v for k, v in r.items()
@@ -207,7 +212,22 @@ class InferenceService:
             pos += len(r.chunks)
             r.event.set()
 
-    def close(self):
+    def snapshot_stats(self) -> Dict[str, Any]:
+        with self._stats_lock:
+            out = dict(self.stats)
+            lats = sorted(self._latencies)
+        if lats:
+            out["p50_latency_seconds"] = round(lats[len(lats) // 2], 3)
+            out["p95_latency_seconds"] = round(
+                lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3)
+        return out
+
+    def close(self, drain_timeout: float = 30.0):
+        """Stop the batch worker, letting queued requests drain first
+        so accepted work is not dropped on shutdown."""
+        deadline = time.time() + drain_timeout
+        while not self._queue.empty() and time.time() < deadline:
+            time.sleep(0.05)
         self._stop.set()
         self._worker.join(timeout=5)
 
@@ -231,11 +251,9 @@ def make_handler(service: InferenceService):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
             elif self.path == "/v1/stats":
-                # copy under the lock, send outside it — a slow-reading
-                # client must not be able to block the batch worker
-                with service._stats_lock:
-                    snapshot = dict(service.stats)
-                self._send(200, snapshot)
+                # snapshot under the lock, send outside it — a slow-
+                # reading client must not block the batch worker
+                self._send(200, service.snapshot_stats())
             else:
                 self._send(404, {"error": "not found"})
 

@@ -39,6 +39,12 @@ class FinetuneConfig:
     checkpoint_every: int = 500
     mesh_shape: Optional[dict] = None
     seed: int = 0
+    # SpecAugment (HF apply_spec_augment counterpart); 0 masks = off.
+    spec_augment: bool = True
+    num_time_masks: int = 2
+    time_mask_span: int = 10
+    num_freq_masks: int = 2
+    freq_mask_span: int = 10
 
 
 def load_manifest(path: str | Path) -> List[dict]:
@@ -146,7 +152,14 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
     state = init_state(params, tx, mesh=mesh, cfg=model_cfg)
     dtype = jnp.float32 if jax.default_backend() == "cpu" \
         else jnp.bfloat16
-    step_fn = make_train_step(model_cfg, tx, mesh=mesh, dtype=dtype)
+    augment = None
+    if cfg.spec_augment:
+        from audio_processor_tpu.training.train_step import SpecAugment
+
+        augment = SpecAugment(cfg.num_time_masks, cfg.time_mask_span,
+                              cfg.num_freq_masks, cfg.freq_mask_span)
+    step_fn = make_train_step(model_cfg, tx, mesh=mesh, dtype=dtype,
+                              augment=augment)
 
     rows = load_manifest(cfg.manifest)
     if len(rows) < cfg.batch_size:
@@ -156,10 +169,14 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
     stream = batches(rows, cfg, vocab, rng)
 
     losses: List[float] = []
+    aug_key = jax.random.PRNGKey(cfg.seed + 1)
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         for step in range(cfg.num_steps):
             batch = next(stream)
+            if augment is not None:
+                aug_key, k = jax.random.split(aug_key)
+                batch = {**batch, "rng": k}
             state, loss = step_fn(state, batch)
             if step % 10 == 0 or step == cfg.num_steps - 1:
                 loss_val = float(loss)

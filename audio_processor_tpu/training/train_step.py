@@ -26,19 +26,58 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class SpecAugment(NamedTuple):
+    """SpecAugment spans on the fbank features (the training-time
+    masking HF's Wav2Vec2Bert applies when apply_spec_augment=True;
+    the reference never trains, so this is a beyond-reference
+    capability of the fine-tuning stack)."""
+
+    num_time_masks: int = 2
+    time_mask_span: int = 10     # 10 x 20 ms frames = 200 ms
+    num_freq_masks: int = 2
+    freq_mask_span: int = 10     # of the 160 stacked mel dims
+
+
+def spec_augment(key: jax.Array, feats: jnp.ndarray,
+                 aug: SpecAugment) -> jnp.ndarray:
+    """Randomly zero time spans and feature bands of [B, T, F] feats.
+    jit-friendly (static span counts/lengths, dynamic positions)."""
+    B, T, F = feats.shape
+    kt, kf = jax.random.split(key)
+
+    def span_mask(k, n_masks, span, size):
+        if n_masks <= 0 or span <= 0:
+            return jnp.zeros((B, size), bool)
+        starts = jax.random.randint(k, (B, n_masks), 0,
+                                    max(1, size - span + 1))
+        idx = jnp.arange(size)[None, None, :]
+        hit = (idx >= starts[:, :, None]) & (idx < starts[:, :, None] + span)
+        return jnp.any(hit, axis=1)                      # [B, size]
+
+    tmask = span_mask(kt, aug.num_time_masks, aug.time_mask_span, T)
+    fmask = span_mask(kf, aug.num_freq_masks, aug.freq_mask_span, F)
+    drop = tmask[:, :, None] | fmask[:, None, :]
+    return jnp.where(drop, 0.0, feats)
+
+
 def make_optimizer(learning_rate: float = 1e-5,
                    weight_decay: float = 0.01) -> optax.GradientTransformation:
     return optax.adamw(learning_rate, weight_decay=weight_decay)
 
 
 def ctc_loss_fn(params, cfg: w2v.W2VBertConfig, batch: Dict[str, jnp.ndarray],
-                dtype=jnp.bfloat16, remat: bool = True) -> jnp.ndarray:
+                dtype=jnp.bfloat16, remat: bool = True,
+                augment: SpecAugment | None = None) -> jnp.ndarray:
     """Mean CTC loss over the batch.
 
     batch: features [B, T, 160], feature_mask [B, T] (1 = valid),
-    labels [B, N] int32, label_mask [B, N] (1 = valid).
+    labels [B, N] int32, label_mask [B, N] (1 = valid); with
+    ``augment``, also ``rng`` (a PRNG key for the SpecAugment draws).
     """
-    logits = w2v.forward(params, cfg, batch["features"],
+    feats = batch["features"]
+    if augment is not None:
+        feats = spec_augment(batch["rng"], feats, augment)
+    logits = w2v.forward(params, cfg, feats,
                          batch["feature_mask"].astype(bool),
                          dtype=dtype, remat=remat)
     logit_paddings = 1.0 - batch["feature_mask"].astype(jnp.float32)
@@ -52,9 +91,11 @@ def ctc_loss_fn(params, cfg: w2v.W2VBertConfig, batch: Dict[str, jnp.ndarray],
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                cfg: w2v.W2VBertConfig,
                tx: optax.GradientTransformation,
-               dtype=jnp.bfloat16) -> Tuple[TrainState, jnp.ndarray]:
+               dtype=jnp.bfloat16,
+               augment: SpecAugment | None = None
+               ) -> Tuple[TrainState, jnp.ndarray]:
     loss, grads = jax.value_and_grad(ctc_loss_fn)(
-        state.params, cfg, batch, dtype=dtype)
+        state.params, cfg, batch, dtype=dtype, augment=augment)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
@@ -75,13 +116,16 @@ def init_state(params, tx: optax.GradientTransformation, mesh=None,
 
 def make_train_step(cfg: w2v.W2VBertConfig,
                     tx: optax.GradientTransformation,
-                    mesh=None, dtype=jnp.bfloat16):
+                    mesh=None, dtype=jnp.bfloat16,
+                    augment: SpecAugment | None = None):
     """jit-compiled train step. With a mesh, the batch shards over the
     'data' axis; params/opt_state keep the shardings they were placed
     with (init_state), so XLA derives the dp+tp program and inserts
     ICI collectives (psum of grads over 'data', activation collectives
-    over 'model')."""
-    step_fn = functools.partial(train_step, cfg=cfg, tx=tx, dtype=dtype)
+    over 'model'). With ``augment``, the batch must carry an ``rng``
+    PRNG key (replicated)."""
+    step_fn = functools.partial(train_step, cfg=cfg, tx=tx, dtype=dtype,
+                                augment=augment)
     if mesh is None:
         return jax.jit(step_fn)
 
@@ -91,4 +135,6 @@ def make_train_step(cfg: w2v.W2VBertConfig,
     data3 = NamedSharding(mesh, P("data", None, None))
     batch_sh = {"features": data3, "feature_mask": data2,
                 "labels": data2, "label_mask": data2}
+    if augment is not None:
+        batch_sh["rng"] = NamedSharding(mesh, P())
     return jax.jit(step_fn, in_shardings=(None, batch_sh))

@@ -65,3 +65,68 @@ def test_load_manifest(tmp_path):
                  '{"audio": "b.wav", "text": "y"}\n')
     rows = load_manifest(p)
     assert len(rows) == 2 and rows[1]["text"] == "y"
+
+
+def test_spec_augment_masks_expected_structure():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_processor_tpu.training.train_step import (
+        SpecAugment, spec_augment,
+    )
+
+    B, T, F = 3, 64, 160
+    feats = jnp.ones((B, T, F))
+    aug = SpecAugment(num_time_masks=2, time_mask_span=10,
+                      num_freq_masks=1, freq_mask_span=8)
+    out = np.asarray(spec_augment(jax.random.PRNGKey(0), feats, aug))
+    # some masking happened, bounded above by full spans + band
+    dropped = (out == 0.0)
+    frac = dropped.mean()
+    assert 0.0 < frac <= (2 * 10 / T) + (1 * 8 / F)
+    # time masks zero whole feature columns; freq masks whole time rows
+    t_fully_zero = dropped.all(axis=2)        # [B, T]
+    f_fully_zero = dropped.all(axis=1)        # [B, F]
+    assert t_fully_zero.any(axis=1).all() or f_fully_zero.any(axis=1).all()
+    # deterministic per key
+    out2 = np.asarray(spec_augment(jax.random.PRNGKey(0), feats, aug))
+    np.testing.assert_array_equal(out, out2)
+    # zero-mask config is the identity
+    none = SpecAugment(0, 0, 0, 0)
+    np.testing.assert_array_equal(
+        np.asarray(spec_augment(jax.random.PRNGKey(0), feats, none)),
+        np.asarray(feats))
+
+
+def test_train_step_with_spec_augment_runs():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.training.train_step import (
+        SpecAugment, init_state, make_optimizer, make_train_step,
+    )
+
+    cfg = w2v.W2VBertConfig(vocab_size=16, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64,
+                            conv_depthwise_kernel_size=7,
+                            left_max_position_embeddings=8,
+                            right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-4)
+    state = init_state(params, tx)
+    step = make_train_step(cfg, tx, dtype=jnp.float32,
+                           augment=SpecAugment())
+    rng = np.random.default_rng(0)
+    B, T, N = 2, 32, 6
+    batch = {
+        "features": rng.standard_normal((B, T, 160)).astype(np.float32),
+        "feature_mask": np.ones((B, T), np.float32),
+        "labels": rng.integers(1, 16, (B, N)).astype(np.int32),
+        "label_mask": np.ones((B, N), np.float32),
+        "rng": jax.random.PRNGKey(7),
+    }
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1

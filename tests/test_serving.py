@@ -132,3 +132,13 @@ def test_service_direct_api(cfg):
         assert out["num_chunks"] == 1
     finally:
         svc.close()
+
+
+def test_stats_latency_percentiles(server):
+    port = server.server_address[1]
+    _post(port, _wav_bytes(dur=4.0))
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["p50_latency_seconds"] > 0
+    assert stats["p95_latency_seconds"] >= stats["p50_latency_seconds"]
