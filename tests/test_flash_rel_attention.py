@@ -89,3 +89,51 @@ def test_kernel_matches_dense_production_length(rng):
     out = run_kernel(q, k, v, E, kv_mask, scale)
     np.testing.assert_allclose(out[:, :, :1000], ref[:, :, :1000],
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kernel_randomized_geometries(seed):
+    """Randomized sweep over (L, left, right, kv mask) — exercises the
+    wrapped-roll alignment, both slice offsets, saturation selects, and
+    ragged masks across bucket geometries beyond the fixed cases."""
+    rng = np.random.default_rng(100 + seed)
+    L = int(rng.choice([128, 256, 384, 512, 768, 1024]))
+    left = int(rng.choice([8, 16, 64, 100]))
+    right = int(rng.choice([0, 4, 8, 27]))
+    P_ = left + right + 1
+    B, H, d = 2, 1, 64
+    q = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    E = rng.standard_normal((P_, d)).astype(np.float32)
+    kv_mask = np.ones((B, L), np.float32)
+    valid = int(rng.integers(L // 2, L + 1))
+    kv_mask[1, valid:] = 0.0
+
+    import jax.numpy as jnp
+
+    from audio_processor_tpu.models.flash_rel_attention import (
+        flash_rel_attention,
+    )
+
+    # dense reference with this geometry's clip
+    i = np.arange(L)[:, None]
+    j = np.arange(L)[None, :]
+    pe = E[np.clip(j - i, -left, right) + left]
+    scale = 1.0 / np.sqrt(d)
+    scores = (np.einsum("bhld,bhmd->bhlm", q, k)
+              + np.einsum("bhld,lmd->bhlm", q, pe)) * scale
+    scores = scores + (kv_mask[:, None, None, :] - 1.0) * 1e9
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhlm,bhmd->bhld", p, v)
+
+    s_rel = np.zeros((B, H, L, 128), np.float32)
+    s_rel[..., :P_] = np.einsum("bhld,pd->bhlp", q, E)
+    out = np.asarray(flash_rel_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(s_rel), jnp.asarray(kv_mask),
+        scale, left, P_, interpret=True))
+    np.testing.assert_allclose(out[0], ref[0], atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(out[1, :, :, :], ref[1, :, :, :],
+                               atol=3e-5, rtol=1e-4)
