@@ -334,3 +334,26 @@ def test_timed_out_batch_files_not_reprocessed_by_next_sweep(tmp_path):
         time.sleep(0.25)
     with proc._in_flight_lock:
         assert not proc._in_flight
+
+
+def test_corrupt_ogg_marked_failed_without_blocking_batch(workspace):
+    """A syntactically-broken .ogg passes the scanner's cheap probe or
+    fails decode later; either way it must end as a failed marker, not
+    an engine crash (reference retry/skip semantics)."""
+    cfg, input_dir, output_dir = workspace
+    bad = input_dir / "broken.ogg"
+    # valid OggS magic + garbage: survives extension checks, fails decode
+    bad.write_bytes(b"OggS" + bytes(range(256)) * 8)
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "o.db")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    proc.run()
+    assert proc.stats["files_success"] == 3
+    # the broken ogg either failed scan (not counted) or failed decode
+    # (failed marker) — it must never appear as success
+    from pathlib import Path
+
+    statuses = {Path(s["file"]).name: s["status"]
+                for s in proc._file_statuses}
+    assert statuses.get("broken.ogg") != "success"
+    db.close()
