@@ -112,6 +112,9 @@ def main(argv=None) -> int:
     overrides["save_csv_results"] = args.save_mode == "csv"
     cfg = load_config(args.config, overrides)
 
+    from audio_processor_tpu.utils.system import enable_compilation_cache
+
+    enable_compilation_cache()  # ~10x faster cold starts on cached hosts
     setup_logging(cfg.logs_folder)
     try:
         validate_config(cfg)

@@ -77,3 +77,32 @@ def pad_chunk_waveforms(waveforms: List[np.ndarray]) -> np.ndarray:
             w = np.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, pad)])
         out.append(w)
     return np.stack(out)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Enable JAX's persistent compilation cache (opt-out via
+    APT_NO_COMPILATION_CACHE=1).
+
+    On hosts where XLA compilation is remote/slow (this image's
+    tunneled TPU compiles a toy scan in ~160 s cold vs ~14 s cached),
+    the on-disk cache cuts every cold start — bench, CLI, serving —
+    by ~10x after the first run. Call BEFORE the first jit compile;
+    safe to call repeatedly."""
+    import os
+
+    if os.environ.get("APT_NO_COMPILATION_CACHE"):
+        return ""
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/audio_processor_tpu/xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:  # pragma: no cover - very old jax
+        pass
+    return cache_dir

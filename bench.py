@@ -191,6 +191,12 @@ def main():
     from audio_processor_tpu.config import PipelineConfig
     from audio_processor_tpu.pipeline.asr_engine import ASREngine
     from audio_processor_tpu.pipeline.sentiment import SentimentAnalyzer
+    from audio_processor_tpu.utils.system import enable_compilation_cache
+
+    # Compiles through this image's tunnel are ~10x slower than cached
+    # reloads; persist them so repeat benches spend time measuring,
+    # not compiling.
+    enable_compilation_cache()
 
     with tempfile.TemporaryDirectory() as td:
         work = Path(td)
