@@ -214,7 +214,10 @@ def main(argv=None) -> int:
 
     rc = 0
     try:
-        processor.run()
+        from audio_processor_tpu.obs.profiler import maybe_trace
+
+        with maybe_trace(cfg):
+            processor.run()
         while args.watch > 0:
             import time as _time
 
