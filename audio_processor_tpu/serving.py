@@ -65,6 +65,9 @@ class InferenceService:
         self.request_timeout = float(config.get("serve_timeout_s", 600.0))
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        self._closing = threading.Event()
+        self._idle = threading.Event()   # worker not processing a batch
+        self._idle.set()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="serve-batcher")
         self.stats = {"requests": 0, "chunks": 0, "batches": 0,
@@ -128,6 +131,8 @@ class InferenceService:
         if not chunks:
             raise ValueError("no audio decoded from request body")
 
+        if self._closing.is_set():
+            raise RuntimeError("server is shutting down")
         req = _Request(chunks)
         self._queue.put(req)
         if not req.event.wait(timeout if timeout is not None
@@ -177,6 +182,7 @@ class InferenceService:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 continue
+            self._idle.clear()
             group = [first]
             n_chunks = len(first.chunks)
             deadline = time.perf_counter() + window
@@ -190,7 +196,10 @@ class InferenceService:
                     break
                 group.append(nxt)
                 n_chunks += len(nxt.chunks)
-            self._process(group)
+            try:
+                self._process(group)
+            finally:
+                self._idle.set()
 
     def _process(self, group: List[_Request]):
         all_chunks = [c for r in group for c in r.chunks]
@@ -213,20 +222,29 @@ class InferenceService:
             r.event.set()
 
     def snapshot_stats(self) -> Dict[str, Any]:
+        import math
+
         with self._stats_lock:
             out = dict(self.stats)
             lats = sorted(self._latencies)
-        if lats:
-            out["p50_latency_seconds"] = round(lats[len(lats) // 2], 3)
+        if lats:                       # nearest-rank percentiles
+            out["p50_latency_seconds"] = round(
+                lats[max(0, math.ceil(0.50 * len(lats)) - 1)], 3)
             out["p95_latency_seconds"] = round(
-                lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3)
+                lats[max(0, math.ceil(0.95 * len(lats)) - 1)], 3)
+        else:                          # keep the schema stable pre-traffic
+            out["p50_latency_seconds"] = None
+            out["p95_latency_seconds"] = None
         return out
 
     def close(self, drain_timeout: float = 30.0):
-        """Stop the batch worker, letting queued requests drain first
-        so accepted work is not dropped on shutdown."""
+        """Stop accepting new requests, let queued AND in-flight work
+        finish (bounded by drain_timeout), then stop the worker."""
+        self._closing.set()
         deadline = time.time() + drain_timeout
-        while not self._queue.empty() and time.time() < deadline:
+        while time.time() < deadline:
+            if self._queue.empty() and self._idle.is_set():
+                break
             time.sleep(0.05)
         self._stop.set()
         self._worker.join(timeout=5)

@@ -159,7 +159,7 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
         augment = SpecAugment(cfg.num_time_masks, cfg.time_mask_span,
                               cfg.num_freq_masks, cfg.freq_mask_span)
     step_fn = make_train_step(model_cfg, tx, mesh=mesh, dtype=dtype,
-                              augment=augment)
+                              augment=augment, augment_seed=cfg.seed + 1)
 
     rows = load_manifest(cfg.manifest)
     if len(rows) < cfg.batch_size:
@@ -169,14 +169,10 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
     stream = batches(rows, cfg, vocab, rng)
 
     losses: List[float] = []
-    aug_key = jax.random.PRNGKey(cfg.seed + 1)
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         for step in range(cfg.num_steps):
             batch = next(stream)
-            if augment is not None:
-                aug_key, k = jax.random.split(aug_key)
-                batch = {**batch, "rng": k}
             state, loss = step_fn(state, batch)
             if step % 10 == 0 or step == cfg.num_steps - 1:
                 loss_val = float(loss)

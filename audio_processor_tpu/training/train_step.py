@@ -35,27 +35,37 @@ class SpecAugment(NamedTuple):
     num_time_masks: int = 2
     time_mask_span: int = 10     # 10 x 20 ms frames = 200 ms
     num_freq_masks: int = 2
-    freq_mask_span: int = 10     # of the 160 stacked mel dims
+    freq_mask_span: int = 10     # mel bins (masked in BOTH sub-frames)
+    mel_bins: int = 80           # the stacked-feature period (fbank)
 
 
 def spec_augment(key: jax.Array, feats: jnp.ndarray,
                  aug: SpecAugment) -> jnp.ndarray:
-    """Randomly zero time spans and feature bands of [B, T, F] feats.
-    jit-friendly (static span counts/lengths, dynamic positions)."""
+    """Randomly zero time spans and mel bands of [B, T, F] feats.
+    jit-friendly (static span counts/lengths, dynamic positions).
+
+    The 160-dim features are TWO stacked 80-mel frames
+    (dsp/fbank.py stride-2 stacking), so a frequency band is masked
+    modulo ``mel_bins`` — zeroing both sub-frames; masking a raw
+    contiguous span of the stacked axis would leave the same mel bins
+    visible in the other sub-frame."""
     B, T, F = feats.shape
     kt, kf = jax.random.split(key)
+    bins = aug.mel_bins if F % aug.mel_bins == 0 else F
 
-    def span_mask(k, n_masks, span, size):
+    def span_mask(k, n_masks, span, size, idx_vals):
         if n_masks <= 0 or span <= 0:
-            return jnp.zeros((B, size), bool)
+            return jnp.zeros((B,) + idx_vals.shape, bool)
         starts = jax.random.randint(k, (B, n_masks), 0,
                                     max(1, size - span + 1))
-        idx = jnp.arange(size)[None, None, :]
+        idx = idx_vals[None, None, :]
         hit = (idx >= starts[:, :, None]) & (idx < starts[:, :, None] + span)
-        return jnp.any(hit, axis=1)                      # [B, size]
+        return jnp.any(hit, axis=1)                      # [B, len(idx)]
 
-    tmask = span_mask(kt, aug.num_time_masks, aug.time_mask_span, T)
-    fmask = span_mask(kf, aug.num_freq_masks, aug.freq_mask_span, F)
+    tmask = span_mask(kt, aug.num_time_masks, aug.time_mask_span, T,
+                      jnp.arange(T))
+    fmask = span_mask(kf, aug.num_freq_masks, aug.freq_mask_span, bins,
+                      jnp.arange(F) % bins)
     drop = tmask[:, :, None] | fmask[:, None, :]
     return jnp.where(drop, 0.0, feats)
 
@@ -92,8 +102,15 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                cfg: w2v.W2VBertConfig,
                tx: optax.GradientTransformation,
                dtype=jnp.bfloat16,
-               augment: SpecAugment | None = None
-               ) -> Tuple[TrainState, jnp.ndarray]:
+               augment: SpecAugment | None = None,
+               augment_seed: int = 0) -> Tuple[TrainState, jnp.ndarray]:
+    if augment is not None and "rng" not in batch:
+        # Per-step key derived INSIDE the compiled step: no host-side
+        # split (a device dispatch per step through slow transports)
+        # and no extra sharded input.
+        key = jax.random.fold_in(jax.random.PRNGKey(augment_seed),
+                                 state.step)
+        batch = {**batch, "rng": key}
     loss, grads = jax.value_and_grad(ctc_loss_fn)(
         state.params, cfg, batch, dtype=dtype, augment=augment)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -117,15 +134,17 @@ def init_state(params, tx: optax.GradientTransformation, mesh=None,
 def make_train_step(cfg: w2v.W2VBertConfig,
                     tx: optax.GradientTransformation,
                     mesh=None, dtype=jnp.bfloat16,
-                    augment: SpecAugment | None = None):
+                    augment: SpecAugment | None = None,
+                    augment_seed: int = 0):
     """jit-compiled train step. With a mesh, the batch shards over the
     'data' axis; params/opt_state keep the shardings they were placed
     with (init_state), so XLA derives the dp+tp program and inserts
     ICI collectives (psum of grads over 'data', activation collectives
-    over 'model'). With ``augment``, the batch must carry an ``rng``
-    PRNG key (replicated)."""
+    over 'model'). With ``augment``, the per-step SpecAugment key is
+    folded from (augment_seed, state.step) inside the compiled step."""
     step_fn = functools.partial(train_step, cfg=cfg, tx=tx, dtype=dtype,
-                                augment=augment)
+                                augment=augment,
+                                augment_seed=augment_seed)
     if mesh is None:
         return jax.jit(step_fn)
 
@@ -135,6 +154,4 @@ def make_train_step(cfg: w2v.W2VBertConfig,
     data3 = NamedSharding(mesh, P("data", None, None))
     batch_sh = {"features": data3, "feature_mask": data2,
                 "labels": data2, "label_mask": data2}
-    if augment is not None:
-        batch_sh["rng"] = NamedSharding(mesh, P())
     return jax.jit(step_fn, in_shardings=(None, batch_sh))

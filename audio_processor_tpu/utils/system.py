@@ -92,17 +92,22 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
 
     if os.environ.get("APT_NO_COMPILATION_CACHE"):
         return ""
-    cache_dir = cache_dir or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/audio_processor_tpu/xla"))
-    os.makedirs(cache_dir, exist_ok=True)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     try:
+        cache_dir = cache_dir or os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "audio_processor_tpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
-    except Exception:  # pragma: no cover - very old jax
-        pass
-    return cache_dir
+        return cache_dir
+    except Exception as e:  # unwritable HOME etc. — never take the
+        import logging       # pipeline down for an optimization
+
+        logging.getLogger(__name__).warning(
+            "compilation cache disabled: %s", e)
+        return ""

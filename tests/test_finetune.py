@@ -80,10 +80,14 @@ def test_spec_augment_masks_expected_structure():
     aug = SpecAugment(num_time_masks=2, time_mask_span=10,
                       num_freq_masks=1, freq_mask_span=8)
     out = np.asarray(spec_augment(jax.random.PRNGKey(0), feats, aug))
-    # some masking happened, bounded above by full spans + band
+    # some masking happened, bounded above by full spans + band (the
+    # freq band repeats in BOTH stacked 80-mel sub-frames)
     dropped = (out == 0.0)
     frac = dropped.mean()
-    assert 0.0 < frac <= (2 * 10 / T) + (1 * 8 / F)
+    assert 0.0 < frac <= (2 * 10 / T) + (1 * 8 / 80)
+    # a masked mel bin must be gone from BOTH sub-frames
+    fmask = dropped.all(axis=1)          # [B, F] fully-masked features
+    np.testing.assert_array_equal(fmask[:, :80], fmask[:, 80:])
     # time masks zero whole feature columns; freq masks whole time rows
     t_fully_zero = dropped.all(axis=2)        # [B, T]
     f_fully_zero = dropped.all(axis=1)        # [B, F]
