@@ -112,6 +112,11 @@ class ASREngine:
         # text): adds {mixed,agent,client}_words to every chunk row.
         self.emit_word_timestamps = bool(
             config.get("emit_word_timestamps", False))
+        # Message-path decoding: 1 = greedy (reference parity);
+        # >1 = CTC prefix beam search over the log posteriors
+        # (models/ctc_beam.py) for the VAD-segmented mono transcripts.
+        self.beam_width = int(config.get("beam_width", 1))
+        self.beam_word_bonus = float(config.get("beam_word_bonus", 0.0))
         from audio_processor_tpu.dsp.fbank import HOP_LENGTH, STRIDE
 
         self._frame_sec = HOP_LENGTH * STRIDE / sr  # 20 ms encoder frame
@@ -168,6 +173,26 @@ class ASREngine:
             return ids, mask
 
         self._jit_cache[bucket_len] = run
+        return run
+
+    def _logits_fn(self, bucket_len: int):
+        """Log-posterior variant of the mono program (beam decoding)."""
+        key = ("logits", bucket_len)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg, dtype = self.model_cfg, self.dtype
+        impl = self.attention_impl
+
+        @jax.jit
+        def run(params, audio, lengths):
+            feats, mask = log_mel_frontend(audio, lengths)
+            feats, mask = _pad_seq_to_128(feats, mask)
+            logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
+                                 attention_impl=impl)
+            return jax.nn.log_softmax(logits, axis=-1), mask
+
+        self._jit_cache[key] = run
         return run
 
     def _fused_fn(self, bucket_len: int):
@@ -295,8 +320,11 @@ class ASREngine:
                   bucket_len: int) -> List[str]:
         """Transcribe [N, L] audio rows (padded to bucket_len).
         Dispatches every sub-batch before fetching any (async
-        pipelining, same as transcribe_chunks)."""
-        fn = self._device_fn(bucket_len)
+        pipelining, same as transcribe_chunks). beam_width > 1 decodes
+        the log posteriors with prefix beam search instead of greedy."""
+        beam = self.beam_width > 1
+        fn = self._logits_fn(bucket_len) if beam \
+            else self._device_fn(bucket_len)
         B = self.device_batch
         n = rows.shape[0]
         pending = []
@@ -312,6 +340,18 @@ class ASREngine:
                     [sl_len, np.full((pad,), bucket_len, np.int32)])
             pending.append((valid, fn(self.params, sl_rows, sl_len)))
         out_texts: List[str] = []
+        if beam:
+            from audio_processor_tpu.models.ctc_beam import ctc_beam_search
+
+            for valid, (log_probs, mask) in pending:
+                lp = np.asarray(log_probs)[:valid]
+                m = np.asarray(mask)[:valid].astype(bool)
+                for b in range(valid):
+                    hyps = ctc_beam_search(
+                        lp[b], self.vocab, beam_width=self.beam_width,
+                        word_bonus=self.beam_word_bonus, mask=m[b])
+                    out_texts.append(hyps[0][0] if hyps else "")
+            return out_texts
         for valid, (ids, mask) in pending:
             out_texts.extend(batch_decode(
                 np.asarray(ids)[:valid], self.vocab,

@@ -89,3 +89,56 @@ def test_batch_beam_decode_with_mask(vocab):
     logits2[1, 4:] = 100.0
     out2 = batch_beam_decode(logits2, vocab, mask=mask, beam_width=8)
     assert out2[1] == out[1]
+
+
+def test_message_path_beam_decoding_engine():
+    """beam_width > 1 routes the mono message path through prefix beam
+    search over the device log posteriors; results equal running
+    ctc_beam_search directly on the same posteriors."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_processor_tpu.config import PipelineConfig
+    from audio_processor_tpu.models.ctc_beam import ctc_beam_search
+
+    from tests.conftest import make_stereo_call
+    from tests.test_engine_e2e import tiny_engine
+
+    cfg = PipelineConfig(enable_mixed_precision=False,
+                         chunk_duration_sec=4.0, overlap_sec=1.0,
+                         length_buckets_sec=(2.0, 4.0),
+                         chunk_batch_size=2,
+                         extras={"beam_width": 4})
+    engine = tiny_engine(cfg)
+    assert engine.beam_width == 4
+    waves = [make_stereo_call(dur=2.0)[0], make_stereo_call(dur=3.5)[0]]
+    texts = engine.transcribe_mono_segments(waves)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+    # oracle: same posteriors through ctc_beam_search directly
+    from audio_processor_tpu.pipeline.chunker import chunk_batch, Chunk
+
+    chunks = [Chunk("", i, 0.0, 0.0, mixed=np.asarray(w, np.float32))
+              for i, w in enumerate(waves)]
+    expect = {}
+    for batch in chunk_batch(chunks, engine.bucket_samples):
+        rows = batch.audio[:, 0, :]
+        n = rows.shape[0]
+        B = engine.device_batch
+        pad = (-n) % B
+        rows = np.concatenate(
+            [rows, np.zeros((pad, batch.bucket_len), np.float32)])
+        lens = np.concatenate(
+            [batch.lengths, np.full((pad,), batch.bucket_len, np.int32)])
+        lp, mask = engine._logits_fn(batch.bucket_len)(
+            engine.params, rows, lens)
+        lp, mask = np.asarray(lp), np.asarray(mask).astype(bool)
+        for j, c in enumerate(batch.chunks):
+            hyp = ctc_beam_search(lp[j], engine.vocab, beam_width=4,
+                                  mask=mask[j])[0][0]
+            expect[c.chunk_idx] = hyp
+    assert texts == [expect[0], expect[1]]
+
+    # greedy default unchanged
+    cfg_g = cfg.replace(extras={})
+    assert tiny_engine(cfg_g).beam_width == 1
