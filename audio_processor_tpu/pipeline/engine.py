@@ -285,7 +285,8 @@ class DataProcessor:
                     {k: v for k, v in r.items()
                      if not k.endswith("_waveform")
                      and not k.endswith("_probabilities")
-                     and not k.endswith("_features")}
+                     and not k.endswith("_features")
+                     and not k.endswith("_words")}
                     for r in results)
             batch_seconds = time.perf_counter() - batch_t0
             # Per-call latency (batch residency is the per-file upper
