@@ -5,9 +5,10 @@ torchaudio stack, services/audio_processor.py:73-97):
 
 1. ``.wav`` — first-party reader (io/wav.py; C++ fast path via
    io/native.py when built).
-2. ``.ogg``/other — first-party native decoder if available, else an
-   ``ffmpeg`` subprocess (the reference's own mechanism) if the binary
-   exists, else a clear error.
+2. ``.ogg`` — payload-routed: Vorbis via the first-party decoders
+   (C++/Python), Opus via the in-process libopus binding (io/opus.py);
+   ``ffmpeg`` subprocess (the reference's own mechanism) and
+   pygame/SDL_mixer as last resorts, else a clear error.
 
 Every decode returns ([channels, frames] float32 in [-1, 1], rate).
 """
@@ -116,10 +117,24 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
                 return out
         return wav_mod.read(p)
     if suffix == ".ogg":
-        # First-party Vorbis decoders: C++ fast path (native/vorbis.cpp,
-        # ~590x realtime), then the validated Python reference
-        # (io/vorbis.py); ffmpeg/pygame remain as fallbacks for
-        # non-Vorbis OGG payloads (e.g. Opus).
+        # Payload-routed decode: Vorbis goes to the first-party
+        # decoders (C++ fast path native/vorbis.cpp ~590x realtime,
+        # then the validated Python reference io/vorbis.py); Opus goes
+        # to the in-process libopus binding (io/opus.py — first-party
+        # Ogg layer, no subprocess); ffmpeg/pygame remain as last
+        # resorts for anything else.
+        from audio_processor_tpu.io.ogg import probe_ogg
+
+        info = probe_ogg(p)
+        if info is not None and info.encoding == "opus":
+            from audio_processor_tpu.io import opus as opus_mod
+
+            if opus_mod.available():
+                try:
+                    return opus_mod.decode_opus(p)
+                except Exception as e:
+                    logger.warning("in-process opus decode failed for "
+                                   "%s (%s); falling back", p, e)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             out = nat.decode_vorbis(p)
@@ -153,16 +168,26 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     """Decode an in-memory WAV/OGG payload -> ([C, T] float32, sr).
 
     Serving path (serving.py): format sniffed from magic bytes. WAV
-    decodes fully in memory; OGG spools to a temp file so it gets the
-    same decoder chain as load_audio (C++ fast path ~590x realtime,
-    Python Vorbis reference, then ffmpeg/pygame for non-Vorbis
-    payloads like Opus)."""
+    and Ogg/Opus decode fully in memory; Ogg/Vorbis spools to a temp
+    file so it gets the same decoder chain as load_audio (C++ fast
+    path ~590x realtime, Python Vorbis reference, then ffmpeg/pygame
+    as last resorts)."""
     head = bytes(data[:4])
     if head == b"RIFF":
         return wav_mod.read_bytes(data)
     if head == b"OggS":
         import tempfile
 
+        data = bytes(data)
+        if b"OpusHead" in data[:1024]:
+            from audio_processor_tpu.io import opus as opus_mod
+
+            if opus_mod.available():
+                try:
+                    return opus_mod.decode_opus(data)
+                except Exception as e:
+                    logger.warning("in-process opus decode failed "
+                                   "(%s); falling back", e)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             with tempfile.NamedTemporaryFile(suffix=".ogg") as f:

@@ -1,0 +1,275 @@
+"""In-process Ogg/Opus decode via the system ``libopus``.
+
+The reference decodes every non-WAV container by shelling out to an
+``ffmpeg`` subprocess (services/audio_processor.py:76-86). The TPU
+build decodes Vorbis payloads fully first-party (io/vorbis.py,
+native/vorbis.cpp); Opus payloads decode IN PROCESS here: the Ogg
+container layer (page/packet demux, granule math, pre-skip and
+end-trim semantics per RFC 7845) is first-party and shared with the
+Vorbis decoder, and the Opus frame decode itself binds the system
+``libopus`` through ctypes — no subprocess, no ffmpeg binary, no
+temp files.
+
+Channel mapping families 0 (mono/stereo — the call-center format) and
+1 (Vorbis-order surround, via the multistream API) are supported.
+
+Output: ([channels, frames] float32 in [-1, 1], 48000). Opus always
+decodes at 48 kHz regardless of the encoder's input rate; downstream
+resampling (dsp/resample.py) handles the 16 kHz ASR rate exactly as
+it does for 44.1 kHz Vorbis output.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# Maximum samples in one Opus packet: 120 ms at 48 kHz.
+_MAX_FRAME = 5760
+_SR = 48000
+
+
+class OpusError(Exception):
+    pass
+
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    name = ctypes.util.find_library("opus")
+    if not name:
+        return None
+    try:
+        lib = ctypes.CDLL(name)
+        lib.opus_decoder_create.restype = ctypes.c_void_p
+        lib.opus_decoder_create.argtypes = [
+            ctypes.c_int32, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.opus_decoder_destroy.argtypes = [ctypes.c_void_p]
+        lib.opus_decode_float.restype = ctypes.c_int
+        lib.opus_decode_float.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+        lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+        lib.opus_multistream_decoder_create.argtypes = [
+            ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+        lib.opus_multistream_decoder_destroy.argtypes = [ctypes.c_void_p]
+        lib.opus_multistream_decode_float.restype = ctypes.c_int
+        lib.opus_multistream_decode_float.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    """True when the system libopus can be loaded."""
+    return _load() is not None
+
+
+class OpusHead:
+    """Parsed identification header (RFC 7845 §5.1)."""
+
+    def __init__(self, packet: bytes):
+        if packet[:8] != b"OpusHead" or len(packet) < 19:
+            raise OpusError("not an OpusHead packet")
+        self.version = packet[8]
+        if self.version >> 4 != 0:  # major version must be 0
+            raise OpusError(f"unsupported OpusHead version {self.version}")
+        self.channels = packet[9]
+        if self.channels < 1:
+            raise OpusError("OpusHead: zero channels")
+        self.pre_skip = struct.unpack_from("<H", packet, 10)[0]
+        self.input_sample_rate = struct.unpack_from("<I", packet, 12)[0]
+        self.output_gain_q8 = struct.unpack_from("<h", packet, 16)[0]
+        self.mapping_family = packet[18]
+        if self.mapping_family == 0:
+            if self.channels > 2:
+                raise OpusError(
+                    "mapping family 0 allows at most 2 channels")
+            self.stream_count = 1
+            self.coupled_count = self.channels - 1
+            self.mapping = bytes(range(self.channels))
+        else:
+            if len(packet) < 21 + self.channels:
+                raise OpusError("truncated channel mapping table")
+            self.stream_count = packet[19]
+            self.coupled_count = packet[20]
+            self.mapping = packet[21:21 + self.channels]
+            if self.stream_count < 1 or \
+                    self.coupled_count > self.stream_count:
+                raise OpusError("invalid stream/coupled counts")
+            nout = self.stream_count + self.coupled_count
+            if any(m != 255 and m >= nout for m in self.mapping):
+                raise OpusError("channel mapping index out of range")
+
+
+class _Decoder:
+    """RAII wrapper over opus(_multistream)_decoder."""
+
+    def __init__(self, head: OpusHead):
+        lib = _load()
+        if lib is None:
+            raise OpusError("libopus not available")
+        self._lib = lib
+        self._head = head
+        err = ctypes.c_int(0)
+        if head.mapping_family == 0:
+            self._ptr = lib.opus_decoder_create(
+                _SR, head.channels, ctypes.byref(err))
+            self._multi = False
+        else:
+            self._ptr = lib.opus_multistream_decoder_create(
+                _SR, head.channels, head.stream_count,
+                head.coupled_count, bytes(head.mapping),
+                ctypes.byref(err))
+            self._multi = True
+        if not self._ptr or err.value != 0:
+            raise OpusError(f"decoder create failed (err={err.value})")
+        self._buf = np.empty(_MAX_FRAME * head.channels, np.float32)
+        self._cbuf = self._buf.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float))
+
+    def decode(self, packet: bytes) -> np.ndarray:
+        """One packet -> [n, channels] float32 (a copy)."""
+        fn = (self._lib.opus_multistream_decode_float if self._multi
+              else self._lib.opus_decode_float)
+        n = fn(self._ptr, packet, len(packet), self._cbuf,
+               _MAX_FRAME, 0)
+        if n < 0:
+            raise OpusError(f"opus_decode_float failed (err={n})")
+        ch = self._head.channels
+        return self._buf[:n * ch].reshape(n, ch).copy()
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            if self._multi:
+                self._lib.opus_multistream_decoder_destroy(self._ptr)
+            else:
+                self._lib.opus_decoder_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _ogg_opus_packets(data: bytes):
+    """(packet, page_granule_or_None) pairs for the first Opus stream.
+
+    The granule is attached to the LAST packet completed on each page
+    (Ogg granule semantics); intermediate packets get None."""
+    pos = 0
+    serial = None
+    partial = b""
+    n = len(data)
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != b"OggS":
+            pos += 1
+            continue
+        header_type = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little",
+                                 signed=True)
+        page_serial = int.from_bytes(data[pos + 14:pos + 18], "little")
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + n_segs]
+        body = pos + 27 + n_segs
+        if serial is None:
+            # Bind to the first stream whose BOS packet is OpusHead.
+            first = data[body:body + (seg_table[0] if n_segs else 0)]
+            if (header_type & 0x2) and not first.startswith(b"OpusHead"):
+                pos = body + sum(seg_table)
+                continue
+            serial = page_serial
+        if page_serial != serial:
+            pos = body + sum(seg_table)
+            continue
+        if not (header_type & 0x1):
+            partial = b""
+        off = body
+        # Index of the last segment that completes a packet, so the
+        # page granule can be attached to that packet.
+        last_complete = -1
+        for i, seg in enumerate(seg_table):
+            if seg < 255:
+                last_complete = i
+        for i, seg in enumerate(seg_table):
+            partial += data[off:off + seg]
+            off += seg
+            if seg < 255:
+                yield partial, (granule if i == last_complete else None)
+                partial = b""
+        pos = off
+
+
+def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """Decode an Ogg/Opus file or byte buffer.
+
+    Returns ([channels, frames] float32 in [-1, 1], 48000), with
+    RFC 7845 pre-skip dropped, the tail trimmed to the final page's
+    granule position, and the header output gain applied.
+    """
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+
+    it = _ogg_opus_packets(data)
+    try:
+        first, _ = next(it)
+    except StopIteration:
+        raise OpusError("no Ogg packets found")
+    head = OpusHead(first)
+    try:
+        tags, _ = next(it)  # OpusTags (RFC 7845 §5.2), unused
+    except StopIteration:
+        raise OpusError("missing OpusTags packet")
+    if tags[:8] != b"OpusTags":
+        raise OpusError("second packet is not OpusTags")
+
+    dec = _Decoder(head)
+    try:
+        parts: List[np.ndarray] = []
+        total = 0
+        last_granule: Optional[int] = None
+        for packet, granule in it:
+            if not packet:
+                continue
+            pcm = dec.decode(packet)
+            parts.append(pcm)
+            total += pcm.shape[0]
+            if granule is not None and granule >= 0:
+                last_granule = granule
+    finally:
+        dec.close()
+
+    if not parts:
+        raise OpusError("no audio packets")
+    pcm = np.concatenate(parts, axis=0)  # [N, ch] at 48 kHz
+    # Trim: drop pre_skip from the start; the final granule counts
+    # samples INCLUDING pre_skip, so valid length = granule - pre_skip.
+    start = min(head.pre_skip, pcm.shape[0])
+    end = pcm.shape[0]
+    if last_granule is not None:
+        end = min(end, last_granule)
+    pcm = pcm[start:end]
+    if head.output_gain_q8:
+        pcm = pcm * (10.0 ** (head.output_gain_q8 / (20.0 * 256.0)))
+    out = np.ascontiguousarray(np.clip(pcm.T, -1.0, 1.0))
+    return out, _SR

@@ -1,0 +1,143 @@
+"""Ogg/Opus decode (io/opus.py) validated against an independent
+libopus *encoder* fixture (tests/opus_encoder.py).
+
+Reference behavior replaced: ffmpeg-subprocess decode of non-Vorbis
+.ogg payloads (services/audio_processor.py:76-86) — here fully
+in-process (first-party Ogg layer + system libopus via ctypes).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.io import opus as opus_mod
+
+try:
+    from tests.opus_encoder import (encode_ogg_opus, encoder_available,
+                                    opus_head, opus_tags)
+except Exception:  # pragma: no cover
+    encoder_available = lambda: False  # noqa: E731
+
+pytestmark = pytest.mark.skipif(
+    not (opus_mod.available() and encoder_available()),
+    reason="libopus not available in this image")
+
+SR = 48000
+
+
+def _sine_pcm(n, channels, freqs=(440.0, 1230.0)):
+    t = np.arange(n) / SR
+    cols = [0.5 * np.sin(2 * np.pi * freqs[c % len(freqs)] * t
+                         + 0.1 * c)
+            for c in range(channels)]
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
+def _corr(a, b):
+    a = a - a.mean()
+    b = b - b.mean()
+    den = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / den) if den else 0.0
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_roundtrip_length_and_fidelity(channels):
+    n = SR  # 1 s
+    pcm = _sine_pcm(n, channels)
+    data = encode_ogg_opus(pcm, channels)
+    out, rate = opus_mod.decode_opus(data)
+    assert rate == SR
+    assert out.shape == (channels, n)  # pre-skip + end-trim exact
+    # Lossy codec: require high correlation on band-limited content,
+    # ignoring the first/last 10 ms (codec warm-up transient).
+    for c in range(channels):
+        assert _corr(out[c, 480:-480], pcm[480:-480, c]) > 0.97
+
+
+def test_output_gain_applied():
+    pcm = _sine_pcm(SR // 2, 1)
+    flat = encode_ogg_opus(pcm, 1, gain_q8=0)
+    # Patch a +6.02 dB output gain (q7.8 value 1541) into OpusHead:
+    # decode must scale by ~2x (RFC 7845 section 5.1).
+    gain = int(round(np.log10(2.0) * 20 * 256))
+    out0, _ = opus_mod.decode_opus(flat)
+    boosted = encode_ogg_opus(pcm, 1, gain_q8=gain)
+    out2, _ = opus_mod.decode_opus(boosted)
+    r0 = np.sqrt((out0 ** 2).mean())
+    r2 = np.sqrt((out2 ** 2).mean())
+    assert 1.9 < r2 / r0 < 2.1
+
+
+def test_multistream_mapping_family1():
+    """Family-1 stereo (stream_count=1, coupled=1, mapping [0,1])
+    decodes through the multistream API to the same samples as the
+    equivalent family-0 stream."""
+    from tests.vorbis_encoder import ogg_page
+
+    pcm = _sine_pcm(SR // 2, 2)
+    data = encode_ogg_opus(pcm, 2)
+    ref, _ = opus_mod.decode_opus(data)
+
+    # Rebuild the stream with a family-1 head, same audio packets.
+    pkts = list(opus_mod._ogg_opus_packets(data))
+    head0 = opus_mod.OpusHead(pkts[0][0])
+    fam1_head = (b"OpusHead" + bytes([1, 2])
+                 + struct.pack("<HIh", head0.pre_skip, SR, 0)
+                 + bytes([1, 1, 1, 0, 1]))  # family 1, 1 stream 1 coupled
+    serial = 99
+    pages = [ogg_page([fam1_head], serial, 0, 0, 0x2),
+             ogg_page([opus_tags()], serial, 1, 0, 0x0)]
+    audio = pkts[2:]
+    granule = max(g for _, g in audio if g is not None)
+    pages.append(ogg_page([p for p, _ in audio], serial, 2, granule,
+                          0x4))
+    out, rate = opus_mod.decode_opus(b"".join(pages))
+    assert rate == SR
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_head_parse_errors():
+    with pytest.raises(opus_mod.OpusError):
+        opus_mod.OpusHead(b"NotOpus!" + b"\x00" * 16)
+    with pytest.raises(opus_mod.OpusError):
+        opus_mod.OpusHead(opus_head(3, 0))  # 3 ch in family 0
+    # Version major != 0 rejected.
+    bad = bytearray(opus_head(1, 0))
+    bad[8] = 0x20
+    with pytest.raises(opus_mod.OpusError):
+        opus_mod.OpusHead(bytes(bad))
+    # Family-1 mapping index out of range.
+    fam1 = (b"OpusHead" + bytes([1, 2]) + struct.pack("<HIh", 0, SR, 0)
+            + bytes([1, 1, 0, 0, 7]))
+    with pytest.raises(opus_mod.OpusError):
+        opus_mod.OpusHead(fam1)
+
+
+def test_load_audio_routes_opus(tmp_path):
+    from audio_processor_tpu.io.decode import load_audio, load_audio_bytes
+    from audio_processor_tpu.io.ogg import probe_ogg
+
+    pcm = _sine_pcm(SR // 2, 2)
+    data = encode_ogg_opus(pcm, 2)
+    p = tmp_path / "call.ogg"
+    p.write_bytes(data)
+
+    info = probe_ogg(p)
+    assert info is not None and info.encoding == "opus"
+    assert info.num_channels == 2 and info.sample_rate == SR
+    assert info.num_frames == pcm.shape[0]
+
+    out, rate = load_audio(p)
+    assert rate == SR and out.shape == (2, pcm.shape[0])
+
+    out_b, rate_b = load_audio_bytes(data)
+    np.testing.assert_array_equal(out_b, out)
+    assert rate_b == SR
+
+
+def test_truncated_stream_raises():
+    pcm = _sine_pcm(SR // 4, 1)
+    data = encode_ogg_opus(pcm, 1)
+    with pytest.raises(opus_mod.OpusError):
+        opus_mod.decode_opus(data[:50])  # mid-OpusHead page
