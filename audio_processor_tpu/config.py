@@ -58,6 +58,9 @@ class PipelineConfig:
     gpu_memory_fraction: float = 0.9
     enable_mixed_precision: bool = True
     enable_gradient_checkpointing: bool = False
+    # "int8": W8A8 encoder matmuls (2x MXU rate on v5e); "none" keeps
+    # the bit-match-parity bf16/fp32 path (default).
+    quantization: str = "none"
 
     # I/O (config.yaml:33-35)
     prefetch_factor: int = 3

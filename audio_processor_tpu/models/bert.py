@@ -59,9 +59,28 @@ def _ln(p, x, eps):
 
 
 def _dense(p, x):
+    if "kernel_q" in p:
+        from audio_processor_tpu.models.quant import dense_int8
+
+        return dense_int8(p, x)
     y = jnp.matmul(x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32)
     return (y + p["bias"]).astype(x.dtype)
+
+
+def quantize_params(params: Params) -> Params:
+    """int8 W8A8 copy of the classifier params (models/quant.py):
+    encoder attention q/k/v/output + FFN kernels quantized; embeddings,
+    pooler, and the classifier head stay fp32."""
+    from audio_processor_tpu.models.quant import copy_tree, quantize_dense
+
+    out = copy_tree(params)
+    L = out["layers"]
+    for proj in ("query", "key", "value", "output"):
+        L["attention"][proj] = quantize_dense(L["attention"][proj])
+    for part in ("intermediate", "output"):
+        L[part] = quantize_dense(L[part])
+    return out
 
 
 def _layer(p: Params, cfg: BertConfig, x: jnp.ndarray,

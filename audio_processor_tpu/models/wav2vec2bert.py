@@ -156,11 +156,43 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:
+        return _dense_int8(p, x)
     y = jnp.matmul(x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"]
     return y.astype(x.dtype)
+
+
+from audio_processor_tpu.models.quant import (  # noqa: E402
+    copy_tree as _copy_tree,
+    dense_int8 as _dense_int8,
+    quantize_dense as _quantize_dense,
+    quantize_kernel as _quantize_kernel,
+)
+
+
+def quantize_params(params: Params) -> Params:
+    """Return a copy of the param tree with the hot dense kernels
+    replaced by int8 weights + per-channel scales (picked up by
+    ``dense``). Quantized: ffn1/ffn2, attention q/k/v/out, conv
+    pointwise 1/2. Kept in fp32: feature projection and lm_head
+    (entry/exit numerics), LayerNorms, depthwise conv (VPU-bound),
+    distance embeddings. Params stay fp32 elsewhere; activation
+    quantization is dynamic per token inside ``dense``.
+    """
+    out = _copy_tree(params)
+    L = out["layers"]
+    q = _quantize_dense
+    for ffn in ("ffn1", "ffn2"):
+        for part in ("intermediate_dense", "output_dense"):
+            L[ffn][part] = q(L[ffn][part])
+    for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        L["self_attn"][proj] = q(L["self_attn"][proj])
+    for pw in ("pointwise_conv1", "pointwise_conv2"):
+        L["conv_module"][pw] = q(L["conv_module"][pw])
+    return out
 
 
 def swish(x):
@@ -265,8 +297,7 @@ def conv_module(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
     x = layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
     x = x * pad_mask[..., None].astype(x.dtype)
 
-    x = jnp.matmul(x, p["pointwise_conv1"]["kernel"].astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    x = dense(p["pointwise_conv1"], x)
     a, g = jnp.split(x, 2, axis=-1)
     x = a * jax.nn.sigmoid(g)                                   # GLU
 
@@ -282,9 +313,7 @@ def conv_module(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
 
     x = layer_norm(p["depthwise_layer_norm"], x, cfg.layer_norm_eps)
     x = swish(x)
-    x = jnp.matmul(x, p["pointwise_conv2"]["kernel"].astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-    return x
+    return dense(p["pointwise_conv2"], x)
 
 
 def encoder_layer(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,

@@ -78,6 +78,21 @@ class ASREngine:
         self.mesh = mesh
         if params is None:
             params, model_cfg, vocab = self._load_or_init()
+        # Opt-in W8A8 int8 inference: per-channel weight + per-token
+        # activation quantization on the encoder's dense matmuls
+        # (models/wav2vec2bert.quantize_params). The v5e MXU runs
+        # int8 at 2x its bf16 rate; logits stay within ~1e-2 relative
+        # of the fp path (test_quant). Off by default — the parity
+        # contract (bit-matched transcripts) holds for the default
+        # bf16/fp32 path.
+        self.quantization = str(config.get("quantization", "none"))
+        if self.quantization == "int8":
+            logger.info("int8 W8A8 inference enabled")
+            params = w2v.quantize_params(params)
+        elif self.quantization not in ("none", ""):
+            raise ValueError(
+                f"unknown quantization mode {self.quantization!r} "
+                "(expected 'none' or 'int8')")
         self.params = params
         self.model_cfg = model_cfg
         self.vocab = vocab or CTCVocab.darija_default()

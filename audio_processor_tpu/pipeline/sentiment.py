@@ -99,6 +99,9 @@ class TextSentimentAnalyzer:
 
         params = jax.tree.map(jnp.asarray, convert_bert_classifier(
             model.state_dict(), hf_cfg.num_hidden_layers))
+        if str(self.config.get("quantization", "none")) == "int8":
+            # Same opt-in W8A8 mode as the ASR encoder (models/quant.py).
+            params = bert_mod.quantize_params(params)
         fwd = jax.jit(lambda p, ids, mask: jax.nn.softmax(
             bert_mod.forward(p, cfg, ids, mask), axis=-1))
         return {"params": params, "cfg": cfg, "tokenizer": tokenizer,
