@@ -12,18 +12,18 @@ This kernel keeps everything in VMEM:
   padded to 128 lanes. That is ~10x smaller than q itself.
 - Inside the kernel, each (batch, head) program barrel-shifts a
   [L, W=256] wrapped copy of its bucket logits so that
-  ``t[l, c] = s_rel[l, (c - l + left) mod W]``; the bias for kv block
-  ``ki`` at in-band distances is then the width-BK slice starting at
-  ``(ki*BK) mod W`` — always 128-aligned (a Mosaic requirement for
-  lane-dim slices); the table is extended by BK columns so the slice
-  never wraps. Distances outside the band — which is almost
-  everywhere, since the clip saturates for ``m-l`` outside
-  [-left, right] — are recovered with iota-based selects of the two
-  saturation columns ``s_rel[l, 0]`` / ``s_rel[l, P-1]``. No gathers,
-  no expansion matmul, ~2 MB of scratch instead of the previous
-  [L, 2L] fp32 window (13 MB at L=1280, a VMEM OOM).
-- The whole q axis is one tile; kv blocks stream with the standard
-  online-softmax m/l/acc recurrence (fp32).
+  ``t[l, c] = s_rel[l, (c - l + left) mod W]``. kv positions stream in
+  pairs of 128-lane blocks (KB=256 columns per grid step = exactly W),
+  so the in-band bias for step ``ki`` is the WHOLE table — the slice
+  offset ``(ki*KB) mod W`` is always 0 and no dynamic lane slicing is
+  needed at all. Distances outside the band — almost everywhere,
+  since the clip saturates for ``m-l`` outside [-left, right] — are
+  recovered with selects of the two saturation columns against a
+  distance grid ``d = d_base + ki*KB`` whose base (``j - l``) is built
+  once per program into scratch. No gathers, no expansion matmul.
+- The whole q axis is one tile; kv double-blocks stream with the
+  standard online-softmax m/l/acc recurrence (fp32), so the running
+  max/denominator updates run half as often as a 128-column kernel.
 
 Semantics match ``softmax((q k^T + rel) * sm_scale + mask_bias) @ v``
 with mask_bias = -1e9 on padded kv positions. Verified against a dense
@@ -40,14 +40,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BK = 128             # kv tile size
-W = 256              # wrapped rel-table width (power of two, >= 2*BK)
+BK = 128             # kv lane block (Mosaic lane width)
+KB = 256             # kv columns per grid step (2 blocks)
+W = 256              # wrapped rel-table width; == KB so slices are whole-table
 
 
 def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
-            o_ref, m_scr, l_scr, acc_scr, t_scr, *, sm_scale: float,
-            kv_blocks: int, seq_len: int, left: int, right: int,
-            num_buckets: int):
+            o_ref, m_scr, l_scr, acc_scr, t_scr, d_scr, *,
+            sm_scale: float, kv_steps: int, seq_len: int, left: int,
+            right: int, num_buckets: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -56,11 +57,8 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
         # Wrapped rolled table: t[l, c] = s_rel[l, (c - l + left) mod W]
-        # — `left` is absorbed into the roll so per-block slices start
-        # at (ki*BK) % W, a multiple of 128 (Mosaic requires lane-dim
-        # slice starts provably 128-aligned). Aligned with a log2
-        # barrel shift (masked rolls); extended by BK columns so
-        # slices never wrap.
+        # — `left` is absorbed into the roll. Aligned with a log2
+        # barrel shift (masked rolls).
         u = srel_ref[0, 0].astype(jnp.float32)          # [L, 128]
         u = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)  # [L, W]
         rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
@@ -70,34 +68,34 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
             rolled = pltpu.roll(u, bit, axis=1)
             u = jnp.where((amount & bit) != 0, rolled, u)
             bit *= 2
-        t_scr[:, :W] = u
-        t_scr[:, W:] = u[:, :BK]
+        t_scr[...] = u
+        # Distance-grid base: d_base[l, j] = j - l for the KB columns
+        # of one kv step; step ki covers distances d_base + ki*KB.
+        d_scr[...] = (
+            jax.lax.broadcasted_iota(jnp.int32, (seq_len, KB), 1)
+            - jax.lax.broadcasted_iota(jnp.int32, (seq_len, KB), 0))
 
     q = q_ref[0, 0]                                   # [L, d]
-    k = k_ref[0, 0]                                   # [BK, d]
-    v = v_ref[0, 0]                                   # [BK, d]
+    k = k_ref[0, 0]                                   # [KB, d]
+    v = v_ref[0, 0]                                   # [KB, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [L, BK]
+        preferred_element_type=jnp.float32)           # [L, KB]
 
-    # Relative bias. In-band (-left <= m-l <= right): slice of the
-    # rolled table at bucket p = (m - l) + left. Out of band: the clip
-    # saturates, so the bias is the per-row saturation column.
-    off = pl.multiple_of((ki * BK) % W, BK)
-    band = t_scr[:, pl.ds(off, BK)]                   # [L, BK]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (seq_len, BK), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (seq_len, BK), 1)
-    d_grid = ki * BK + cols - rows                    # m - l
+    # Relative bias. In-band (-left <= m-l <= right): the rolled table
+    # (whole-table read; KB == W makes every step's slice offset 0).
+    # Out of band the clip saturates to the per-row boundary columns.
+    d_grid = d_scr[...] + ki * KB                     # m - l
     srel = srel_ref[0, 0].astype(jnp.float32)
     lo = srel[:, :1]                                  # q·E[0]
     hi = srel[:, num_buckets - 1:num_buckets]         # q·E[P-1]
     rel = jnp.where(d_grid < -left, lo,
-                    jnp.where(d_grid > right, hi, band))
+                    jnp.where(d_grid > right, hi, t_scr[...]))
     s = (s + rel) * sm_scale
 
     # Padding mask on kv positions: masked (0) -> add -1e9.
-    kv_mask = kvmask_ref[0, 0]                        # [BK] {0,1}
+    kv_mask = kvmask_ref[0, 0]                        # [KB] {0,1}
     s = s + (kv_mask[None, :] - 1.0) * 1e9
 
     m_prev, l_prev = m_scr[...], l_scr[...]
@@ -111,7 +109,7 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
-    @pl.when(ki == kv_blocks - 1)
+    @pl.when(ki == kv_steps - 1)
     def _finish():
         denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
         o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
@@ -125,27 +123,27 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q/k/v: [B, H, L, d]; s_rel: [B, H, L, 128] (bucket logits, padded
     to 128 lanes; only the first ``num_buckets`` columns are real);
-    kv_mask: [B, L] float {0,1}. L must be a multiple of 128.
+    kv_mask: [B, L] float {0,1}. L must be a multiple of KB (256).
     """
     B, H, L, d = q.shape
-    assert L % BK == 0, f"L={L} must be a multiple of {BK}"
+    assert L % KB == 0, f"L={L} must be a multiple of {KB}"
     assert num_buckets <= 128, "bucket logits must fit one 128 lane tile"
     right = num_buckets - 1 - left
-    nk = L // BK
+    nk = L // KB
     grid = (B, H, nk)
 
     kernel = functools.partial(_kernel, sm_scale=float(sm_scale),
-                               kv_blocks=nk, seq_len=L, left=left,
+                               kv_steps=nk, seq_len=L, left=left,
                                right=right, num_buckets=num_buckets)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, L, d), lambda b, h, ki: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, BK, d), lambda b, h, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, BK, d), lambda b, h, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, KB, d), lambda b, h, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, KB, d), lambda b, h, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, L, 128), lambda b, h, ki: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, BK), lambda b, h, ki: (b, 0, ki)),
+            pl.BlockSpec((1, 1, KB), lambda b, h, ki: (b, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, 1, L, d), lambda b, h, ki:
                                (b, h, 0, 0)),
@@ -154,7 +152,8 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((L, 128), jnp.float32),      # m
             pltpu.VMEM((L, 128), jnp.float32),      # l
             pltpu.VMEM((L, d), jnp.float32),        # acc
-            pltpu.VMEM((L, W + BK), jnp.float32),   # rolled rel table
+            pltpu.VMEM((L, W), jnp.float32),        # rolled rel table
+            pltpu.VMEM((L, KB), jnp.int32),         # distance-grid base
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),

@@ -239,7 +239,7 @@ def self_attention(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
     v = dense(p["linear_v"], x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     scale = 1.0 / np.sqrt(hd)
 
-    if impl == "flash_rel" and L % 128 == 0:
+    if impl == "flash_rel" and L % 256 == 0:
         # Custom Pallas kernel: the relative-key bias is expanded
         # INSIDE the kernel from [B,H,L,P] bucket logits, so no
         # [B,H,L,L] bias tensor ever exists in HBM

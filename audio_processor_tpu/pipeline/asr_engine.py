@@ -37,11 +37,11 @@ logger = logging.getLogger(__name__)
 
 
 def _pad_seq_to_128(feats: jnp.ndarray, mask: jnp.ndarray):
-    """Pad the feature-frame axis to a multiple of 128 (flash
-    attention block divisibility; padding is masked so logits of valid
-    frames are unchanged — tested in test_wav2vec2bert)."""
+    """Pad the feature-frame axis to a multiple of 256 (the flash_rel
+    kernel streams kv in 256-column steps; padding is masked so logits
+    of valid frames are unchanged — tested in test_wav2vec2bert)."""
     L = feats.shape[1]
-    pad = (-L) % 128
+    pad = (-L) % 256
     if pad:
         feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))

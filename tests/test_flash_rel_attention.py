@@ -37,9 +37,10 @@ def run_kernel(q, k, v, E, kv_mask, scale):
         scale, LEFT, P, interpret=True))
 
 
-@pytest.mark.parametrize("L", [128, 384, 640])
+@pytest.mark.parametrize("L", [256, 512, 768])
 def test_kernel_matches_dense(rng, L):
-    """Covers single-tile, band-only, and fully-clipped tile offsets."""
+    """Covers single-step, band-only, and fully-clipped step offsets
+    (kv streams in 256-column steps)."""
     B, H, d = 1, 2, 64
     q = rng.standard_normal((B, H, L, d)).astype(np.float32)
     k = rng.standard_normal((B, H, L, d)).astype(np.float32)
@@ -97,7 +98,7 @@ def test_kernel_randomized_geometries(seed):
     wrapped-roll alignment, both slice offsets, saturation selects, and
     ragged masks across bucket geometries beyond the fixed cases."""
     rng = np.random.default_rng(100 + seed)
-    L = int(rng.choice([128, 256, 384, 512, 768, 1024]))
+    L = int(rng.choice([256, 512, 768, 1024]))
     left = int(rng.choice([8, 16, 64, 100]))
     right = int(rng.choice([0, 4, 8, 27]))
     P_ = left + right + 1
