@@ -76,8 +76,12 @@ def main():
         engine.transcribe_chunks = timed("asr", engine.transcribe_chunks)
         analyzer.text_analyzer.analyze_batch_sentiment = timed(
             "text_bert", analyzer.text_analyzer.analyze_batch_sentiment)
-        analyzer.acoustic_analyzer.analyze_batch_sentiment = timed(
-            "acoustic", analyzer.acoustic_analyzer.analyze_batch_sentiment)
+        analyzer.acoustic_analyzer.classify_features = timed(
+            "acoustic_classify", analyzer.acoustic_analyzer.classify_features)
+        analyzer._save_chunks_to_database = timed(
+            "chunk_db", analyzer._save_chunks_to_database)
+        analyzer._update_calls_aggregated_emotions = timed(
+            "aggregation", analyzer._update_calls_aggregated_emotions)
         analyzer.analyze_batch_sentiment = timed(
             "sentiment_total", analyzer.analyze_batch_sentiment)
 
@@ -104,7 +108,7 @@ def main():
                 if k in ("decode", "asr", "sentiment_total"))
             print(f"total sweep          : {total*1e3:7.0f} ms", flush=True)
             for k in ("decode", "asr", "sentiment_total", "text_bert",
-                      "acoustic"):
+                      "acoustic_classify", "chunk_db", "aggregation"):
                 print(f"{k:21s}: {T.get(k, 0.0)*1e3:7.0f} ms", flush=True)
             print(f"{'scan+markers+csv+db':21s}: {other*1e3:7.0f} ms",
                   flush=True)
