@@ -24,6 +24,16 @@ This kernel keeps everything in VMEM:
 - The whole q axis is one tile; kv double-blocks stream with the
   standard online-softmax m/l/acc recurrence (fp32), so the running
   max/denominator updates run half as often as a 128-column kernel.
+- Every per-step tensor op is 128-lane aligned: the saturation
+  columns are broadcast once per program into [L, 128] scratches, the
+  running max is tiled (not lane-sliced) before the subtraction, the
+  row sum rides 64 ones-lanes appended to v (so the av matmul emits
+  [acc | rowsum·ones] in one aligned dot), and the rescale factors are
+  consumed as aligned 64-lane slices. Single-lane ``[:, :1]`` slices
+  with implicit lane-broadcasts — the previous formulation — lower to
+  per-vreg shuffles on Mosaic and cost ~7 ms/layer at production
+  geometry (measured: tools/profile_kernel_parts.py), ~35% of the
+  whole kernel.
 
 Semantics match ``softmax((q k^T + rel) * sm_scale + mask_bias) @ v``
 with mask_bias = -1e9 on padded kv positions. Verified against a dense
@@ -46,7 +56,7 @@ W = 256              # wrapped rel-table width; == KB so slices are whole-table
 
 
 def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
-            o_ref, m_scr, l_scr, acc_scr, t_scr, d_scr, *,
+            o_ref, m_scr, l_scr, acc_scr, t_scr, d_scr, lo_scr, hi_scr, *,
             sm_scale: float, kv_steps: int, seq_len: int, left: int,
             right: int, num_buckets: int):
     ki = pl.program_id(2)
@@ -74,6 +84,13 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
         d_scr[...] = (
             jax.lax.broadcasted_iota(jnp.int32, (seq_len, KB), 1)
             - jax.lax.broadcasted_iota(jnp.int32, (seq_len, KB), 0))
+        # Saturation columns, pre-broadcast to full lane tiles ONCE
+        # per program (a single-lane slice broadcast is an expensive
+        # per-vreg shuffle — keep it out of the per-step loop).
+        srel = srel_ref[0, 0].astype(jnp.float32)
+        lo_scr[...] = jnp.broadcast_to(srel[:, :1], lo_scr.shape)
+        hi_scr[...] = jnp.broadcast_to(
+            srel[:, num_buckets - 1:num_buckets], hi_scr.shape)
 
     q = q_ref[0, 0]                                   # [L, d]
     k = k_ref[0, 0]                                   # [KB, d]
@@ -85,11 +102,11 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
 
     # Relative bias. In-band (-left <= m-l <= right): the rolled table
     # (whole-table read; KB == W makes every step's slice offset 0).
-    # Out of band the clip saturates to the per-row boundary columns.
+    # Out of band the clip saturates to the per-row boundary columns
+    # (read as aligned [L, 128] tiles, duplicated across the KB lanes).
     d_grid = d_scr[...] + ki * KB                     # m - l
-    srel = srel_ref[0, 0].astype(jnp.float32)
-    lo = srel[:, :1]                                  # q·E[0]
-    hi = srel[:, num_buckets - 1:num_buckets]         # q·E[P-1]
+    lo = jnp.tile(lo_scr[...], (1, KB // 128))        # [L, KB]
+    hi = jnp.tile(hi_scr[...], (1, KB // 128))
     rel = jnp.where(d_grid < -left, lo,
                     jnp.where(d_grid > right, hi, t_scr[...]))
     s = (s + rel) * sm_scale
@@ -98,29 +115,31 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
     kv_mask = kvmask_ref[0, 0]                        # [KB] {0,1}
     s = s + (kv_mask[None, :] - 1.0) * 1e9
 
-    m_prev, l_prev = m_scr[...], l_scr[...]
+    m_prev, l_prev = m_scr[...], l_scr[...]           # [L, 128]
     m_curr = jnp.max(s, axis=1)[:, None]              # [L, 1]
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-    p = jnp.exp(s - m_next[:, :1])
-    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - jnp.tile(m_next, (1, KB // 128)))  # aligned tile
+    alpha = jnp.exp(m_prev - m_next)                  # [L, 128]
     m_scr[...] = m_next
 
-    # Fold the row-sum reduction into the av matmul: augment v with a
-    # ones column so the MXU produces [acc | sum(p)] in one dot — the
-    # cross-lane sum reduce was ~20% of the kernel's VPU time, and the
-    # widened dot is free (the d=64 operand already occupies a full
-    # 128-lane MXU tile).
+    # Fold the row-sum reduction into the av matmul: augment v with 64
+    # ones-lanes so the MXU produces [acc | rowsum·ones] in one
+    # aligned dot (the widened N=128 operand costs the same MXU time
+    # as the d=64 one — one 128-lane tile either way), and the rowsum
+    # lands as a full aligned 64-lane block, not a single lane.
     d = v.shape[1]
     v1 = jnp.concatenate(
-        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)  # [KB, d+1]
+        [v, jnp.ones((v.shape[0], 128 - d), v.dtype)], axis=1)
     pv = jax.lax.dot(p.astype(v.dtype), v1,
-                     preferred_element_type=jnp.float32)  # [L, d+1]
-    l_scr[...] = alpha * l_prev + pv[:, d:d + 1]
-    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv[:, :d]
+                     preferred_element_type=jnp.float32)  # [L, 128]
+    rowsum = pv[:, d:]                                # [L, 64], all equal
+    l_scr[...] = alpha * l_prev + jnp.concatenate(
+        [rowsum, rowsum], axis=1)
+    acc_scr[...] = acc_scr[...] * alpha[:, :d] + pv[:, :d]
 
     @pl.when(ki == kv_steps - 1)
     def _finish():
-        denom = jnp.maximum(l_scr[...][:, :1], 1e-37)
+        denom = jnp.maximum(l_scr[...][:, :d], 1e-37)  # [L, d] aligned
         o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
@@ -132,10 +151,13 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q/k/v: [B, H, L, d]; s_rel: [B, H, L, 128] (bucket logits, padded
     to 128 lanes; only the first ``num_buckets`` columns are real);
-    kv_mask: [B, L] float {0,1}. L must be a multiple of KB (256).
+    kv_mask: [B, L] float {0,1}. L must be a multiple of KB (256);
+    d must be 64 (the conformer head size) so the ones-augmented av
+    dot stays one 128-lane tile.
     """
     B, H, L, d = q.shape
     assert L % KB == 0, f"L={L} must be a multiple of {KB}"
+    assert d == 64, f"head dim {d} != 64 (ones-augmented av layout)"
     assert num_buckets <= 128, "bucket logits must fit one 128 lane tile"
     right = num_buckets - 1 - left
     nk = L // KB
@@ -163,6 +185,8 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((L, d), jnp.float32),        # acc
             pltpu.VMEM((L, W), jnp.float32),        # rolled rel table
             pltpu.VMEM((L, KB), jnp.int32),         # distance-grid base
+            pltpu.VMEM((L, 128), jnp.float32),      # lo saturation tile
+            pltpu.VMEM((L, 128), jnp.float32),      # hi saturation tile
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
