@@ -7,20 +7,24 @@ generic flash-attention ``ab`` input require) costs ~2.5 GB of HBM
 write+read per layer at production geometry (B=48, H=16, L=1280 bf16).
 This kernel keeps everything in VMEM:
 
-- Outside the kernel we compute the *bucketed* rel logits once:
-  ``s_rel[b, h, l, p] = q·E[p]`` — P = left+right+1 buckets (73),
-  padded to 128 lanes. That is ~10x smaller than q itself.
-- Inside the kernel, each (batch, head) program barrel-shifts a
-  [L, W=256] wrapped copy of its bucket logits so that
-  ``t[l, c] = s_rel[l, (c - l + left) mod W]``. kv positions stream in
-  pairs of 128-lane blocks (KB=256 columns per grid step = exactly W),
-  so the in-band bias for step ``ki`` is the WHOLE table — the slice
-  offset ``(ki*KB) mod W`` is always 0 and no dynamic lane slicing is
-  needed at all. Distances outside the band — almost everywhere,
-  since the clip saturates for ``m-l`` outside [-left, right] — are
-  recovered with selects of the two saturation columns against a
-  distance grid ``d = d_base + ki*KB`` whose base (``j - l``) is built
-  once per program into scratch. No gathers, no expansion matmul.
+- The raw distance-embedding table ``E`` ([P, d] padded to [128, d],
+  a few KB) is the only bias input; each (batch, head) program
+  computes its *bucketed* rel logits ``s_rel[l, p] = q_l·E[p]`` with
+  one small MXU dot at its first kv step. (Earlier revisions computed
+  the [B, H, L, 128] logits with an XLA einsum outside the kernel:
+  that cost ~1 GB of HBM write+read per layer plus a 0.7 MB DMA per
+  program — all gone.)
+- The program barrel-shifts a [L, W=256] wrapped copy of its bucket
+  logits so that ``t[l, c] = s_rel[l, (c - l + left) mod W]``. kv
+  positions stream in pairs of 128-lane blocks (KB=256 columns per
+  grid step = exactly W), so the in-band bias for step ``ki`` is the
+  WHOLE table — the slice offset ``(ki*KB) mod W`` is always 0 and no
+  dynamic lane slicing is needed at all. Distances outside the band —
+  almost everywhere, since the clip saturates for ``m-l`` outside
+  [-left, right] — are recovered with selects of the two saturation
+  columns against a distance grid ``d = d_base + ki*KB`` whose base
+  (``j - l``) is built once per program into scratch. No gathers, no
+  expansion matmul.
 - The whole q axis is one tile; kv double-blocks stream with the
   standard online-softmax m/l/acc recurrence (fp32), so the running
   max/denominator updates run half as often as a 128-column kernel.
@@ -30,7 +34,7 @@ This kernel keeps everything in VMEM:
   row sum rides 64 ones-lanes appended to v (so the av matmul emits
   [acc | rowsum·ones] in one aligned dot), and the rescale factors are
   consumed as aligned 64-lane slices. Single-lane ``[:, :1]`` slices
-  with implicit lane-broadcasts — the previous formulation — lower to
+  with implicit lane-broadcasts — the original formulation — lower to
   per-vreg shuffles on Mosaic and cost ~7 ms/layer at production
   geometry (measured: tools/profile_kernel_parts.py), ~35% of the
   whole kernel.
@@ -55,7 +59,7 @@ KB = 256             # kv columns per grid step (2 blocks)
 W = 256              # wrapped rel-table width; == KB so slices are whole-table
 
 
-def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
+def _kernel(q_ref, k_ref, v_ref, e_ref, kvmask_ref,
             o_ref, m_scr, l_scr, acc_scr, t_scr, d_scr, lo_scr, hi_scr, *,
             sm_scale: float, kv_steps: int, seq_len: int, left: int,
             right: int, num_buckets: int):
@@ -66,11 +70,16 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        # Bucket logits for this (batch, head): s_rel[l, p] = q_l·E[p]
+        # — one [L, d] x [d, 128] MXU dot, fp32 accumulation (the same
+        # numbers the former outside-the-kernel einsum produced).
+        srel = jax.lax.dot_general(
+            q_ref[0, 0], e_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [L, 128]
         # Wrapped rolled table: t[l, c] = s_rel[l, (c - l + left) mod W]
         # — `left` is absorbed into the roll. Aligned with a log2
         # barrel shift (masked rolls).
-        u = srel_ref[0, 0].astype(jnp.float32)          # [L, 128]
-        u = jnp.concatenate([u, jnp.zeros_like(u)], axis=1)  # [L, W]
+        u = jnp.concatenate([srel, jnp.zeros_like(srel)], axis=1)
         rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
         amount = (rows - left) & (W - 1)                # (l - left) mod W
         bit = 1
@@ -87,7 +96,6 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
         # Saturation columns, pre-broadcast to full lane tiles ONCE
         # per program (a single-lane slice broadcast is an expensive
         # per-vreg shuffle — keep it out of the per-step loop).
-        srel = srel_ref[0, 0].astype(jnp.float32)
         lo_scr[...] = jnp.broadcast_to(srel[:, :1], lo_scr.shape)
         hi_scr[...] = jnp.broadcast_to(
             srel[:, num_buckets - 1:num_buckets], hi_scr.shape)
@@ -144,21 +152,25 @@ def _kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
 
 
 def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                        s_rel: jnp.ndarray, kv_mask: jnp.ndarray,
+                        E: jnp.ndarray, kv_mask: jnp.ndarray,
                         sm_scale: float, left: int, num_buckets: int,
                         interpret: bool = False) -> jnp.ndarray:
-    """softmax((qk^T + expand(s_rel)) * sm_scale + mask) @ v.
+    """softmax((qk^T + rel(q, E)) * sm_scale + mask) @ v.
 
-    q/k/v: [B, H, L, d]; s_rel: [B, H, L, 128] (bucket logits, padded
-    to 128 lanes; only the first ``num_buckets`` columns are real);
+    q/k/v: [B, H, L, d]; E: [P, d] distance-embedding table
+    (P = num_buckets <= 128; padded to 128 rows internally);
     kv_mask: [B, L] float {0,1}. L must be a multiple of KB (256);
     d must be 64 (the conformer head size) so the ones-augmented av
-    dot stays one 128-lane tile.
+    dot stays one 128-lane tile. The bucket logits q·E are computed
+    inside the kernel (fp32 accumulation), so no [B, H, L, P] tensor
+    ever exists in HBM.
     """
     B, H, L, d = q.shape
     assert L % KB == 0, f"L={L} must be a multiple of {KB}"
     assert d == 64, f"head dim {d} != 64 (ones-augmented av layout)"
-    assert num_buckets <= 128, "bucket logits must fit one 128 lane tile"
+    assert num_buckets <= 128, "bucket table must fit one 128 lane tile"
+    assert E.shape[0] == num_buckets and E.shape[1] == d, E.shape
+    E_pad = jnp.pad(E.astype(q.dtype), ((0, 128 - num_buckets), (0, 0)))
     right = num_buckets - 1 - left
     nk = L // KB
     grid = (B, H, nk)
@@ -173,7 +185,7 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, 1, L, d), lambda b, h, ki: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, KB, d), lambda b, h, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, KB, d), lambda b, h, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, L, 128), lambda b, h, ki: (b, h, 0, 0)),
+            pl.BlockSpec((128, d), lambda b, h, ki: (0, 0)),
             pl.BlockSpec((1, 1, KB), lambda b, h, ki: (b, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, 1, L, d), lambda b, h, ki:
@@ -191,4 +203,4 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, s_rel, kv_mask[:, None, :])
+    )(q, k, v, E_pad, kv_mask[:, None, :])

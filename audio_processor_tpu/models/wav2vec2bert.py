@@ -250,15 +250,13 @@ def self_attention(p: Params, cfg: W2VBertConfig, x: jnp.ndarray,
 
         P = cfg.num_positions
         E = p["distance_embedding"].astype(x.dtype)        # [P, hd]
-        E_pad = jnp.pad(E, ((0, 128 - P), (0, 0)))
-        # fp32 accumulation AND fp32 result: the rel logits add to
-        # fp32-accumulated qk scores inside the kernel; rounding them
-        # to bf16 here costs ~5% greedy-id flips vs the xla path.
-        s_rel = jnp.einsum("bhld,pd->bhlp", q, E_pad,
-                           preferred_element_type=jnp.float32)
+        # The bucket logits q·E are computed INSIDE the kernel (fp32
+        # accumulation — the rel logits add to fp32-accumulated qk
+        # scores; rounding them to bf16 costs ~5% greedy-id flips vs
+        # the xla path), so no [B, H, L, P] tensor exists in HBM.
         kv_mask = (attn_bias[:, 0, 0, :] >= 0).astype(jnp.float32)
         out = flash_rel_attention(
-            q, k, v, s_rel, kv_mask, float(scale),
+            q, k, v, E, kv_mask, float(scale),
             cfg.left_max_position_embeddings, P).astype(x.dtype)
     elif impl == "flash" and L % 128 == 0:
         # Pallas TPU flash attention: the [B,H,L,L] score/prob tensors

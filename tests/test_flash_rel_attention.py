@@ -28,12 +28,9 @@ def dense_reference(q, k, v, E, kv_mask, scale):
 def run_kernel(q, k, v, E, kv_mask, scale):
     import jax.numpy as jnp
 
-    B, H, L, d = q.shape
-    s_rel = np.zeros((B, H, L, 128), np.float32)
-    s_rel[..., :P] = np.einsum("bhld,pd->bhlp", q, E)
     return np.asarray(flash_rel_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-        jnp.asarray(s_rel), jnp.asarray(kv_mask),
+        jnp.asarray(E), jnp.asarray(kv_mask),
         scale, LEFT, P, interpret=True))
 
 
@@ -129,11 +126,9 @@ def test_kernel_randomized_geometries(seed):
     p = p / p.sum(-1, keepdims=True)
     ref = np.einsum("bhlm,bhmd->bhld", p, v)
 
-    s_rel = np.zeros((B, H, L, 128), np.float32)
-    s_rel[..., :P_] = np.einsum("bhld,pd->bhlp", q, E)
     out = np.asarray(flash_rel_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-        jnp.asarray(s_rel), jnp.asarray(kv_mask),
+        jnp.asarray(E), jnp.asarray(kv_mask),
         scale, left, P_, interpret=True))
     np.testing.assert_allclose(out[0], ref[0], atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(out[1, :, :, :], ref[1, :, :, :],

@@ -64,9 +64,10 @@ def main():
         flash_rel_attention,
     )
 
+    E = dev((NUM_BUCKETS, D))
     bench("flash_rel (ours)", jax.jit(
         lambda q, k, v, s, m: flash_rel_attention(
-            q, k, v, s, m, scale, LEFT, NUM_BUCKETS)),
+            q, k, v, E, m, scale, LEFT, NUM_BUCKETS)),
         (q, k, v, srel, kv_mask), reps)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (

@@ -289,9 +289,14 @@ def main():
 
     for mode in variants:
         if mode == "shipped":
+            # The shipped kernel takes the raw [P, d] embedding table
+            # (bucket logits are computed in-kernel).
+            E = jnp.asarray(
+                np.random.default_rng(1).standard_normal(
+                    (NUM_BUCKETS, D)) * 0.05, jnp.bfloat16)
             call = (lambda q, k, v, s_rel, kv_mask:
                     fra.flash_rel_attention(
-                        q, k, v, s_rel, kv_mask,
+                        q, k, v, E, kv_mask,
                         float(1.0 / np.sqrt(D)), LEFT, NUM_BUCKETS))
             bench(mode, call, (q, k, v, srel, kv_mask))
         elif mode.startswith("bare"):
