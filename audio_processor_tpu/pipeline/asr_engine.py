@@ -146,6 +146,11 @@ class ASREngine:
                         not in ("cpu",) else "xla")
         self.attention_impl = impl_cfg
         self._jit_cache: Dict = {}
+        # (bucket_len, device_rows) pairs already dispatched at least
+        # once in this process — warmup() skips these, so calling it
+        # repeatedly (every DataProcessor.run, every serving start)
+        # costs nothing after the first sweep.
+        self._warmed: set = set()
 
     # ------------------------------------------------------------------
     def _load_or_init(self):
@@ -263,6 +268,38 @@ class ASREngine:
                 NamedSharding(self.mesh, P("data"))))
         self._jit_cache[key] = run
         return run
+
+    def warmup(self, all_buckets: bool = False,
+               tail_sizes: Optional[Sequence[int]] = None) -> int:
+        """Compile the chunk programs BEFORE the timeout-bounded batch
+        loop runs: a cold full-model compile takes minutes through a
+        slow toolchain and would otherwise be indistinguishable from a
+        hung device dispatch (it trips the reference-parity 300 s
+        batch timeout, pipeline.py:409). Compiles the full-batch + the
+        tail-batch shapes for the top length bucket (``all_buckets``
+        covers every bucket). Returns the number of shapes dispatched;
+        shapes already dispatched in this process are skipped."""
+        buckets = (list(self.bucket_samples) if all_buckets
+                   else [max(self.bucket_samples)])
+        if tail_sizes is None:
+            tail_sizes = {self.device_chunks, self._tail_size(1),
+                          self._tail_size(max(1, self.device_chunks // 2))}
+        n_shapes = 0
+        for bucket in buckets:
+            zeros = np.zeros(bucket, np.float32)
+            for n in sorted(set(tail_sizes)):
+                # Canonical device shape for an n-chunk dispatch.
+                key = (bucket, self._tail_size(n)
+                       if self.fuse_acoustic_features else
+                       self.device_chunks)
+                if key in self._warmed:
+                    continue
+                warm = [Chunk("warmup.wav", i, 0.0, 0.0,
+                              agent=zeros, client=zeros)
+                        for i in range(n)]
+                self.transcribe_chunks(warm)
+                n_shapes += 1
+        return n_shapes
 
     def _tail_size(self, n: int) -> int:
         """Static device chunk count for a sub-batch of n chunks: the
@@ -434,11 +471,14 @@ class ASREngine:
                         buf, lengths = (fut.result() if fut is not None
                                         else _prep(k))
                         out = fn(self.params, buf, lengths)
+                        self._warmed.add((batch.bucket_len, buf.shape[0]))
                         del buf
                     else:
                         fn = self._device_fn(batch.bucket_len)
                         rows, lengths = self._prepare_rows(sub)
                         out = fn(self.params, rows, lengths)
+                        self._warmed.add(
+                            (batch.bucket_len, self.device_chunks))
                     pending.append((sub_chunks, out, None))
                 except Exception as e:  # pragma: no cover
                     logger.error("ASR dispatch failed (bucket %d): %s",

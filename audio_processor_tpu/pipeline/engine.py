@@ -206,6 +206,20 @@ class DataProcessor:
     # ------------------------------------------------------------------
     def process_file_batch(self, batch_id: int, files: Sequence[Path],
                            decoded: Optional[List[Dict]] = None) -> int:
+        """Serial batch processing: ASR stage then analysis stage
+        inline (the overlapped pipeline in process_files_parallel runs
+        the two stages on separate workers)."""
+        ctx = self._asr_stage(batch_id, files, decoded)
+        if ctx is None:
+            return 0
+        return self._analysis_stage(ctx)
+
+    def _asr_stage(self, batch_id: int, files: Sequence[Path],
+                   decoded: Optional[List[Dict]] = None
+                   ) -> Optional[Dict[str, Any]]:
+        """Device stage: decode accounting + call rows + batched ASR.
+        Returns the batch context for _analysis_stage, or None when the
+        stage itself failed (already counted toward the error gate)."""
         logger.info("Processing batch %d with %d files",
                     batch_id + 1, len(files))
         batch_t0 = time.perf_counter()
@@ -248,7 +262,25 @@ class DataProcessor:
                        if all_chunks else [])
             self.stats["files_processed"] += len(files)
             self.stats["chunks_processed"] += len(results)
+            return {"batch_id": batch_id, "files": files,
+                    "decoded": decoded, "results": results,
+                    "batch_failed": batch_failed, "batch_t0": batch_t0}
+        except Exception as e:
+            logger.exception("Error processing batch %d: %s",
+                             batch_id + 1, e)
+            self.stats["errors"] += 1
+            with self._in_flight_lock:
+                self._in_flight.difference_update(str(f) for f in files)
+            return None
 
+    def _analysis_stage(self, ctx: Dict[str, Any]) -> int:
+        """Host/analysis stage: sentiment + persistence + markers +
+        reports for one batch. Runs on the analysis worker so the
+        device stage of the NEXT batch overlaps it."""
+        batch_id, files = ctx["batch_id"], ctx["files"]
+        decoded, results = ctx["decoded"], ctx["results"]
+        batch_failed = ctx["batch_failed"]
+        try:
             if self.config.get("save_intermediate_results", False) \
                     and results:
                 self._save_intermediate_transcriptions(batch_id, results)
@@ -288,7 +320,7 @@ class DataProcessor:
                      and not k.endswith("_features")
                      and not k.endswith("_words")}
                     for r in results)
-            batch_seconds = time.perf_counter() - batch_t0
+            batch_seconds = time.perf_counter() - ctx["batch_t0"]
             # Per-call latency (batch residency is the per-file upper
             # bound in this batched design).
             self._file_latencies.extend([batch_seconds] * len(files))
@@ -302,7 +334,7 @@ class DataProcessor:
                     self.monitor.record_file(d["file"].name, batch_seconds)
             return len(files) - len(batch_failed)
         except Exception as e:
-            logger.exception("Error processing batch %d: %s",
+            logger.exception("Error in analysis for batch %d: %s",
                              batch_id + 1, e)
             self.stats["errors"] += 1
             return 0
@@ -382,12 +414,18 @@ class DataProcessor:
         errors_at_start = self.stats["errors"]
         timeout = int(self.config.get("timeout_seconds", 300))
         total_success = 0
-        # Producer/consumer: decode batch N+1 on host while batch N is
-        # on device. Device work runs on its own bounded future so a
-        # hung dispatch counts as a timeout error instead of blocking
-        # forever (reference bounds each batch future, pipeline.py:409).
+        # Three overlapped stages, one worker each (producer/consumer,
+        # SURVEY.md §2.2): decode batch N+1 on host while batch N runs
+        # on device while batch N-1's sentiment/persistence runs on the
+        # analysis worker. Device work runs on its own bounded future
+        # so a hung dispatch counts as a timeout error instead of
+        # blocking forever (reference bounds each batch future,
+        # pipeline.py:409); the single-worker analysis pool preserves
+        # batch order for markers/CSV/reports.
         prefetcher = ThreadPoolExecutor(max_workers=1)
         device_pool = ThreadPoolExecutor(max_workers=1)
+        analysis_pool = ThreadPoolExecutor(max_workers=1)
+        analysis_futs: List = []
         try:
             next_decode = prefetcher.submit(self._decode_batch, batches[0])
             for i, batch in enumerate(batches):
@@ -406,14 +444,28 @@ class DataProcessor:
                         self._decode_batch, batches[i + 1])
                 if decoded is not None:
                     fut = device_pool.submit(
-                        self.process_file_batch, i, batch, decoded)
+                        self._asr_stage, i, batch, decoded)
                     try:
-                        total_success += fut.result(timeout=timeout)
+                        ctx = fut.result(timeout=timeout)
                     except FuturesTimeoutError:
                         logger.error(
                             "Batch %d device work exceeded %ds timeout",
                             i + 1, timeout)
                         self.stats["errors"] += 1
+                        # If the abandoned device worker eventually
+                        # finishes, still run its analysis (markers,
+                        # in-flight cleanup) on whatever thread
+                        # completes it.
+                        fut.add_done_callback(
+                            lambda f: self._analysis_stage(f.result())
+                            if not f.exception() and f.result() is not None
+                            else None)
+                        ctx = None
+                    if ctx is not None:
+                        analysis_futs.append(analysis_pool.submit(
+                            self._analysis_stage, ctx))
+                self._queue_depths["result_queue"] = sum(
+                    1 for f in analysis_futs if not f.done())
                 sweep_errors = self.stats["errors"] - errors_at_start
                 if sweep_errors >= max_errors:
                     logger.error("Aborting after %d errors this sweep",
@@ -422,12 +474,20 @@ class DataProcessor:
                 if (i + 1) % max(1, len(batches) // 10) == 0:
                     logger.info("Progress: %d/%d batches done",
                                 i + 1, len(batches))
+            for i, f in enumerate(analysis_futs):
+                try:
+                    total_success += f.result(timeout=timeout)
+                except FuturesTimeoutError:
+                    logger.error("Analysis stage exceeded %ds timeout",
+                                 timeout)
+                    self.stats["errors"] += 1
         finally:
             # Don't join potentially-hung workers; leftover futures are
             # cancelled and abandoned threads finish (or not) on their
             # own without blocking the sweep.
             prefetcher.shutdown(wait=False, cancel_futures=True)
             device_pool.shutdown(wait=False, cancel_futures=True)
+            analysis_pool.shutdown(wait=False, cancel_futures=True)
         return total_success
 
     # ------------------------------------------------------------------
@@ -552,6 +612,19 @@ class DataProcessor:
                 f"Input directory {input_dir} does not exist")
         files = self.file_scanner.scan_files_parallel(input_dir)
         logger.info("Found %d valid audio files", len(files))
+        # Pre-compile the chunk programs OUTSIDE the timeout-bounded
+        # batch loop: a cold full-model compile takes minutes and
+        # would otherwise trip the 300 s batch timeout as a phantom
+        # "hung device" error. ``batch_warmup: all`` covers every
+        # length bucket; shapes already dispatched in this process are
+        # skipped (repeat runs cost nothing).
+        warmup = self.config.get("batch_warmup", True)
+        if warmup and files and hasattr(self.asr_engine, "warmup"):
+            t0 = time.perf_counter()
+            n = self.asr_engine.warmup(all_buckets=(warmup == "all"))
+            if n:
+                logger.info("Warmup compiled %d shape(s) in %.1fs",
+                            n, time.perf_counter() - t0)
         total_success = self.process_files_parallel(files)
         self.log_results()
         if self.config.get("save_csv_results", False) and self._all_results:

@@ -86,24 +86,14 @@ class InferenceService:
         ``serve_warmup: all`` pre-compiles every length bucket so no
         live request ever pays a compile (first compiles take minutes
         on a cold TPU)."""
-        from audio_processor_tpu.pipeline.chunker import Chunk
-
-        buckets = (list(self.engine.bucket_samples) if all_buckets
-                   else [max(self.engine.bucket_samples)])
         # Tail shapes too: a 1-chunk request dispatches at the
         # smallest tail batch, which is its own compiled shape.
         sizes = sorted({self.max_chunks, self.engine._tail_size(1)} |
                        ({self.engine._tail_size(self.max_chunks // 2)}
                         if self.max_chunks > 1 else set()))
         t0 = time.perf_counter()
-        n_shapes = 0
-        for n_samples in buckets:
-            zeros = np.zeros(n_samples, np.float32)
-            for n in sizes:
-                warm = [Chunk("warmup.wav", i, 0.0, 0.0, agent=zeros,
-                              client=zeros) for i in range(n)]
-                self.engine.transcribe_chunks(warm)
-                n_shapes += 1
+        n_shapes = self.engine.warmup(all_buckets=all_buckets,
+                                      tail_sizes=sizes)
         logger.info("serving warmup compiled %d shape(s) in %.1fs",
                     n_shapes, time.perf_counter() - t0)
 

@@ -357,3 +357,57 @@ def test_corrupt_ogg_marked_failed_without_blocking_batch(workspace):
                 for s in proc._file_statuses}
     assert statuses.get("broken.ogg") != "success"
     db.close()
+
+
+def test_analysis_overlaps_next_batch_asr(tmp_path):
+    """The sentiment/persistence stage of batch N runs on the analysis
+    worker while batch N+1's ASR runs on the device worker (3-stage
+    producer/consumer pipeline, SURVEY.md §2.2)."""
+    import threading
+    import time
+
+    events = []
+    lock = threading.Lock()
+
+    def record(name):
+        with lock:
+            events.append((name, time.perf_counter()))
+
+    class _RecordingEngine(_FakeOkEngine):
+        def __init__(self):
+            self.calls = 0
+
+        def transcribe_chunks(self, chunks):
+            self.calls += 1
+            record(f"asr_{self.calls}_start")
+            time.sleep(0.15)
+            record(f"asr_{self.calls}_end")
+            return super().transcribe_chunks(chunks)
+
+    class _SlowAnalyzer:
+        def __init__(self):
+            self.calls = 0
+
+        def set_database_manager(self, db):
+            pass
+
+        def analyze_batch_sentiment(self, chunks):
+            self.calls += 1
+            record(f"analysis_{self.calls}_start")
+            time.sleep(0.6)
+            record(f"analysis_{self.calls}_end")
+            return chunks
+
+    cfg, input_dir = _error_workspace(tmp_path, 3)
+    proc = DataProcessor(cfg, asr_engine=_RecordingEngine(),
+                         sentiment_analyzer=_SlowAnalyzer())
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 3 and proc.stats["errors"] == 0
+    t = {name: ts for name, ts in events}
+    # Batch 2's ASR started before batch 1's (slow) analysis finished.
+    assert t["asr_2_start"] < t["analysis_1_end"]
+    # Analyses ran in batch order on the single analysis worker.
+    assert t["analysis_1_end"] <= t["analysis_2_start"]
+    # All three batches were fully analyzed (markers written in order).
+    assert proc.stats["files_success"] == 3
