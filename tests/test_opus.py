@@ -141,3 +141,64 @@ def test_truncated_stream_raises():
     data = encode_ogg_opus(pcm, 1)
     with pytest.raises(opus_mod.OpusError):
         opus_mod.decode_opus(data[:50])  # mid-OpusHead page
+
+
+# ------------------------------------------------------------------
+# Robustness: a corrupted/truncated Ogg/Opus stream must yield a clean
+# OpusError (or a clean decode) — never a crash, hang, or a leaked
+# internal exception type. Runs in a subprocess so a segfault in the
+# ctypes/libopus boundary would fail the test instead of pytest.
+# (Mirrors the Vorbis corruption sweep, tests/test_vorbis.py.)
+# ------------------------------------------------------------------
+
+_FUZZ_DRIVER = r"""
+import sys
+import numpy as np
+from audio_processor_tpu.io import opus as opus_mod
+
+sample_path, n_variants = sys.argv[1], int(sys.argv[2])
+data = bytearray(open(sample_path, "rb").read())
+rng = np.random.default_rng(99)
+ran = 0
+for k in range(n_variants):
+    buf = bytearray(data)
+    kind = k % 4
+    if kind == 0:    # flip bytes in the header pages (OpusHead/Tags)
+        for _ in range(rng.integers(1, 8)):
+            buf[int(rng.integers(0, min(200, len(buf))))] = int(
+                rng.integers(0, 256))
+    elif kind == 1:  # flip bytes anywhere (audio packets, granules)
+        for _ in range(rng.integers(1, 32)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+    elif kind == 2:  # truncate
+        buf = buf[: int(rng.integers(1, len(buf)))]
+    else:            # random garbage behind a valid OggS magic
+        n = int(rng.integers(32, 8192))
+        buf = bytearray(b"OggS") + bytearray(
+            rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    try:
+        out, sr = opus_mod.decode_opus(bytes(buf))
+        assert sr == 48000 and out.ndim == 2
+    except opus_mod.OpusError:
+        pass  # the one sanctioned failure mode
+    ran += 1
+print(f"opus-fuzz-ok {ran}")
+"""
+
+
+def test_decode_survives_corrupt_streams(tmp_path):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    pcm = _sine_pcm(SR // 2, 2)
+    sample = tmp_path / "sample.ogg"
+    sample.write_bytes(encode_ogg_opus(pcm, 2))
+    r = subprocess.run(
+        [sys.executable, "-c", _FUZZ_DRIVER, str(sample), "300"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, (
+        f"opus decode crashed/leaked on corrupt input:\n"
+        f"{r.stdout}\n{r.stderr}")
+    assert "opus-fuzz-ok 300" in r.stdout
