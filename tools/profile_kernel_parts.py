@@ -178,6 +178,106 @@ def _bare_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def _kb640_kernel(q_ref, k_ref, v_ref, srel_ref, kvmask_ref,
+                  o_ref, m_scr, l_scr, acc_scr, t_scr, *,
+                  sm_scale, left, right, num_buckets):
+    """Two 640-column kv steps (L=1280): the m/l recurrence runs 2x
+    instead of 5x. The wrapped table phase alternates 0/128 between
+    steps — handled with per-step static slices of a 3x-tiled table."""
+    KB6 = 640
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        srel = srel_ref[0, 0].astype(jnp.float32)[:, :128]
+        u = jnp.concatenate([srel, jnp.zeros_like(srel)], axis=1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        amount = (rows - left) & (W - 1)
+        bit = 1
+        while bit < W:
+            rolled = pltpu.roll(u, bit, axis=1)
+            u = jnp.where((amount & bit) != 0, rolled, u)
+            bit *= 2
+        t_scr[...] = u
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    srel = srel_ref[0, 0].astype(jnp.float32)
+    lo1 = jnp.tile(srel[:, :1], (1, KB6))
+    hi1 = jnp.tile(srel[:, num_buckets - 1:num_buckets], (1, KB6))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, KB6), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, KB6), 1)
+    d_grid = cols - rows + ki * KB6
+    t3 = jnp.concatenate([t_scr[...]] * 3, axis=1)        # [L, 768]
+    band0 = t3[:, :KB6]
+    band1 = t3[:, 128:128 + KB6]
+    band = jnp.where(ki == 0, band0, band1)
+    rel = jnp.where(d_grid < -left, lo1,
+                    jnp.where(d_grid > right, hi1, band))
+    s = (s + rel) * sm_scale
+    kv_mask = kvmask_ref[0, 0]
+    s = s + (kv_mask[None, :] - 1.0) * 1e9
+
+    m_prev, l_prev = m_scr[...], l_scr[...]
+    m_curr = jnp.max(s, axis=1)[:, None]
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    p = jnp.exp(s - jnp.tile(m_next, (1, KB6 // 128)))
+    alpha = jnp.exp(m_prev - m_next)
+    m_scr[...] = m_next
+    d = v.shape[1]
+    v1 = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 128 - d), v.dtype)], axis=1)
+    pv = jax.lax.dot(p.astype(v.dtype), v1,
+                     preferred_element_type=jnp.float32)
+    rowsum = pv[:, d:]
+    l_scr[...] = alpha * l_prev + jnp.concatenate([rowsum, rowsum], 1)
+    acc_scr[...] = acc_scr[...] * alpha[:, :d] + pv[:, :d]
+
+    @pl.when(ki == 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[...][:, :d], 1e-37)
+        o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+
+def kb640_call():
+    KB6 = 640
+    kernel = functools.partial(_kb640_kernel, sm_scale=1.0 / np.sqrt(D),
+                               left=LEFT, right=NUM_BUCKETS - 1 - LEFT,
+                               num_buckets=NUM_BUCKETS)
+
+    def call(q, k, v, s_rel, kv_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(B, H, L // KB6),
+            in_specs=[
+                pl.BlockSpec((1, 1, L, D), lambda b, h, ki: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, KB6, D), lambda b, h, ki: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, KB6, D), lambda b, h, ki: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, L, 128), lambda b, h, ki: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, KB6), lambda b, h, ki: (b, 0, ki)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, L, D),
+                                   lambda b, h, ki: (b, h, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((L, 128), jnp.float32),
+                pltpu.VMEM((L, 128), jnp.float32),
+                pltpu.VMEM((L, D), jnp.float32),
+                pltpu.VMEM((L, W), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(q, k, v, s_rel, kv_mask[:, None, :])
+    return call
+
+
 def bare_call(rowsum):
     nk = L // KB
     kernel = functools.partial(_bare_kernel, sm_scale=1.0 / np.sqrt(D),
@@ -299,6 +399,8 @@ def main():
                         q, k, v, E, kv_mask,
                         float(1.0 / np.sqrt(D)), LEFT, NUM_BUCKETS))
             bench(mode, call, (q, k, v, srel, kv_mask))
+        elif mode == "kb640":
+            bench(mode, kb640_call(), (q, k, v, srel, kv_mask))
         elif mode.startswith("bare"):
             rowsum = mode.split(":")[1] if ":" in mode else "ones"
             bench(mode, bare_call(rowsum), (q, k, v, srel, kv_mask))
