@@ -98,6 +98,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "device program (serving.py)")
     p.add_argument("--port", type=int, default=8080,
                    help="--serve listen port")
+    p.add_argument("--grpc-port", type=int, default=0,
+                   help="with --serve: also expose the gRPC service "
+                        "on this port (0 = HTTP only)")
     return p
 
 
@@ -189,11 +192,22 @@ def main(argv=None) -> int:
         logger.info("Online inference server on port %d "
                     "(POST /v1/transcribe, GET /healthz, /v1/stats)",
                     args.port)
+        grpc_server = None
+        if args.grpc_port:
+            from audio_processor_tpu.grpc_serving import (
+                GrpcInferenceServer,
+            )
+
+            grpc_server = GrpcInferenceServer(server.service,
+                                              args.grpc_port)
+            grpc_server.start()
         try:
             server.serve_forever()
         except KeyboardInterrupt:
             logger.info("Interrupted; shutting down server")
         finally:
+            if grpc_server is not None:
+                grpc_server.stop()
             server.service.close()
             server.server_close()
             if monitor is not None:

@@ -1,0 +1,172 @@
+"""gRPC front-end of the online serving mode.
+
+Same micro-batcher and fused device program as the HTTP server
+(serving.py::InferenceService) — this module only maps protobuf
+messages onto ``InferenceService.transcribe_bytes``. The reference has
+no online mode at all (one cron batch run per invocation,
+run_cron.sh:12); both online front-ends are beyond-reference.
+
+The service is registered with *generic* method handlers instead of
+protoc-generated service stubs (this image ships protoc for message
+codegen but not the grpc python plugin), so only ``serving_pb2``
+message classes are needed. ``GrpcClient`` below gives callers a typed
+client without generated stubs either.
+
+Service: ``audio_processor_tpu.v1.AudioProcessor``
+  - Transcribe(TranscribeRequest) -> TranscribeResponse
+  - Health(HealthRequest) -> HealthResponse
+  - Stats(StatsRequest) -> StatsResponse
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from concurrent import futures
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+SERVICE = "audio_processor_tpu.v1.AudioProcessor"
+
+_CHUNK_FIELDS = ("chunk_idx", "start_time", "end_time",
+                 "transcription_chunk", "agent_transcription",
+                 "client_transcription", "error")
+
+
+def _load_pb2():
+    from audio_processor_tpu.protos import serving_pb2
+
+    return serving_pb2
+
+
+def _chunk_to_proto(pb2, row: dict):
+    extras = {k: v for k, v in row.items()
+              if k not in _CHUNK_FIELDS and k != "file_name"}
+    return pb2.ChunkResult(
+        chunk_idx=int(row.get("chunk_idx", 0)),
+        start_time=float(row.get("start_time", 0.0)),
+        end_time=float(row.get("end_time", 0.0)),
+        transcription_chunk=str(row.get("transcription_chunk", "")),
+        agent_transcription=str(row.get("agent_transcription", "")),
+        client_transcription=str(row.get("client_transcription", "")),
+        error=str(row.get("error", "")),
+        extras_json=json.dumps(extras) if extras else "",
+    )
+
+
+class GrpcInferenceServer:
+    """Wraps an ``InferenceService`` in a grpc.Server."""
+
+    def __init__(self, service, port: int, max_workers: int = 8):
+        import grpc
+
+        pb2 = _load_pb2()
+        self.service = service
+        self.port = port
+
+        def transcribe(request, context):
+            try:
+                out = service.transcribe_bytes(
+                    request.audio,
+                    with_sentiment=bool(request.with_sentiment),
+                    timeout=(request.timeout_seconds
+                             if request.timeout_seconds > 0 else None))
+            except TimeoutError as e:
+                context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, str(e))
+            except (ValueError, RuntimeError) as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            except Exception as e:  # pragma: no cover
+                logger.exception("gRPC transcribe failed: %s", e)
+                context.abort(grpc.StatusCode.INTERNAL, str(e))
+            return pb2.TranscribeResponse(
+                duration_seconds=out["duration_seconds"],
+                num_chunks=out["num_chunks"],
+                transcription=out["transcription"],
+                agent_transcription=out["agent_transcription"],
+                client_transcription=out["client_transcription"],
+                chunks=[_chunk_to_proto(pb2, r) for r in out["chunks"]],
+                latency_seconds=out["latency_seconds"],
+            )
+
+        def health(request, context):
+            return pb2.HealthResponse(ok=True, status="serving")
+
+        def stats(request, context):
+            return pb2.StatsResponse(
+                stats_json=json.dumps(service.snapshot_stats()))
+
+        handlers = {
+            "Transcribe": grpc.unary_unary_rpc_method_handler(
+                transcribe,
+                request_deserializer=pb2.TranscribeRequest.FromString,
+                response_serializer=(
+                    pb2.TranscribeResponse.SerializeToString)),
+            "Health": grpc.unary_unary_rpc_method_handler(
+                health,
+                request_deserializer=pb2.HealthRequest.FromString,
+                response_serializer=pb2.HealthResponse.SerializeToString),
+            "Stats": grpc.unary_unary_rpc_method_handler(
+                stats,
+                request_deserializer=pb2.StatsRequest.FromString,
+                response_serializer=pb2.StatsResponse.SerializeToString),
+        }
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=max_workers))
+        self._server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(SERVICE, handlers),))
+        self.bound_port = self._server.add_insecure_port(
+            f"[::]:{port}")
+
+    def start(self):
+        self._server.start()
+        logger.info("gRPC serving on port %d (service %s)",
+                    self.bound_port, SERVICE)
+
+    def stop(self, grace: Optional[float] = 2.0):
+        self._server.stop(grace)
+
+    def wait(self):
+        self._server.wait_for_termination()
+
+
+class GrpcClient:
+    """Minimal typed client (no generated service stubs needed)."""
+
+    def __init__(self, target: str):
+        import grpc
+
+        pb2 = _load_pb2()
+        self._pb2 = pb2
+        self._channel = grpc.insecure_channel(target)
+        self._transcribe = self._channel.unary_unary(
+            f"/{SERVICE}/Transcribe",
+            request_serializer=pb2.TranscribeRequest.SerializeToString,
+            response_deserializer=pb2.TranscribeResponse.FromString)
+        self._health = self._channel.unary_unary(
+            f"/{SERVICE}/Health",
+            request_serializer=pb2.HealthRequest.SerializeToString,
+            response_deserializer=pb2.HealthResponse.FromString)
+        self._stats = self._channel.unary_unary(
+            f"/{SERVICE}/Stats",
+            request_serializer=pb2.StatsRequest.SerializeToString,
+            response_deserializer=pb2.StatsResponse.FromString)
+
+    def transcribe(self, audio: bytes, with_sentiment: bool = False,
+                   timeout: Optional[float] = None):
+        return self._transcribe(
+            self._pb2.TranscribeRequest(
+                audio=audio, with_sentiment=with_sentiment,
+                timeout_seconds=timeout or 0.0),
+            timeout=timeout)
+
+    def health(self, timeout: Optional[float] = 10.0):
+        return self._health(self._pb2.HealthRequest(), timeout=timeout)
+
+    def stats(self, timeout: Optional[float] = 10.0):
+        return json.loads(
+            self._stats(self._pb2.StatsRequest(),
+                        timeout=timeout).stats_json)
+
+    def close(self):
+        self._channel.close()

@@ -1,0 +1,100 @@
+"""gRPC front-end of the serving mode (grpc_serving.py): same
+micro-batcher + fused device program as the HTTP server, exposed as
+``audio_processor_tpu.v1.AudioProcessor`` via generic method handlers
+(no generated service stubs). Beyond the reference (batch/cron only,
+run_cron.sh:12)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+pytest.importorskip("grpc")
+
+from audio_processor_tpu.config import PipelineConfig
+from audio_processor_tpu.grpc_serving import GrpcClient, GrpcInferenceServer
+from audio_processor_tpu.serving import InferenceService
+
+from tests.test_engine_e2e import tiny_engine
+from tests.test_serving import _wav_bytes
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        extras={"serve_batch_window_ms": 30.0})
+
+
+@pytest.fixture(scope="module")
+def grpc_server(cfg):
+    service = InferenceService(cfg, asr_engine=tiny_engine(cfg))
+    server = GrpcInferenceServer(service, port=0)
+    server.start()
+    yield server
+    server.stop()
+    service.close()
+
+
+@pytest.fixture(scope="module")
+def client(grpc_server):
+    c = GrpcClient(f"127.0.0.1:{grpc_server.bound_port}")
+    yield c
+    c.close()
+
+
+def test_health(client):
+    r = client.health()
+    assert r.ok and r.status == "serving"
+
+
+def test_transcribe_roundtrip(client):
+    resp = client.transcribe(_wav_bytes(dur=4.0), timeout=120.0)
+    assert resp.duration_seconds == pytest.approx(4.0, abs=0.01)
+    assert resp.num_chunks >= 1 and len(resp.chunks) == resp.num_chunks
+    for c in resp.chunks:
+        assert c.error == ""
+        assert c.end_time > c.start_time
+    # joined transcript equals the chunk texts joined
+    joined = " ".join(c.transcription_chunk for c in resp.chunks).strip()
+    assert resp.transcription == joined
+
+
+def test_matches_http_service_output(cfg, grpc_server, client):
+    """gRPC and a direct service call produce identical transcripts
+    (same engine, same program)."""
+    payload = _wav_bytes(dur=4.0, seed=1)
+    direct = grpc_server.service.transcribe_bytes(payload)
+    resp = client.transcribe(payload, timeout=120.0)
+    assert resp.transcription == direct["transcription"]
+    assert resp.agent_transcription == direct["agent_transcription"]
+    assert resp.client_transcription == direct["client_transcription"]
+    assert resp.num_chunks == direct["num_chunks"]
+
+
+def test_concurrent_grpc_requests(client):
+    results = [None] * 6
+    def call(i):
+        results[i] = client.transcribe(_wav_bytes(dur=2.0), timeout=120.0)
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r.num_chunks >= 1 for r in results)
+
+
+def test_bad_payload_maps_to_invalid_argument(client):
+    import grpc
+
+    with pytest.raises(grpc.RpcError) as exc:
+        client.transcribe(b"not audio at all", timeout=30.0)
+    assert exc.value.code() in (grpc.StatusCode.INVALID_ARGUMENT,
+                                grpc.StatusCode.INTERNAL)
+
+
+def test_stats(client):
+    s = client.stats()
+    assert s["requests"] >= 1 and s["batches"] >= 1
