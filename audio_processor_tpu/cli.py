@@ -201,6 +201,18 @@ def main(argv=None) -> int:
             grpc_server = GrpcInferenceServer(server.service,
                                               args.grpc_port)
             grpc_server.start()
+        # Graceful Docker/K8s shutdown: SIGTERM drains like Ctrl-C.
+        # server.shutdown() must run on another thread — it joins the
+        # serve_forever loop this (main) thread is inside.
+        import signal as _signal
+        import threading as _threading
+
+        def _sigterm(_signum, _frame):
+            logger.info("SIGTERM received; shutting down server")
+            _threading.Thread(target=server.shutdown,
+                              daemon=True).start()
+
+        _signal.signal(_signal.SIGTERM, _sigterm)
         try:
             server.serve_forever()
         except KeyboardInterrupt:

@@ -66,12 +66,16 @@ class GrpcInferenceServer:
         self.port = port
 
         def transcribe(request, context):
+            from audio_processor_tpu.serving import ServerOverloaded
+
             try:
                 out = service.transcribe_bytes(
                     request.audio,
                     with_sentiment=bool(request.with_sentiment),
                     timeout=(request.timeout_seconds
                              if request.timeout_seconds > 0 else None))
+            except ServerOverloaded as e:
+                context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
             except TimeoutError as e:
                 context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, str(e))
             except (ValueError, RuntimeError) as e:

@@ -35,6 +35,11 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class ServerOverloaded(RuntimeError):
+    """Request rejected by queue backpressure (map to HTTP 503 /
+    gRPC RESOURCE_EXHAUSTED)."""
+
+
 class _Request:
     __slots__ = ("chunks", "event", "results", "error", "received")
 
@@ -63,6 +68,13 @@ class InferenceService:
         # through this image's tunnel); warmup below pre-compiles the
         # common shapes so live requests don't pay it.
         self.request_timeout = float(config.get("serve_timeout_s", 600.0))
+        # Backpressure: cap decoded-but-unprocessed chunks held in the
+        # queue (each 25 s stereo chunk is ~3 MB of host memory); a
+        # flood of requests gets a clean 503/RESOURCE_EXHAUSTED
+        # instead of unbounded growth.
+        self.max_pending_chunks = int(config.get(
+            "serve_max_pending_chunks", 32 * self.max_chunks))
+        self._pending_chunks = 0
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._closing = threading.Event()
@@ -72,7 +84,7 @@ class InferenceService:
                                         name="serve-batcher")
         self.stats = {"requests": 0, "chunks": 0, "batches": 0,
                       "batch_errors": 0, "request_errors": 0,
-                      "audio_seconds": 0.0}
+                      "rejected_overload": 0, "audio_seconds": 0.0}
         self._latencies: List[float] = []   # last 1000 request latencies
         self._stats_lock = threading.Lock()
         warmup = config.get("serve_warmup", True)
@@ -124,6 +136,13 @@ class InferenceService:
         if self._closing.is_set():
             raise RuntimeError("server is shutting down")
         req = _Request(chunks)
+        with self._stats_lock:
+            if self._pending_chunks + len(chunks) > self.max_pending_chunks:
+                self.stats["rejected_overload"] += 1
+                raise ServerOverloaded(
+                    f"queue full ({self._pending_chunks} pending chunks, "
+                    f"limit {self.max_pending_chunks}); retry later")
+            self._pending_chunks += len(chunks)
         self._queue.put(req)
         if not req.event.wait(timeout if timeout is not None
                               else self.request_timeout):
@@ -199,12 +218,14 @@ class InferenceService:
             logger.exception("serving batch failed")
             with self._stats_lock:
                 self.stats["batch_errors"] += 1
+                self._pending_chunks -= len(all_chunks)
             for r in group:
                 r.error = str(e)
                 r.event.set()
             return
         with self._stats_lock:
             self.stats["batches"] += 1
+            self._pending_chunks -= len(all_chunks)
         pos = 0
         for r in group:
             r.results = results[pos:pos + len(r.chunks)]
@@ -225,7 +246,29 @@ class InferenceService:
         else:                          # keep the schema stable pre-traffic
             out["p50_latency_seconds"] = None
             out["p95_latency_seconds"] = None
+        out["pending_chunks"] = self._pending_chunks
         return out
+
+    def prometheus_metrics(self) -> str:
+        """Stats in Prometheus text exposition format (GET /metrics)."""
+        s = self.snapshot_stats()
+        lines = []
+        for key, mtype in (("requests", "counter"), ("chunks", "counter"),
+                           ("batches", "counter"),
+                           ("batch_errors", "counter"),
+                           ("request_errors", "counter"),
+                           ("rejected_overload", "counter"),
+                           ("audio_seconds", "counter"),
+                           ("pending_chunks", "gauge"),
+                           ("p50_latency_seconds", "gauge"),
+                           ("p95_latency_seconds", "gauge")):
+            val = s.get(key)
+            if val is None:
+                continue
+            name = f"audio_processor_{key}"
+            lines.append(f"# TYPE {name} {mtype}")
+            lines.append(f"{name} {val}")
+        return "\n".join(lines) + "\n"
 
     def close(self, drain_timeout: float = 30.0):
         """Stop accepting new requests, let queued AND in-flight work
@@ -262,6 +305,14 @@ def make_handler(service: InferenceService):
                 # snapshot under the lock, send outside it — a slow-
                 # reading client must not block the batch worker
                 self._send(200, service.snapshot_stats())
+            elif self.path == "/metrics":
+                body = service.prometheus_metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -280,6 +331,14 @@ def make_handler(service: InferenceService):
                 out = service.transcribe_bytes(
                     payload, with_sentiment=with_sentiment)
                 self._send(200, out)
+            except ServerOverloaded as e:
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "5")
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as e:
                 with service._stats_lock:
                     service.stats["request_errors"] += 1
