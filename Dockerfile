@@ -20,6 +20,10 @@ RUN pip install --no-cache-dir "jax[tpu]" flax optax numpy pyyaml psutil \
 
 VOLUME ["/app/input", "/app/output", "/app/logs"]
 
+# Online serving mode (override CMD with: --save-mode csv --serve
+# --port 8080 [--grpc-port 8081]); SIGTERM drains gracefully.
+EXPOSE 8080 8081
+
 ENV CONFIG_FILE=/app/config.yaml
 ENTRYPOINT ["python", "-m", "audio_processor_tpu.cli", "--config", "/app/config.yaml"]
 CMD ["--save-mode", "database", "--performance-report", "--load-metadata"]

@@ -97,6 +97,11 @@ class DatabaseManager:
 
     # ------------------------------------------------------------------
     def setup_database(self):
+        self._connect()
+        self.create_tables()
+        logger.info("%s database initialized", self.db_type)
+
+    def _connect(self):
         if self.db_type == "postgresql":
             try:
                 import psycopg2  # noqa: F401
@@ -132,31 +137,71 @@ class DatabaseManager:
             self._ts_type = "TIMESTAMP"
         else:
             raise ValueError(f"unknown database_type {self.db_type!r}")
-        self.create_tables()
-        logger.info("%s database initialized", self.db_type)
+
+    def _is_connection_error(self, e: Exception) -> bool:
+        """Lost/closed-connection errors worth one reconnect attempt.
+        (The reference has no reconnect — a dropped PostgreSQL
+        connection fails every subsequent row; beyond-reference.)"""
+        if self.db_type == "postgresql":
+            try:
+                import psycopg2
+
+                return isinstance(e, (psycopg2.OperationalError,
+                                      psycopg2.InterfaceError))
+            except ImportError:  # pragma: no cover
+                return False
+        import sqlite3
+
+        return isinstance(e, sqlite3.ProgrammingError) and \
+            "closed" in str(e).lower()
 
     def _execute(self, sql: str, params: tuple = (), fetch: str = ""):
-        """Per-statement commit/rollback (reference semantics)."""
+        """Per-statement commit/rollback (reference semantics), with
+        one reconnect-and-retry on a lost connection. ``:memory:``
+        databases are excluded (a reconnect would silently start from
+        an empty schema — fail loudly instead)."""
         sql = sql.replace("%s", self._ph)
         with self._lock:
-            cur = self.connection.cursor()
             try:
-                cur.execute(sql, params)
-                rows = None
-                if fetch == "one":
-                    row = cur.fetchone()
-                    cols = [d[0] for d in cur.description] if row else []
-                    rows = dict(zip(cols, row)) if row else None
-                elif fetch == "all":
-                    cols = [d[0] for d in cur.description]
-                    rows = [dict(zip(cols, r)) for r in cur.fetchall()]
-                self.connection.commit()
-                return rows
-            except Exception:
+                return self._execute_locked(sql, params, fetch)
+            except Exception as e:
+                if self.db_type == "memory" \
+                        or not self._is_connection_error(e):
+                    raise
+                logger.warning(
+                    "database connection lost (%s); reconnecting", e)
+                try:
+                    self.connection.close()
+                except Exception:
+                    pass
+                self._connect()
+                return self._execute_locked(sql, params, fetch)
+
+    def _execute_locked(self, sql: str, params: tuple, fetch: str):
+        cur = self.connection.cursor()
+        try:
+            cur.execute(sql, params)
+            rows = None
+            if fetch == "one":
+                row = cur.fetchone()
+                cols = [d[0] for d in cur.description] if row else []
+                rows = dict(zip(cols, row)) if row else None
+            elif fetch == "all":
+                cols = [d[0] for d in cur.description]
+                rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+            self.connection.commit()
+            return rows
+        except Exception:
+            try:
                 self.connection.rollback()
-                raise
-            finally:
+            except Exception:  # connection itself is gone
+                pass
+            raise
+        finally:
+            try:
                 cur.close()
+            except Exception:  # pragma: no cover
+                pass
 
     def create_tables(self):
         for ddl in _TABLES:

@@ -116,3 +116,39 @@ def test_extra_getters(db, tmp_path):
         "c9", 1)["text"] == "t"
     calls = db.get_calls_by_agent_id("a7")
     assert len(calls) == 1 and calls[0]["id_enregistrement"] == "c9"
+
+
+def test_reconnects_after_lost_connection(tmp_path):
+    """A lost/closed connection gets one reconnect-and-retry per
+    statement (beyond the reference, which fails every row after a
+    PostgreSQL drop). File-backed sqlite only — :memory: must fail
+    loudly (a silent reconnect would start from an empty schema)."""
+    from audio_processor_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig(database_type="sqlite",
+                         db_path=str(tmp_path / "r.db"))
+    d = DatabaseManager(cfg)
+    d.insert_call({"id_enregistrement": "c1", "duration_seconds": 3.0,
+                   "topics": "", "emotion_client_globale": "",
+                   "ton_agent_global": ""})
+    d.connection.close()  # simulate a dropped connection
+    d.insert_call({"id_enregistrement": "c2", "duration_seconds": 4.0,
+                   "topics": "", "emotion_client_globale": "",
+                   "ton_agent_global": ""})
+    rows = d.get_call_by_id_enregistrement("c2")
+    assert rows and rows["duration_seconds"] == 4.0
+    # the pre-drop row is still there (same file, real reconnect)
+    assert d.get_call_by_id_enregistrement("c1") is not None
+    d.close()
+
+    import sqlite3
+
+    m = DatabaseManager(PipelineConfig(database_type="memory"))
+    m.insert_call({"id_enregistrement": "x", "duration_seconds": 1.0,
+                   "topics": "", "emotion_client_globale": "",
+                   "ton_agent_global": ""})
+    m.connection.close()
+    with pytest.raises(sqlite3.ProgrammingError):
+        m.insert_call({"id_enregistrement": "y", "duration_seconds": 1.0,
+                       "topics": "", "emotion_client_globale": "",
+                       "ton_agent_global": ""})
