@@ -152,6 +152,40 @@ def run_asr_bench(engine, cfg, input_dir: Path):
     return dt
 
 
+def run_encoder_bench(engine):
+    """Device-resident encoder timing (inputs pre-staged in HBM, no
+    host<->device transfer in the timed region): the noise-robust
+    number on this image's tunneled transport, whose 2x phase-level
+    swings dominate the end-to-end metrics. 48 rows = 16 chunks x 3
+    speaker views = 400 s of audio per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+
+    cfg_m = engine.model_cfg
+    B, L = 3 * 16, 1280  # 16 chunks x 3 views, 25 s bucket
+    audio_sec = 16 * 25.0
+    rng = np.random.default_rng(0)
+    feats = jax.device_put(rng.standard_normal(
+        (B, L, cfg_m.feature_projection_input_dim)).astype(np.float32))
+    mask = jax.device_put(np.ones((B, L), bool))
+    impl = engine.attention_impl
+
+    @jax.jit
+    def fwd(p, f, m):
+        return jnp.sum(w2v.forward(p, cfg_m, f, m, dtype=jnp.bfloat16,
+                                   attention_impl=impl))
+
+    float(fwd(engine.params, feats, mask))  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fwd(engine.params, feats, mask))
+        best = min(best, time.perf_counter() - t0)
+    return audio_sec / best, best
+
+
 def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
                   work: Path):
     """Config-5 full pipeline via DataProcessor.run(); one warm-up
@@ -239,6 +273,11 @@ def main():
         log("ASR-only timed loop")
         asr_dt = run_asr_bench(engine, cfg, input_dir)
 
+        log("device-resident encoder timing")
+        encoder_rtfx, encoder_dt = run_encoder_bench(engine)
+        log(f"encoder {encoder_dt*1e3:.0f} ms/48x25s batch "
+            f"-> RTFx {encoder_rtfx:.0f}")
+
         log("building sentiment analyzer")
         analyzer = SentimentAnalyzer(cfg)
         assert analyzer.text_analyzer.models_available
@@ -257,6 +296,7 @@ def main():
         "unit": "audio_hours/hour/chip",
         "vs_baseline": round(e2e_rtfx / BASELINE_RTFX, 2),
         "asr_rtfx": round(asr_rtfx, 2),
+        "encoder_rtfx": round(encoder_rtfx, 2),
         "files_per_hour": round(files_per_hour, 1),
         "files_per_hour_vs_baseline": round(
             files_per_hour / BASELINE_FILES_PER_HOUR, 2),
