@@ -4,8 +4,9 @@ The reference runs joblib-loaded sklearn models on CPU per batch
 (services/sentiment_analysis.py:567-601, 753-777): a StandardScaler,
 an SVC (client) and a RandomForestClassifier (agent). Here the fitted
 models are converted once into array pytrees and executed as jitted
-JAX programs — RBF kernel as an MXU matmul, forests as vectorized
-level-synchronous tree descent — reproducing sklearn's numerics:
+JAX programs — rbf/linear/poly/sigmoid kernels as MXU matmuls,
+forests as vectorized level-synchronous tree descent — reproducing
+sklearn's numerics:
 
 - SVC.predict is one-vs-one *voting* (not argmax of probabilities).
 - SVC.predict_proba is libsvm's pairwise Platt sigmoids combined with
@@ -33,7 +34,7 @@ def convert_scaler(scaler) -> Dict[str, np.ndarray]:
 
 
 def convert_svc(svc) -> Dict[str, Any]:
-    if svc.kernel != "rbf":
+    if svc.kernel not in ("rbf", "linear", "poly", "sigmoid"):
         raise NotImplementedError(f"kernel {svc.kernel!r} not supported")
     if not hasattr(svc, "probA_") or svc.probA_.size == 0:
         raise ValueError("SVC must be fitted with probability=True")
@@ -53,6 +54,9 @@ def convert_svc(svc) -> Dict[str, Any]:
         "prob_a": np.asarray(svc.probA_, np.float32),
         "prob_b": np.asarray(svc.probB_, np.float32),
         "gamma": np.float32(svc._gamma),
+        "kernel": svc.kernel,
+        "coef0": np.float32(svc.coef0),
+        "degree": int(svc.degree),
         "classes": np.asarray(svc.classes_),
     }
 
@@ -104,12 +108,21 @@ def svc_decision_values(model: Dict[str, Any], x: jnp.ndarray
                         ) -> jnp.ndarray:
     """[B, d] -> [B, k*(k-1)/2] libsvm ovo decision values."""
     sv = model["support_vectors"]
-    # RBF kernel on the MXU: |x-s|^2 = |x|^2 + |s|^2 - 2 x.s
-    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
-    s2 = jnp.sum(sv * sv, axis=-1)[None, :]
+    kind = model.get("kernel", "rbf")
     xs = jnp.matmul(x, sv.T, precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-    kern = jnp.exp(-model["gamma"] * jnp.maximum(x2 + s2 - 2.0 * xs, 0.0))
+    if kind == "rbf":
+        # RBF kernel on the MXU: |x-s|^2 = |x|^2 + |s|^2 - 2 x.s
+        x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+        s2 = jnp.sum(sv * sv, axis=-1)[None, :]
+        kern = jnp.exp(-model["gamma"]
+                       * jnp.maximum(x2 + s2 - 2.0 * xs, 0.0))
+    elif kind == "linear":
+        kern = xs
+    elif kind == "poly":
+        kern = (model["gamma"] * xs + model["coef0"]) ** model["degree"]
+    else:  # sigmoid
+        kern = jnp.tanh(model["gamma"] * xs + model["coef0"])
 
     n_support = np.asarray(model["n_support"])
     starts = np.concatenate([[0], np.cumsum(n_support)])
@@ -255,9 +268,18 @@ def scaler_transform_np(scaler, x: np.ndarray) -> np.ndarray:
 def _svc_decision_values_np(model, x: np.ndarray) -> np.ndarray:
     sv = model["support_vectors"]
     x = np.asarray(x, np.float32)
-    d2 = (np.sum(x * x, -1, keepdims=True) + np.sum(sv * sv, -1)[None]
-          - 2.0 * (x @ sv.T))
-    kern = np.exp(-model["gamma"] * np.maximum(d2, 0.0))
+    kind = model.get("kernel", "rbf")
+    xs = x @ sv.T
+    if kind == "rbf":
+        d2 = (np.sum(x * x, -1, keepdims=True)
+              + np.sum(sv * sv, -1)[None] - 2.0 * xs)
+        kern = np.exp(-model["gamma"] * np.maximum(d2, 0.0))
+    elif kind == "linear":
+        kern = xs
+    elif kind == "poly":
+        kern = (model["gamma"] * xs + model["coef0"]) ** model["degree"]
+    else:  # sigmoid
+        kern = np.tanh(model["gamma"] * xs + model["coef0"])
     n_support = np.asarray(model["n_support"])
     starts = np.concatenate([[0], np.cumsum(n_support)])
     k = len(n_support)

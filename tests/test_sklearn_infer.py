@@ -103,3 +103,31 @@ def test_svc_string_classes(test_x):
     model = convert_svc(svc)
     got = model["classes"][np.asarray(svc_predict(model, test_x))]
     assert (got == svc.predict(test_x)).all()
+
+
+@pytest.mark.parametrize("impl", ["jax", "numpy"])
+@pytest.mark.parametrize("kernel,kw", [
+    ("linear", {}),
+    ("poly", {"degree": 3, "coef0": 1.0, "gamma": "scale"}),
+    ("sigmoid", {"coef0": 0.25, "gamma": "auto"}),
+])
+def test_svc_kernel_parity(kernel, kw, impl, test_x):
+    """Beyond the reference's RBF models: linear/poly/sigmoid SVCs
+    convert and match sklearn's predictions and probabilities."""
+    from audio_processor_tpu.models.sklearn_infer import (
+        svc_predict_np, svc_predict_proba_np,
+    )
+
+    rng = np.random.default_rng(7)
+    x, y = make_data(rng, n=300, k=3)
+    svc = SVC(kernel=kernel, probability=True, random_state=0,
+              **kw).fit(x, y)
+    model = convert_svc(svc)
+    pred_fn = svc_predict if impl == "jax" else svc_predict_np
+    proba_fn = svc_predict_proba if impl == "jax" else svc_predict_proba_np
+
+    ref_pred = svc.predict(test_x)
+    got_pred = model["classes"][np.asarray(pred_fn(model, test_x))]
+    assert (got_pred == ref_pred).mean() == 1.0
+    np.testing.assert_allclose(np.asarray(proba_fn(model, test_x)),
+                               svc.predict_proba(test_x), atol=2e-4)
