@@ -445,6 +445,7 @@ class DataProcessor:
                 if decoded is not None:
                     fut = device_pool.submit(
                         self._asr_stage, i, batch, decoded)
+                    self._queue_depths["device_queue"] = 1
                     try:
                         ctx = fut.result(timeout=timeout)
                     except FuturesTimeoutError:
@@ -464,6 +465,7 @@ class DataProcessor:
                     if ctx is not None:
                         analysis_futs.append(analysis_pool.submit(
                             self._analysis_stage, ctx))
+                    self._queue_depths["device_queue"] = 0
                 self._queue_depths["result_queue"] = sum(
                     1 for f in analysis_futs if not f.done())
                 sweep_errors = self.stats["errors"] - errors_at_start
