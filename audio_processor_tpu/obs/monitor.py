@@ -253,6 +253,40 @@ class PerformanceMonitor:
             recs["recommendations"].append("memory usage is healthy")
         return recs
 
+    def get_performance_recommendations(self, throughput: float,
+                                        target_throughput: float
+                                        ) -> List[str]:
+        """Advisory messages at the reference's thresholds
+        (performance_monitor.py:322-331)."""
+        recommendations = []
+        if throughput < target_throughput * 0.5:
+            recommendations.append(
+                "Throughput is very low. Check for bottlenecks.")
+        elif throughput < target_throughput * 0.8:
+            recommendations.append(
+                "Throughput is below target. Consider optimization.")
+        return recommendations
+
+    def get_current_gpu_memory(self) -> Dict[int, float]:
+        """Per-device memory in use, GB (reference contract:
+        performance_monitor.py:333-351 — nvidia-smi/torch replaced by
+        the device runtime's memory stats)."""
+        out: Dict[int, float] = {}
+        for i, d in enumerate(device_memory_stats()):
+            used = d.get("bytes_in_use")
+            out[i] = (used or 0.0) / (1024 ** 3)
+        return out
+
+    def log_gpu_memory_status(self) -> None:
+        """Log per-device memory (reference contract:
+        performance_monitor.py:353-363)."""
+        mem = self.get_current_gpu_memory()
+        if mem:
+            for dev_id, gb in mem.items():
+                logger.info("Device %d memory: %.2f GB", dev_id, gb)
+        else:
+            logger.info("No accelerator devices available")
+
     def optimize_worker_count(self, current: int) -> int:
         try:
             import psutil

@@ -59,6 +59,18 @@ class AudioProcessor:
         audio_processor.py:73-97)."""
         return _load_audio(audio_path)
 
+    def get_resampler(self, orig_freq: int, new_freq: int):
+        """Callable waveform resampler (reference contract:
+        audio_processor.py:99-111 returns a cached
+        torchaudio.transforms.Resample; here the polyphase kernels are
+        cached inside dsp.resample per (orig, new) pair)."""
+        from audio_processor_tpu.dsp.resample import resample_np
+
+        def resampler(waveform):
+            return resample_np(np.asarray(waveform, np.float32),
+                               orig_freq, new_freq)
+        return resampler
+
     def split_audio(self, waveform: np.ndarray, sample_rate: int,
                     file_name: str):
         """Returns (chunk dicts, agent_waveform, client_waveform)

@@ -395,6 +395,27 @@ class SentimentAnalyzer:
     def set_database_manager(self, db_manager):
         self.db_manager = db_manager
 
+    def load_models(self):
+        """(Re)build the three analyzers (reference contract:
+        sentiment_analysis.py:50-63; this implementation also loads
+        them eagerly in __init__, so calling this is only needed to
+        reload after a config/model-path change)."""
+        self.text_analyzer = TextSentimentAnalyzer(self.config)
+        self.acoustic_analyzer = AcousticSentimentAnalyzer(self.config)
+        self.late_fusion_analyzer = LateFusionSentimentAnalyzer(
+            self.config)
+        self.late_fusion_analyzer.agent_id2label = \
+            self.acoustic_analyzer.agent_acoustic_id2label
+        self.late_fusion_analyzer.client_id2label = \
+            self.acoustic_analyzer.client_acoustic_id2label
+
+    def pretty_sentiment(self, label) -> str:
+        """Raw label -> display variant (reference contract:
+        sentiment_analysis.py:437-443)."""
+        from audio_processor_tpu.host.aggregation import pretty_sentiment
+
+        return pretty_sentiment(label)
+
     # ------------------------------------------------------------------
     def analyze_batch_sentiment(self, chunks: List[Dict]) -> List[Dict]:
         if not chunks:

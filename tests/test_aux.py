@@ -203,3 +203,37 @@ def test_cli_stats(tmp_path):
         "logs_folder": str(tmp_path / "logs")}))
     rc = main(["--config", str(p), "--stats"])
     assert rc == 0
+
+
+def test_monitor_reference_api_surface(tmp_path):
+    """Round-2 parity completion: the reference's remaining public
+    monitor methods (performance_monitor.py:322-363)."""
+    from audio_processor_tpu.config import PipelineConfig
+    from audio_processor_tpu.obs.monitor import PerformanceMonitor
+
+    m = PerformanceMonitor(PipelineConfig())
+    assert m.get_performance_recommendations(10.0, 100.0) == \
+        ["Throughput is very low. Check for bottlenecks."]
+    assert m.get_performance_recommendations(70.0, 100.0) == \
+        ["Throughput is below target. Consider optimization."]
+    assert m.get_performance_recommendations(95.0, 100.0) == []
+    mem = m.get_current_gpu_memory()
+    assert isinstance(mem, dict)
+    assert all(isinstance(v, float) for v in mem.values())
+    m.log_gpu_memory_status()  # must not raise
+
+
+def test_sentiment_analyzer_reference_api_surface():
+    """pretty_sentiment + load_models on the coordinator
+    (sentiment_analysis.py:50-63, 437-443)."""
+    from audio_processor_tpu.config import PipelineConfig
+    from audio_processor_tpu.pipeline.sentiment import SentimentAnalyzer
+
+    a = SentimentAnalyzer(PipelineConfig())
+    assert a.pretty_sentiment(None) == "Vide"
+    assert a.pretty_sentiment("tres mecontent") == "Très Mécontent"
+    assert a.pretty_sentiment("aggressive") == "Agressif"
+    assert a.pretty_sentiment("unknown_label") == "Unknown_label"
+    a.load_models()  # rebuild; analyzers stay consistent
+    assert a.late_fusion_analyzer.agent_id2label == \
+        a.acoustic_analyzer.agent_acoustic_id2label
