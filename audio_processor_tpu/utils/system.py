@@ -111,3 +111,9 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
         logging.getLogger(__name__).warning(
             "compilation cache disabled: %s", e)
         return ""
+
+
+# Reference-name aliases (utils/utils.py:14-34) so imports migrate
+# drop-in; "gpu" reads as "accelerator device" on TPU.
+check_gpu_availability = check_device_availability
+get_gpu_memory_usage = get_device_memory_usage
