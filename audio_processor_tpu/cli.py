@@ -263,6 +263,7 @@ def main(argv=None) -> int:
         logger.exception("Processing failed: %s", e)
         rc = 1
     finally:
+        processor.close()
         if monitor is not None:
             monitor.stop_monitoring()
             if args.performance_report:

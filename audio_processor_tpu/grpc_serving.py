@@ -121,6 +121,12 @@ class GrpcInferenceServer:
             (grpc.method_handlers_generic_handler(SERVICE, handlers),))
         self.bound_port = self._server.add_insecure_port(
             f"[::]:{port}")
+        if self.bound_port == 0:
+            # add_insecure_port reports bind failure by returning 0;
+            # fail loudly like the HTTP ThreadingHTTPServer does on a
+            # busy port instead of starting a server nobody can reach.
+            raise RuntimeError(
+                f"gRPC server could not bind port {port}")
 
     def start(self):
         self._server.start()

@@ -110,6 +110,23 @@ class DataProcessor:
         # them up concurrently (they have no marker yet).
         self._in_flight: set = set()
         self._in_flight_lock = threading.Lock()
+        # Single-worker analysis executor, persistent across sweeps:
+        # batch order for markers/CSV/stats is preserved because every
+        # analysis runs here — including the late analysis of a batch
+        # whose device future timed out and was abandoned (it is
+        # re-submitted to this pool when the abandoned worker finally
+        # completes, instead of running inline on that worker's
+        # thread and racing the current sweep).
+        self._analysis_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="analysis")
+        # Streaming CSV writer state (save_csv_results): rows are
+        # appended at the end of every analysis stage instead of
+        # accumulating in RAM for the whole run — at full throughput a
+        # 24 h --watch sweep would otherwise hold ~1M chunk rows.
+        self._csv_stream = None
+        # Dispatched-but-incomplete device futures (current + any
+        # abandoned-after-timeout), for the device_queue metric.
+        self._device_inflight = 0
 
     # ------------------------------------------------------------------
     def setup_models(self):
@@ -247,16 +264,6 @@ class DataProcessor:
                 if str(d["file"]) in batch_failed:
                     continue
                 all_chunks.extend(d["chunks"])
-                if self.db_manager is not None:
-                    try:
-                        self.db_manager.insert_call({
-                            "id_enregistrement": d["file"].stem,
-                            "duration_seconds": d["duration"],
-                            "topics": "", "emotion_client_globale": "",
-                            "ton_agent_global": ""})
-                    except Exception as e:
-                        logger.error("Failed to save call %s: %s",
-                                     d["file"].stem, e)
 
             results = (self.asr_engine.transcribe_chunks(all_chunks)
                        if all_chunks else [])
@@ -281,6 +288,25 @@ class DataProcessor:
         decoded, results = ctx["decoded"], ctx["results"]
         batch_failed = ctx["batch_failed"]
         try:
+            # Call rows are written here, NOT on the device-stage
+            # worker: a slow or reconnecting database must never stall
+            # the next batch's device dispatch. They go in before the
+            # sentiment stage so chunk rows always find their call row
+            # (with the real duration, not the lazy NULL-duration row
+            # _save_chunks_to_database would create).
+            if self.db_manager is not None:
+                for d in decoded:
+                    if str(d["file"]) in batch_failed:
+                        continue
+                    try:
+                        self.db_manager.insert_call({
+                            "id_enregistrement": d["file"].stem,
+                            "duration_seconds": d["duration"],
+                            "topics": "", "emotion_client_globale": "",
+                            "ton_agent_global": ""})
+                    except Exception as e:
+                        logger.error("Failed to save call %s: %s",
+                                     d["file"].stem, e)
             if self.config.get("save_intermediate_results", False) \
                     and results:
                 self._save_intermediate_transcriptions(batch_id, results)
@@ -313,13 +339,7 @@ class DataProcessor:
                         {"file": str(fp), "status": "success"})
 
             if self.config.get("save_csv_results", False):
-                self._all_results.extend(
-                    {k: v for k, v in r.items()
-                     if not k.endswith("_waveform")
-                     and not k.endswith("_probabilities")
-                     and not k.endswith("_features")
-                     and not k.endswith("_words")}
-                    for r in results)
+                self._append_csv_rows(results)
             batch_seconds = time.perf_counter() - ctx["batch_t0"]
             # Per-call latency (batch residency is the per-file upper
             # bound in this batched design).
@@ -424,8 +444,24 @@ class DataProcessor:
         # batch order for markers/CSV/reports.
         prefetcher = ThreadPoolExecutor(max_workers=1)
         device_pool = ThreadPoolExecutor(max_workers=1)
-        analysis_pool = ThreadPoolExecutor(max_workers=1)
+        analysis_pool = self._analysis_pool
         analysis_futs: List = []
+
+        def _late_analysis(f):
+            # A device future abandoned after its timeout eventually
+            # completed: its analysis (markers, in-flight cleanup,
+            # stats) still runs on the SAME single-worker analysis
+            # pool so batch ordering and single-threaded stats
+            # mutation are preserved — never inline on whatever
+            # thread finished the abandoned future.
+            self._device_inflight -= 1
+            self._queue_depths["device_queue"] = self._device_inflight
+            if f.exception() is None and f.result() is not None:
+                try:
+                    self._analysis_pool.submit(
+                        self._analysis_stage, f.result())
+                except RuntimeError:   # processor close()d since
+                    logger.error("Late analysis dropped: pool closed")
         try:
             next_decode = prefetcher.submit(self._decode_batch, batches[0])
             for i, batch in enumerate(batches):
@@ -445,27 +481,24 @@ class DataProcessor:
                 if decoded is not None:
                     fut = device_pool.submit(
                         self._asr_stage, i, batch, decoded)
-                    self._queue_depths["device_queue"] = 1
+                    self._device_inflight += 1
+                    self._queue_depths["device_queue"] = \
+                        self._device_inflight
                     try:
                         ctx = fut.result(timeout=timeout)
+                        self._device_inflight -= 1
                     except FuturesTimeoutError:
                         logger.error(
                             "Batch %d device work exceeded %ds timeout",
                             i + 1, timeout)
                         self.stats["errors"] += 1
-                        # If the abandoned device worker eventually
-                        # finishes, still run its analysis (markers,
-                        # in-flight cleanup) on whatever thread
-                        # completes it.
-                        fut.add_done_callback(
-                            lambda f: self._analysis_stage(f.result())
-                            if not f.exception() and f.result() is not None
-                            else None)
+                        fut.add_done_callback(_late_analysis)
                         ctx = None
                     if ctx is not None:
                         analysis_futs.append(analysis_pool.submit(
                             self._analysis_stage, ctx))
-                    self._queue_depths["device_queue"] = 0
+                    self._queue_depths["device_queue"] = \
+                        self._device_inflight
                 self._queue_depths["result_queue"] = sum(
                     1 for f in analysis_futs if not f.done())
                 sweep_errors = self.stats["errors"] - errors_at_start
@@ -486,10 +519,11 @@ class DataProcessor:
         finally:
             # Don't join potentially-hung workers; leftover futures are
             # cancelled and abandoned threads finish (or not) on their
-            # own without blocking the sweep.
+            # own without blocking the sweep. The analysis pool is the
+            # processor-lifetime executor (late analyses of abandoned
+            # batches land there) — it is NOT shut down per sweep.
             prefetcher.shutdown(wait=False, cancel_futures=True)
             device_pool.shutdown(wait=False, cancel_futures=True)
-            analysis_pool.shutdown(wait=False, cancel_futures=True)
         return total_success
 
     # ------------------------------------------------------------------
@@ -600,6 +634,53 @@ class DataProcessor:
             results if results is not None else self._all_results,
             self.output_dir)
 
+    # ------------------------------------------------------------------
+    def _append_csv_rows(self, results: List[Dict]) -> None:
+        """Stream result rows into the run's CSV (17-column reference
+        schema) as each batch's analysis completes. Only ever called
+        from the single-worker analysis pool, so writes are ordered
+        and unsynchronized. The file is created lazily on the first
+        row and closed by :meth:`_close_csv_stream` at the end of the
+        sweep (one timestamped file per run, like the reference's
+        end-of-run dump, pipeline.py:603-662 — but with O(batch)
+        instead of O(run) memory)."""
+        if not results:
+            return
+        import csv
+
+        from audio_processor_tpu.host.csv_writer import COLUMNS, _row
+
+        if self._csv_stream is None:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+            path = self.output_dir / f"optimized_results_{ts}.csv"
+            fh = open(path, "w", newline="", encoding="utf-8")
+            writer = csv.DictWriter(fh, fieldnames=COLUMNS)
+            writer.writeheader()
+            self._csv_stream = {"path": path, "fh": fh, "writer": writer}
+        try:
+            for r in results:
+                self._csv_stream["writer"].writerow(_row(r))
+            self._csv_stream["fh"].flush()
+        except OSError as e:
+            logger.error("Failed to stream CSV rows: %s", e)
+
+    def _close_csv_stream(self) -> Optional[Path]:
+        stream, self._csv_stream = self._csv_stream, None
+        if stream is None:
+            return None
+        try:
+            stream["fh"].close()
+        except OSError as e:
+            logger.warning("Failed to close CSV stream: %s", e)
+        return stream["path"]
+
+    def close(self) -> None:
+        """Release the persistent analysis worker and any open CSV
+        stream. Idempotent; the processor is unusable afterwards."""
+        self._close_csv_stream()
+        self._analysis_pool.shutdown(wait=False, cancel_futures=True)
+
     def cleanup_old_artifacts(self) -> int:
         return cleanup_old_artifacts(self.config, self.markers,
                                      self.temp_dir, self.intermediate_dir)
@@ -629,8 +710,11 @@ class DataProcessor:
                             n, time.perf_counter() - t0)
         total_success = self.process_files_parallel(files)
         self.log_results()
-        if self.config.get("save_csv_results", False) and self._all_results:
-            self.save_results()
+        # CSV rows were streamed per batch by the analysis stage;
+        # close the file so each run()/sweep produces one complete
+        # timestamped CSV (a legacy caller that filled _all_results
+        # via save_results(rows) explicitly is unaffected).
+        self._close_csv_stream()
         logger.info("Processing completed: %d files succeeded",
                     total_success)
         return total_success

@@ -238,6 +238,7 @@ class InferenceService:
         with self._stats_lock:
             out = dict(self.stats)
             lats = sorted(self._latencies)
+            pending = self._pending_chunks
         if lats:                       # nearest-rank percentiles
             out["p50_latency_seconds"] = round(
                 lats[max(0, math.ceil(0.50 * len(lats)) - 1)], 3)
@@ -246,7 +247,7 @@ class InferenceService:
         else:                          # keep the schema stable pre-traffic
             out["p50_latency_seconds"] = None
             out["p95_latency_seconds"] = None
-        out["pending_chunks"] = self._pending_chunks
+        out["pending_chunks"] = pending
         return out
 
     def prometheus_metrics(self) -> str:

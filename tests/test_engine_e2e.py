@@ -359,6 +359,142 @@ def test_corrupt_ogg_marked_failed_without_blocking_batch(workspace):
     db.close()
 
 
+def test_slow_db_insert_does_not_stall_device_dispatch(tmp_path):
+    """Call-row DB writes run in the analysis stage, not on the device
+    worker: a database insert that blocks must not delay the next
+    batch's device dispatch (VERDICT r2 weak #5)."""
+    import threading
+    import time
+
+    events = {}
+    lock = threading.Lock()
+
+    class _RecordingEngine(_FakeOkEngine):
+        def __init__(self):
+            self.calls = 0
+
+        def transcribe_chunks(self, chunks):
+            self.calls += 1
+            with lock:
+                events[f"asr_{self.calls}_start"] = time.perf_counter()
+            time.sleep(0.05)
+            return super().transcribe_chunks(chunks)
+
+    class _SlowDB:
+        def __init__(self):
+            self.inserts = 0
+
+        def insert_call(self, row):
+            self.inserts += 1
+            n = self.inserts
+            time.sleep(1.5)           # a reconnecting/slow database
+            with lock:
+                events[f"insert_{n}_end"] = time.perf_counter()
+
+    cfg, input_dir = _error_workspace(tmp_path, 3)
+    db = _SlowDB()
+    proc = DataProcessor(cfg, db_manager=db,
+                         asr_engine=_RecordingEngine())
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 3 and proc.stats["errors"] == 0
+    assert db.inserts == 3
+    # Batch 2's (and 3's) device dispatch started before batch 1's
+    # blocking insert finished.
+    assert events["asr_2_start"] < events["insert_1_end"]
+    assert events["asr_3_start"] < events["insert_1_end"]
+    proc.close()
+
+
+def test_csv_streams_per_batch_and_matches_bulk(tmp_path):
+    """CSV rows are appended as each batch's analysis completes; the
+    streamed file is byte-equivalent (minus the timestamped name) to a
+    bulk save_results_csv over the same rows in the same order."""
+    from audio_processor_tpu.host.csv_writer import save_results_csv
+
+    seen_rows = []
+    sizes_when_batch_done = []
+
+    class _RecordingAnalyzer:
+        def set_database_manager(self, db):
+            pass
+
+        def analyze_batch_sentiment(self, chunks):
+            seen_rows.extend(chunks)
+            return chunks
+
+    cfg, input_dir = _error_workspace(
+        tmp_path, 3, save_csv_results=True)
+    proc = DataProcessor(cfg, asr_engine=_FakeOkEngine(),
+                         sentiment_analyzer=_RecordingAnalyzer())
+
+    orig = proc._append_csv_rows
+
+    def spy(results):
+        orig(results)
+        p = proc._csv_stream["path"]
+        sizes_when_batch_done.append(p.stat().st_size)
+
+    proc._append_csv_rows = spy
+    proc.setup_models()
+    n = proc.run()
+    assert n == 3
+    csvs = list((tmp_path / "out").glob("optimized_results_*.csv"))
+    assert len(csvs) == 1
+    # Streamed: the file grew batch by batch (3 single-file batches).
+    assert len(sizes_when_batch_done) == 3
+    assert sizes_when_batch_done[0] < sizes_when_batch_done[1] \
+        < sizes_when_batch_done[2]
+    # Content identical to a bulk write of the same rows.
+    bulk = save_results_csv(seen_rows, tmp_path / "bulk")
+    assert csvs[0].read_text() == bulk.read_text()
+    # No unbounded accumulation for the CSV path.
+    assert proc._all_results == []
+    proc.close()
+
+
+def test_late_analysis_of_timed_out_batch_runs_on_analysis_pool(tmp_path):
+    """When an abandoned (timed-out) device future eventually
+    completes, its analysis is re-submitted to the single-worker
+    analysis pool — never run inline on the abandoned worker's thread
+    (advisor r2 finding #1: ordering + unsynchronized stats)."""
+    import threading
+    import time
+
+    cfg, input_dir = _error_workspace(tmp_path, 1, timeout_seconds=1,
+                                      max_errors=10)
+    proc = DataProcessor(cfg, asr_engine=_HangingEngine(seconds=2.5))
+    analysis_threads = []
+    orig = proc._analysis_stage
+
+    def spy(ctx):
+        analysis_threads.append(threading.current_thread().name)
+        return orig(ctx)
+
+    proc._analysis_stage = spy
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 0 and proc.stats["errors"] >= 1
+    # Wait for the abandoned worker to finish and its late analysis
+    # to drain through the pool.
+    deadline = time.time() + 30
+    while time.time() < deadline and not analysis_threads:
+        time.sleep(0.1)
+    with proc._in_flight_lock:
+        pass
+    assert analysis_threads, "late analysis never ran"
+    assert all(name.startswith("analysis")
+               for name in analysis_threads), analysis_threads
+    # The late analysis still wrote the marker.
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if proc.markers.is_processed(input_dir / "c0.wav"):
+            break
+        time.sleep(0.1)
+    assert proc.markers.is_processed(input_dir / "c0.wav")
+    proc.close()
+
+
 def test_analysis_overlaps_next_batch_asr(tmp_path):
     """The sentiment/persistence stage of batch N runs on the analysis
     worker while batch N+1's ASR runs on the device worker (3-stage
