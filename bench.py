@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark on the real chip. Prints ONE JSON line.
 
-Two timed workloads over the same 8 synthetic 2-channel 3-minute calls
-(BASELINE.md config 5: 8-file batches):
+Two timed workloads over the same 24 synthetic 2-channel 3-minute
+PCM16 calls (BASELINE.md config 5: 8-file batches; 24 calls so the
+3-stage pipeline overlap amortizes sweep head/tail):
 
 - ``asr_rtfx``: scan -> decode -> chunk -> fused fbank+ASR(3 views)+
   acoustic-features -> CTC text (the reference hot loop,
@@ -35,9 +36,10 @@ import numpy as np
 
 BASELINE_RTFX = 30.0
 BASELINE_FILES_PER_HOUR = 600.0
-NUM_CALLS = 8
+NUM_CALLS = 24   # >= 3 sweeps of 8-file batches: head/tail amortized
 CALL_SEC = 180.0  # 3 minutes
 SR = 16000
+TIMED_SWEEPS = 5  # best-of AND p50-of-5 both reported
 
 CLIENT_LABELS = ["content", "mécontent", "neutre", "très mécontent"]
 AGENT_LABELS = ["aggressive", "courtois", "neutre", "sec"]
@@ -48,6 +50,10 @@ def log(msg):
 
 
 def make_calls(dir_: Path):
+    """NUM_CALLS synthetic 2-channel 3-minute calls, written as 16-bit
+    PCM WAV — the reference's own wire format (it transcodes every
+    input to pcm_s16le, services/audio_processor.py:76-86). ~11 MiB
+    per call."""
     from audio_processor_tpu.io import wav
 
     rng = np.random.default_rng(0)
@@ -62,6 +68,75 @@ def make_calls(dir_: Path):
         wav.write(p, np.stack([agent, client]).astype(np.float32), SR)
         paths.append(p)
     return paths
+
+
+# Rotating >=5-char French phrases injected when a synthetic-weight CTC
+# transcript falls under the reference's 5-char skip (see
+# EngagedSentimentAnalyzer).
+INJECT_TEXTS = [
+    "bonjour je vous appelle pour un probleme de facturation",
+    "merci beaucoup pour votre aide je suis tres content",
+    "le service ne fonctionne plus depuis hier soir",
+    "je voudrais resilier mon abonnement immediatement",
+    "pouvez vous verifier ma derniere facture svp",
+    "l agent a ete tres courtois et professionnel",
+    "c est inadmissible j attends depuis une heure",
+    "tout est rentre dans l ordre merci pour votre patience",
+]
+
+
+class EngagedSentimentAnalyzer:
+    """Guarantees the sentiment stage actually engages in the timed
+    region. With random synthetic weights the CTC transcripts can fall
+    under the reference-preserved 5-char skip
+    (sentiment_analysis.py:1099), which silently skips text BERT — and
+    the acoustic result is gated on text (:140-142) — so a "full
+    pipeline" sweep could degenerate to ASR+plumbing without failing.
+    Any short transcript is replaced with a rotating >=5-char phrase
+    BEFORE analysis, and engagement (non-empty text + fusion
+    predictions) is counted so the bench can assert >=90% coverage.
+    Device work is identical to production: BERT x2 + SVC/RF + fusion
+    run for every chunk."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.text_analyzer = inner.text_analyzer
+        self.acoustic_analyzer = inner.acoustic_analyzer
+        self.chunks_seen = 0
+        self.text_engaged = 0
+        self.fusion_engaged = 0
+        self._n_injected = 0
+
+    def set_database_manager(self, db):
+        self._inner.set_database_manager(db)
+
+    def reset_counters(self):
+        self.chunks_seen = self.text_engaged = self.fusion_engaged = 0
+
+    def engagement(self):
+        n = max(1, self.chunks_seen)
+        return self.text_engaged / n, self.fusion_engaged / n
+
+    def analyze_batch_sentiment(self, chunks):
+        for c in chunks:
+            if c.get("error"):
+                continue
+            for k in ("agent_transcription", "client_transcription"):
+                t = c.get(k) or ""
+                if len(t.strip()) < 5:
+                    c[k] = INJECT_TEXTS[self._n_injected
+                                        % len(INJECT_TEXTS)]
+                    self._n_injected += 1
+        out = self._inner.analyze_batch_sentiment(chunks)
+        for c in out:
+            self.chunks_seen += 1
+            if c.get("agent_text_sentiment") and \
+                    c.get("client_text_sentiment"):
+                self.text_engaged += 1
+            if c.get("agent_fusion_sentiment") and \
+                    c.get("client_fusion_sentiment"):
+                self.fusion_engaged += 1
+        return out
 
 
 def make_text_model(d: Path, labels, seed: int):
@@ -189,14 +264,19 @@ def run_encoder_bench(engine):
 def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
                   work: Path):
     """Config-5 full pipeline via DataProcessor.run(); one warm-up
-    sweep (compiles text/acoustic programs), then three timed sweeps
-    with fresh markers/DB/outputs — best-of-3, same policy as the ASR
-    loop (the tunneled transport shows 2x run-to-run swings)."""
+    sweep (compiles text/acoustic programs), then TIMED_SWEEPS timed
+    sweeps with fresh markers/DB/outputs. Returns (best, p50) sweep
+    seconds — best-of because the tunneled transport shows 2x
+    run-to-run swings from unrelated host activity, p50 so cross-round
+    comparisons aren't phase-lucky. Each timed sweep asserts the
+    sentiment stage engaged on >=90% of chunks (text AND fusion
+    predictions non-empty) — see EngagedSentimentAnalyzer."""
     from audio_processor_tpu.host.db import DatabaseManager
     from audio_processor_tpu.pipeline.engine import DataProcessor
 
-    best = float("inf")
-    for phase in ("warmup", "timed1", "timed2", "timed3"):
+    timings = []
+    phases = ["warmup"] + [f"timed{i+1}" for i in range(TIMED_SWEEPS)]
+    for phase in phases:
         out = work / f"out_{phase}"
         cfg = make_cfg(input_folder=str(input_dir),
                        output_folder=str(out),
@@ -205,20 +285,30 @@ def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
         analyzer.set_database_manager(db)
         proc = DataProcessor(cfg, db_manager=db, asr_engine=engine,
                              sentiment_analyzer=analyzer)
+        analyzer.reset_counters()
         t0 = time.perf_counter()
         n = proc.run()
         dt = time.perf_counter() - t0
+        proc.close()
         db.close()
         assert n == NUM_CALLS, f"{phase}: {n}/{NUM_CALLS} succeeded"
         assert proc.stats["errors"] == 0
+        text_rate, fusion_rate = analyzer.engagement()
+        assert analyzer.chunks_seen >= NUM_CALLS, \
+            f"{phase}: sentiment saw only {analyzer.chunks_seen} chunks"
+        assert text_rate >= 0.9 and fusion_rate >= 0.9, (
+            f"{phase}: sentiment engagement too low "
+            f"(text {text_rate:.2f}, fusion {fusion_rate:.2f}) — "
+            "the timed region is not exercising the full pipeline")
         if phase == "warmup":
             log(f"e2e warmup sweep {dt:.1f}s")
             continue
         csvs = list(out.glob("optimized_results_*.csv"))
         assert csvs and csvs[0].stat().st_size > 0
-        log(f"e2e {phase} sweep {dt:.1f}s")
-        best = min(best, dt)
-    return best
+        log(f"e2e {phase} sweep {dt:.1f}s (text {text_rate:.2f}, "
+            f"fusion {fusion_rate:.2f} engaged)")
+        timings.append(dt)
+    return min(timings), float(np.percentile(timings, 50))
 
 
 def main():
@@ -279,12 +369,12 @@ def main():
             f"-> RTFx {encoder_rtfx:.0f}")
 
         log("building sentiment analyzer")
-        analyzer = SentimentAnalyzer(cfg)
+        analyzer = EngagedSentimentAnalyzer(SentimentAnalyzer(cfg))
         assert analyzer.text_analyzer.models_available
         assert analyzer.acoustic_analyzer.models_available
         log("config-5 full-pipeline run")
-        e2e_dt = run_e2e_bench(engine, analyzer, make_cfg, input_dir,
-                               work)
+        e2e_dt, e2e_p50 = run_e2e_bench(engine, analyzer, make_cfg,
+                                        input_dir, work)
 
     audio_hours = NUM_CALLS * CALL_SEC / 3600.0
     asr_rtfx = audio_hours / (asr_dt / 3600.0)
@@ -300,6 +390,10 @@ def main():
         "files_per_hour": round(files_per_hour, 1),
         "files_per_hour_vs_baseline": round(
             files_per_hour / BASELINE_FILES_PER_HOUR, 2),
+        # p50 of the TIMED_SWEEPS timed sweeps: the trust-but-verify
+        # companion to the best-of headline on this 2x-swing transport.
+        "e2e_rtfx_p50": round(audio_hours / (e2e_p50 / 3600.0), 2),
+        "files_per_hour_p50": round(NUM_CALLS / (e2e_p50 / 3600.0), 1),
     }))
 
 
