@@ -122,6 +122,12 @@ class PipelineConfig:
     # pipeline.py:386).
     max_errors: int = 10
 
+    # Device pipelining (TPU-native; no reference equivalent): overlap
+    # batch N+1's device dispatch with batch N's result fetch/
+    # analysis, bounded to max_inflight_batches outstanding batches.
+    async_device_fetch: bool = True
+    max_inflight_batches: int = 3
+
     # Resource limits (config.yaml:94-97)
     max_concurrent_files: int = 64
     max_concurrent_chunks: int = 1000

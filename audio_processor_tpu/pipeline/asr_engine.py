@@ -422,8 +422,22 @@ class ASREngine:
         compute of successive batches pipeline instead of
         ping-ponging.
         """
+        return self.dispatch_chunks(chunks)()
+
+    def dispatch_chunks(self, chunks: Sequence[Chunk]):
+        """Dispatch-only half of :meth:`transcribe_chunks`: prep +
+        enqueue every sub-batch on the device (async JAX dispatch),
+        then return a fetch closure that performs the device->host
+        fetch, CTC text decode, and row assembly.
+
+        The engine calls this from its device-stage worker and runs
+        the closure on its analysis worker, so batch N+1's uploads/
+        compute overlap batch N's fetch + sentiment + persistence —
+        the device never idles waiting for host-side result handling
+        (the reference serializes forward->fetch->analyze per batch,
+        services/pipeline.py:409-427)."""
         if not chunks:
-            return []
+            return lambda: []
         results: Dict[int, Dict] = {}
         batches = chunk_batch(
             chunks, self.bucket_samples,
@@ -488,6 +502,9 @@ class ASREngine:
             if prep_pool is not None:
                 prep_pool.shutdown(wait=False, cancel_futures=True)
 
+        return lambda: self._fetch_pending(chunks, pending, results)
+
+    def _fetch_pending(self, chunks, pending, results) -> List[Dict]:
         # Pass 2: fetch + decode in dispatch order.
         for sub_chunks, out, err in pending:
             n = len(sub_chunks)

@@ -105,6 +105,16 @@ class DataProcessor:
                               "result_queue": 0}
         self.max_retries = int(config.get("max_retries", 3))
         self.io_workers = int(config.get("io_workers", 32))
+        # Overlap batch N+1's device dispatch with batch N's result
+        # fetch/analysis (see _asr_stage). Device hangs then surface
+        # at the analysis-stage timeout instead of the device-stage
+        # one — still bounded, one batch later.
+        self._async_fetch = bool(config.get("async_device_fetch", True))
+        # Max dispatched-but-unanalyzed batches: each holds its
+        # decoded waveforms (~tens of MB) plus device result buffers,
+        # so the async window must be bounded.
+        self._max_inflight = max(1, int(
+            config.get("max_inflight_batches", 3)))
         # Files whose batch is still executing on an abandoned
         # (timed-out) worker: the next --watch sweep must not pick
         # them up concurrently (they have no marker yet).
@@ -265,12 +275,27 @@ class DataProcessor:
                     continue
                 all_chunks.extend(d["chunks"])
 
-            results = (self.asr_engine.transcribe_chunks(all_chunks)
-                       if all_chunks else [])
+            # Async fetch split: dispatch the device work here (prep +
+            # upload + enqueue, returns once queued) and hand the fetch
+            # closure to the analysis stage — batch N+1's device
+            # dispatch then overlaps batch N's fetch/decode/sentiment
+            # instead of idling the chip behind host-side result
+            # handling. Sync fallback for engines without
+            # dispatch_chunks (tests, facades).
             self.stats["files_processed"] += len(files)
-            self.stats["chunks_processed"] += len(results)
+            fetch = None
+            results: List[Dict] = []
+            if not all_chunks:
+                pass
+            elif self._async_fetch and hasattr(self.asr_engine,
+                                               "dispatch_chunks"):
+                fetch = self.asr_engine.dispatch_chunks(all_chunks)
+            else:
+                results = self.asr_engine.transcribe_chunks(all_chunks)
+                self.stats["chunks_processed"] += len(results)
             return {"batch_id": batch_id, "files": files,
                     "decoded": decoded, "results": results,
+                    "fetch": fetch,
                     "batch_failed": batch_failed, "batch_t0": batch_t0}
         except Exception as e:
             logger.exception("Error processing batch %d: %s",
@@ -288,6 +313,19 @@ class DataProcessor:
         decoded, results = ctx["decoded"], ctx["results"]
         batch_failed = ctx["batch_failed"]
         try:
+            fetch = ctx.get("fetch")
+            if fetch is not None:
+                # Realize the async device results (see _asr_stage);
+                # by now the NEXT batch is usually already executing
+                # on the device behind this fetch.
+                try:
+                    results = ctx["results"] = fetch()
+                except Exception as e:
+                    logger.exception("Device fetch failed for batch "
+                                     "%d: %s", batch_id + 1, e)
+                    self.stats["errors"] += 1
+                    results = ctx["results"] = []
+                self.stats["chunks_processed"] += len(results)
             # Call rows are written here, NOT on the device-stage
             # worker: a slow or reconnecting database must never stall
             # the next batch's device dispatch. They go in before the
@@ -466,6 +504,19 @@ class DataProcessor:
             next_decode = prefetcher.submit(self._decode_batch, batches[0])
             for i, batch in enumerate(batches):
                 self.memory_manager.wait_for_memory()
+                # Backpressure on the async-fetch window: wait for the
+                # oldest pending analysis once max_inflight batches
+                # are dispatched but not yet analyzed.
+                pending_analysis = [f for f in analysis_futs
+                                    if not f.done()]
+                if len(pending_analysis) >= self._max_inflight:
+                    try:
+                        pending_analysis[0].result(timeout=timeout)
+                    except FuturesTimeoutError:
+                        logger.error(
+                            "Analysis backlog exceeded %ds timeout",
+                            timeout)
+                        self.stats["errors"] += 1
                 try:
                     decoded = next_decode.result(timeout=timeout)
                 except FuturesTimeoutError:

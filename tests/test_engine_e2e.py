@@ -359,6 +359,86 @@ def test_corrupt_ogg_marked_failed_without_blocking_batch(workspace):
     db.close()
 
 
+def test_async_fetch_overlaps_dispatch_with_result_handling(tmp_path):
+    """With an engine exposing dispatch_chunks, batch N+1's device
+    dispatch happens while batch N's results are still being fetched
+    on the analysis worker (the chip never idles behind host-side
+    result handling)."""
+    import threading
+    import time
+
+    events = {}
+    lock = threading.Lock()
+
+    class _AsyncEngine(_FakeOkEngine):
+        def __init__(self):
+            self.calls = 0
+
+        def dispatch_chunks(self, chunks):
+            self.calls += 1
+            n = self.calls
+            with lock:
+                events[f"dispatch_{n}"] = time.perf_counter()
+
+            def fetch():
+                time.sleep(0.4)      # device still computing / D2H
+                with lock:
+                    events[f"fetch_{n}_end"] = time.perf_counter()
+                return super(_AsyncEngine, self).transcribe_chunks(
+                    chunks)
+            return fetch
+
+    cfg, input_dir = _error_workspace(tmp_path, 3)
+    proc = DataProcessor(cfg, asr_engine=_AsyncEngine())
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 3 and proc.stats["errors"] == 0
+    assert proc.stats["chunks_processed"] > 0
+    # Batch 2 (and 3) dispatched before batch 1's fetch completed.
+    assert events["dispatch_2"] < events["fetch_1_end"]
+    assert events["dispatch_3"] < events["fetch_1_end"]
+    # Fetches realized in batch order on the analysis worker.
+    assert events["fetch_1_end"] < events["fetch_2_end"] \
+        < events["fetch_3_end"]
+    proc.close()
+
+
+def test_async_fetch_window_is_bounded(tmp_path):
+    """No more than max_inflight_batches are dispatched beyond the
+    analysis stage (decoded waveforms would otherwise accumulate
+    without limit when analysis lags dispatch)."""
+    import threading
+    import time
+
+    lock = threading.Lock()
+    state = {"inflight": 0, "max_inflight": 0}
+
+    class _SlowFetchEngine(_FakeOkEngine):
+        def dispatch_chunks(self, chunks):
+            with lock:
+                state["inflight"] += 1
+                state["max_inflight"] = max(state["max_inflight"],
+                                            state["inflight"])
+
+            def fetch():
+                time.sleep(0.3)
+                with lock:
+                    state["inflight"] -= 1
+                return super(_SlowFetchEngine, self).transcribe_chunks(
+                    chunks)
+            return fetch
+
+    cfg, input_dir = _error_workspace(tmp_path, 6,
+                                      max_inflight_batches=2)
+    proc = DataProcessor(cfg, asr_engine=_SlowFetchEngine())
+    files = proc.file_scanner.scan_files_parallel(input_dir)
+    ok = proc.process_files_parallel(files)
+    assert ok == 6 and proc.stats["errors"] == 0
+    # window bound: 2 pending + the one being dispatched
+    assert state["max_inflight"] <= 3
+    proc.close()
+
+
 def test_slow_db_insert_does_not_stall_device_dispatch(tmp_path):
     """Call-row DB writes run in the analysis stage, not on the device
     worker: a database insert that blocks must not delay the next
