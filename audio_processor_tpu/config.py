@@ -88,6 +88,15 @@ class PipelineConfig:
     vad_window_overlap_sec: float = 0.5
     vad_gap_threshold: float = 0.8
     vad_padding: float = 0.5
+    # PyanNet inference windowing (TPU-native): fixed-size sliding
+    # windows batched into one static-shape program with overlap
+    # averaging — the same regime as pyannote's Inference sliding
+    # window (the hub VAD pipeline's duration is 5 s), and the only
+    # XLA-friendly way to run arbitrary-length calls without
+    # per-length recompiles.
+    vad_infer_window_sec: float = 5.0
+    vad_infer_step_sec: float = 2.5
+    vad_infer_batch_rows: int = 16
 
     # Audio (config.yaml:64-66)
     target_sample_rate: int = 16000

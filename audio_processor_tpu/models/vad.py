@@ -208,6 +208,95 @@ def pyannet_frame_hop_sec(cfg: PyanNetConfig) -> float:
     return cfg.sinc_stride * cfg.pool ** 3 / cfg.sample_rate
 
 
+def pyannet_frame_hop_samples(cfg: PyanNetConfig) -> int:
+    return cfg.sinc_stride * cfg.pool ** 3
+
+
+def pyannet_num_frames(cfg: PyanNetConfig, samples: int) -> int:
+    """Output frame count of pyannet_forward for an input length
+    (valid convs/pools: sinc k251 s10, then 3x [pool3 + conv k5
+    except after the last pool])."""
+    t = (samples - cfg.sinc_kernel) // cfg.sinc_stride + 1
+    t = t // cfg.pool
+    t = t - (cfg.conv_kernel - 1)
+    t = t // cfg.pool
+    t = t - (cfg.conv_kernel - 1)
+    t = t // cfg.pool
+    return max(0, t)
+
+
+_pyannet_jit = jax.jit(pyannet_forward, static_argnames=("cfg",))
+
+
+def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
+                           mono: np.ndarray,
+                           window_sec: float = 5.0,
+                           step_sec: float = 2.5,
+                           batch_rows: int = 16) -> np.ndarray:
+    """Arbitrary-length mono waveform -> [frames] speech probabilities
+    via fixed-size sliding windows, batched, with overlap averaging.
+
+    This is the TPU-native inference regime AND the behavioral match
+    for the reference's pyannote pipeline, which slides a fixed
+    ``duration`` window over the file and aggregates overlapping frame
+    scores (pyannote.audio Inference('sliding'); reference call path
+    services/speech_segment.py:175-187). A whole-call forward would
+    recompile per call length, run the InstanceNorms over a length
+    regime the published checkpoints never saw, and serialize one
+    giant BiLSTM scan; windows give two static shapes total
+    ([batch_rows, W] + the tail batch), short scans, and MXU-friendly
+    batching.
+
+    The step is snapped DOWN to the model's output frame hop (270
+    samples) so every window's frame grid aligns with the absolute
+    frame grid; the tail window is zero-padded (pyannote pads short
+    chunks the same way). Overlapping frames are averaged.
+    """
+    sr = cfg.sample_rate
+    hop = pyannet_frame_hop_samples(cfg)
+    W = int(window_sec * sr)
+    S = max(hop, int(step_sec * sr) // hop * hop)
+    x = np.asarray(mono, np.float32).reshape(-1)
+    T = x.shape[0]
+    n_win = max(1, -(-(max(T - W, 0)) // S) + 1)
+    padded_len = (n_win - 1) * S + W
+    if padded_len > T:
+        x = np.concatenate([x, np.zeros(padded_len - T, np.float32)])
+    windows = np.lib.stride_tricks.as_strided(
+        x, shape=(n_win, W), strides=(x.itemsize * S, x.itemsize))
+
+    F_w = pyannet_num_frames(cfg, W)
+    probs = np.empty((n_win, F_w), np.float32)
+    pending = []
+    for i in range(0, n_win, batch_rows):
+        rows = windows[i:i + batch_rows]
+        n = rows.shape[0]
+        if n < batch_rows:   # static tail shape: pad rows with zeros
+            rows = np.concatenate(
+                [rows, np.zeros((batch_rows - n, W), np.float32)])
+        # async dispatch: uploads/compute of sub-batch k+1 overlap k
+        pending.append((i, n, _pyannet_jit(params, cfg, rows)))
+    for i, n, out in pending:
+        probs[i:i + n] = np.asarray(out)[:n, :F_w]
+
+    # Overlap-average onto the absolute frame grid (window w's frame
+    # f sits at absolute frame w*(S//hop) + f).
+    step_frames = S // hop
+    n_total = pyannet_num_frames(cfg, padded_len)
+    sums = np.zeros(n_total, np.float64)
+    counts = np.zeros(n_total, np.float64)
+    for w in range(n_win):
+        lo = w * step_frames
+        hi = min(lo + F_w, n_total)
+        sums[lo:hi] += probs[w, :hi - lo]
+        counts[lo:hi] += 1.0
+    agg = (sums / np.maximum(counts, 1.0)).astype(np.float32)
+    # Trim frames whose hop position lies entirely in the zero tail
+    # (the pyannote pipeline crops its timeline to the file duration).
+    n_keep = max(1, min(agg.shape[0], -(-T // hop)))
+    return agg[:n_keep]
+
+
 def convert_pyannet(state_dict: Dict[str, Any],
                     cfg: PyanNetConfig) -> Dict[str, Any]:
     """pyannote.audio PyanNet torch state dict -> param tree.

@@ -105,11 +105,23 @@ class SpeechSegment:
     # ------------------------------------------------------------------
     def vad_probs(self, waveform: np.ndarray, sample_rate: int
                   ) -> Tuple[np.ndarray, float]:
-        """Mono waveform -> (frame speech probs, frame hop seconds)."""
+        """Mono waveform -> (frame speech probs, frame hop seconds).
+
+        PyanNet runs as batched fixed-size sliding windows with
+        overlap averaging (vad_mod.pyannet_probs_windowed): static
+        XLA shapes for any call length, and the same inference regime
+        as the reference's pyannote pipeline (sliding 5 s duration,
+        speech_segment.py:175-187)."""
         mono = np.asarray(waveform, np.float32).reshape(-1)
         if self._vad_params is not None:
-            probs = np.asarray(vad_mod.pyannet_forward(
-                self._vad_params, self._vad_cfg, mono[None, :]))[0]
+            probs = vad_mod.pyannet_probs_windowed(
+                self._vad_params, self._vad_cfg, mono,
+                window_sec=float(
+                    self.config.get("vad_infer_window_sec", 5.0)),
+                step_sec=float(
+                    self.config.get("vad_infer_step_sec", 2.5)),
+                batch_rows=int(
+                    self.config.get("vad_infer_batch_rows", 16)))
             return probs, vad_mod.pyannet_frame_hop_sec(self._vad_cfg)
         probs, mask = vad_mod.energy_vad_probs(
             mono[None, :], np.array([mono.shape[0]], np.int32))

@@ -167,11 +167,65 @@ def test_frame_hop_matches_torch_frame_count(oracle):
     assert 3.0 - frames * hop < 0.25
 
 
+def _oracle_windowed_probs(oracle, wav: np.ndarray, cfg: PyanNetConfig,
+                           window_sec=5.0, step_sec=2.5) -> np.ndarray:
+    """Torch-side replica of pyannet_probs_windowed: fixed windows,
+    zero-padded tail, per-window forward, overlap-average on the
+    absolute frame grid, crop to the file duration."""
+    from audio_processor_tpu.models.vad import (
+        pyannet_frame_hop_samples, pyannet_num_frames,
+    )
+
+    hop = pyannet_frame_hop_samples(cfg)
+    W = int(window_sec * SR)
+    S = max(hop, int(step_sec * SR) // hop * hop)
+    T = wav.shape[0]
+    n_win = max(1, -(-(max(T - W, 0)) // S) + 1)
+    padded = np.zeros((n_win - 1) * S + W, np.float32)
+    padded[:T] = wav
+    F_w = pyannet_num_frames(cfg, W)
+    n_total = pyannet_num_frames(cfg, padded.shape[0])
+    sums = np.zeros(n_total, np.float64)
+    counts = np.zeros(n_total, np.float64)
+    with torch.no_grad():
+        for w in range(n_win):
+            chunk = padded[w * S:w * S + W]
+            p = oracle(torch.tensor(chunk)[None, None, :])[0] \
+                .max(-1)[0].numpy()
+            lo = w * (S // hop)
+            hi = min(lo + F_w, n_total)
+            sums[lo:hi] += p[:hi - lo]
+            counts[lo:hi] += 1.0
+    agg = (sums / np.maximum(counts, 1.0)).astype(np.float32)
+    return agg[:max(1, min(n_total, -(-T // hop)))]
+
+
+def test_windowed_probs_match_torch_windowed(oracle, rng):
+    """The batched sliding-window inference (static shapes, overlap
+    averaging — the pyannote Inference('sliding') regime the reference
+    pipeline runs, speech_segment.py:175-187) matches a per-window
+    torch oracle, including the zero-padded tail window."""
+    cfg = PyanNetConfig(num_outputs=3)
+    from audio_processor_tpu.models.vad import pyannet_probs_windowed
+
+    params = convert_pyannet(oracle.state_dict(), cfg)
+    # 13.3 s: 4 full steps + unaligned tail; crosses a batch boundary
+    # with batch_rows=4.
+    wav = (0.05 * rng.standard_normal(int(13.3 * SR))).astype(np.float32)
+    wav[2 * SR:5 * SR] += np.sin(
+        2 * np.pi * 280 * np.arange(3 * SR) / SR).astype(np.float32)
+    got = pyannet_probs_windowed(params, cfg, wav, window_sec=5.0,
+                                 step_sec=2.5, batch_rows=4)
+    ref = _oracle_windowed_probs(oracle, wav, cfg)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
+
+
 def test_segmenter_uses_pyannet_checkpoint(oracle, tmp_path, rng):
     """A configured PyanNet checkpoint becomes the VAD (energy VAD is
     only the no-checkpoint fallback), and the post-merge/pad/window
     boundaries equal applying the reference rules to the oracle's own
-    probabilities."""
+    (windowed, overlap-averaged) probabilities."""
     from audio_processor_tpu.config import PipelineConfig
     from audio_processor_tpu.pipeline.segmenter import SpeechSegment
 
@@ -187,11 +241,11 @@ def test_segmenter_uses_pyannet_checkpoint(oracle, tmp_path, rng):
         2 * np.pi * 250 * np.arange(SR) / SR).astype(np.float32)
     segs = seg.get_speech_segments(wav, SR, "agent")
 
-    # Independent reference: oracle probs -> binarize -> merge -> pad,
-    # the reference's rules (speech_segment.py:366-418).
-    with torch.no_grad():
-        probs = oracle(torch.tensor(wav)[None, None, :])[0].max(-1)[0]
-    hop = pyannet_frame_hop_sec(PyanNetConfig(num_outputs=3))
+    # Independent reference: windowed oracle probs -> binarize ->
+    # merge -> pad, the reference's rules (speech_segment.py:366-418).
+    mcfg = PyanNetConfig(num_outputs=3)
+    probs = _oracle_windowed_probs(oracle, wav, mcfg)
+    hop = pyannet_frame_hop_sec(mcfg)
     spans = binarize(np.asarray(probs), hop, onset=0.5, offset=0.5)
     merged = []
     for s, e in spans:
