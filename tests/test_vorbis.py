@@ -404,3 +404,76 @@ def test_truncated_long_packet_after_short_block(tmp_path):
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0 and "trunc-ok" in r.stdout, r.stderr
+
+
+# ------------------------------------------------------------------
+# Real-world-encoder streams: the system libvorbisenc (the Xiph
+# reference encoder, the same code ffmpeg's libvorbis path runs) is
+# driven via ctypes (tests/libvorbis_ctypes.py) to produce genuine
+# production bitstreams — VBR psychoacoustics, real codebooks,
+# long/short block switching, stereo coupling. Our Python and C++
+# decoders must agree with libvorbisfile (the Xiph reference decoder)
+# on them. Reference ingest path: services/audio_processor.py:76-86.
+# ------------------------------------------------------------------
+
+def _real_encoder_pcm(sr, dur, stereo, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(dur * sr)) / sr
+    a = 0.4 * np.sin(2 * np.pi * 331 * t) * \
+        (0.6 + 0.4 * np.sin(2 * np.pi * 2.3 * t))
+    b = 0.4 * np.sin(2 * np.pi * 497 * t) + \
+        0.05 * rng.standard_normal(t.shape[0])
+    # hard transients force short-block/transition windows
+    for pos in (int(0.31 * sr), int(0.73 * sr), int(1.17 * sr)):
+        a[pos:pos + 256] += 0.5 * rng.standard_normal(256)
+        b[pos:pos + 256] += 0.5 * rng.standard_normal(256)
+    pcm = np.stack([a, b]) if stereo else a[None]
+    return np.clip(pcm, -0.98, 0.98).astype(np.float32)
+
+
+@pytest.mark.parametrize("sr,stereo,quality", [
+    (44100, True, 0.4),   # typical music file: coupling + mixed blocks
+    (44100, True, 0.1),   # low-rate setups exercise other codebooks
+    (16000, True, 0.4),   # call-center rate, stereo
+    (16000, False, 0.4),  # mono
+])
+def test_real_libvorbisenc_stream_decodes_bit_true(sr, stereo, quality,
+                                                   tmp_path):
+    from tests.libvorbis_ctypes import (available, decode_vorbisfile,
+                                        encode_vorbis)
+
+    if not available():
+        pytest.skip("system libvorbisenc/libvorbisfile not present")
+    from audio_processor_tpu.io import native
+
+    pcm = _real_encoder_pcm(sr, 1.6, stereo, seed=sr + int(quality * 10))
+    data = encode_vorbis(pcm, sr, quality)
+    assert data[:4] == b"OggS" and len(data) > 4000
+
+    ref_pcm, ref_sr = decode_vorbisfile(data)   # Xiph reference decoder
+    py_pcm, py_sr = decode_vorbis(data)         # first-party Python
+    assert py_sr == ref_sr == sr
+    assert py_pcm.shape[0] == ref_pcm.shape[0] == (2 if stereo else 1)
+    n = min(py_pcm.shape[1], ref_pcm.shape[1])
+    assert n >= int(1.5 * sr)
+    # Independent float implementations of the same spec math: tiny
+    # numeric skew only.
+    np.testing.assert_allclose(py_pcm[:, :n], ref_pcm[:, :n],
+                               atol=1e-4)
+    corr = np.corrcoef(py_pcm[:, :n].ravel(), ref_pcm[:, :n].ravel())
+    assert corr[0, 1] > 0.999999
+
+    if native.has_vorbis():
+        p = tmp_path / "real.ogg"
+        p.write_bytes(data)
+        cpp = native.decode_vorbis(p)
+        assert cpp is not None, "native decode of real stream failed"
+        cpp_pcm, cpp_sr = cpp
+        assert cpp_sr == sr
+        m = min(n, cpp_pcm.shape[1])
+        # Real VBR streams hit float-op-ordering differences between
+        # numpy and C++ (observed max ~8e-7, well under the 3e-5 int16
+        # quantization step); the self-generated-stream tests above
+        # keep the bit-exact assertion on the shared codepaths.
+        np.testing.assert_allclose(py_pcm[:, :m], cpp_pcm[:, :m],
+                                   atol=2e-6)
