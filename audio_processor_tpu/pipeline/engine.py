@@ -103,6 +103,8 @@ class DataProcessor:
         self._all_results: List[Dict[str, Any]] = []
         self._queue_depths = {"decode_queue": 0, "device_queue": 0,
                               "result_queue": 0}
+        # Current decode prefetch future (look-ahead fill metric).
+        self._next_decode_fut = None
         self.max_retries = int(config.get("max_retries", 3))
         self.io_workers = int(config.get("io_workers", 32))
         # Overlap batch N+1's device dispatch with batch N's result
@@ -163,7 +165,12 @@ class DataProcessor:
             self.sentiment_analyzer.set_database_manager(self.db_manager)
 
     def get_queue_metrics(self) -> Dict[str, int]:
-        return dict(self._queue_depths)
+        d = dict(self._queue_depths)
+        # Decode look-ahead fill, sampled live: 1 when the prefetched
+        # next batch is fully decoded and waiting on the device stage.
+        fut = self._next_decode_fut
+        d["decode_ready"] = int(fut is not None and fut.done())
+        return d
 
     # ------------------------------------------------------------------
     def _decode_one(self, file_path: Path, preloaded=None):
@@ -502,6 +509,7 @@ class DataProcessor:
                     logger.error("Late analysis dropped: pool closed")
         try:
             next_decode = prefetcher.submit(self._decode_batch, batches[0])
+            self._next_decode_fut = next_decode
             for i, batch in enumerate(batches):
                 self.memory_manager.wait_for_memory()
                 # Backpressure on the async-fetch window: wait for the
@@ -529,6 +537,9 @@ class DataProcessor:
                 if i + 1 < len(batches):
                     next_decode = prefetcher.submit(
                         self._decode_batch, batches[i + 1])
+                    self._next_decode_fut = next_decode
+                else:
+                    self._next_decode_fut = None
                 if decoded is not None:
                     fut = device_pool.submit(
                         self._asr_stage, i, batch, decoded)
