@@ -70,18 +70,34 @@ def main():
                        output_folder=str(work / "out0"),
                        db_path=str(work / "0.sqlite"))
         engine = ASREngine(cfg)
-        analyzer = SentimentAnalyzer(cfg)
+        analyzer = bench_mod.EngagedSentimentAnalyzer(
+            SentimentAnalyzer(cfg))
 
-        # Instrument stage boundaries.
-        engine.transcribe_chunks = timed("asr", engine.transcribe_chunks)
-        analyzer.text_analyzer.analyze_batch_sentiment = timed(
-            "text_bert", analyzer.text_analyzer.analyze_batch_sentiment)
-        analyzer.acoustic_analyzer.classify_features = timed(
-            "acoustic_classify", analyzer.acoustic_analyzer.classify_features)
-        analyzer._save_chunks_to_database = timed(
-            "chunk_db", analyzer._save_chunks_to_database)
-        analyzer._update_calls_aggregated_emotions = timed(
-            "aggregation", analyzer._update_calls_aggregated_emotions)
+        # Instrument stage boundaries. With async_device_fetch the
+        # engine calls dispatch_chunks and realizes the fetch closure
+        # on the analysis worker — time the two halves separately.
+        real_dispatch = engine.dispatch_chunks
+
+        def timed_dispatch(chunks):
+            t0 = time.perf_counter()
+            fetch = real_dispatch(chunks)
+            T["asr_dispatch"] = T.get("asr_dispatch", 0.0) + \
+                time.perf_counter() - t0
+            return timed("asr_fetch", fetch)
+
+        engine.dispatch_chunks = timed_dispatch
+        from audio_processor_tpu.pipeline import asr_engine as ae_mod
+        from audio_processor_tpu.models.tokenizer import batch_decode
+        ae_mod.batch_decode = timed("ctc_text_decode", batch_decode)
+        inner = analyzer._inner
+        inner.text_analyzer.analyze_batch_sentiment = timed(
+            "text_bert", inner.text_analyzer.analyze_batch_sentiment)
+        inner.acoustic_analyzer.classify_features = timed(
+            "acoustic_classify", inner.acoustic_analyzer.classify_features)
+        inner._save_chunks_to_database = timed(
+            "chunk_db", inner._save_chunks_to_database)
+        inner._update_calls_aggregated_emotions = timed(
+            "aggregation", inner._update_calls_aggregated_emotions)
         analyzer.analyze_batch_sentiment = timed(
             "sentiment_total", analyzer.analyze_batch_sentiment)
 
@@ -105,9 +121,11 @@ def main():
                 continue
             other = total - sum(
                 v for k, v in T.items()
-                if k in ("decode", "asr", "sentiment_total"))
+                if k in ("decode", "asr_dispatch", "asr_fetch",
+                         "sentiment_total"))
             print(f"total sweep          : {total*1e3:7.0f} ms", flush=True)
-            for k in ("decode", "asr", "sentiment_total", "text_bert",
+            for k in ("decode", "asr_dispatch", "asr_fetch",
+                      "ctc_text_decode", "sentiment_total", "text_bert",
                       "acoustic_classify", "chunk_db", "aggregation"):
                 print(f"{k:21s}: {T.get(k, 0.0)*1e3:7.0f} ms", flush=True)
             print(f"{'scan+markers+csv+db':21s}: {other*1e3:7.0f} ms",
