@@ -118,20 +118,25 @@ class TextSentimentAnalyzer:
                 return b
         return self._LEN_BUCKETS[-1]
 
-    def analyze_batch_sentiment(self, texts: Sequence[str],
-                                speaker: str) -> List[Dict[str, Any]]:
-        if not texts:
-            return []
-        if not self.models_available:
-            return _empty_results(len(texts))
-        model = self.models.get(speaker)
+    def dispatch_batch(self, texts: Sequence[str], speaker: str):
+        """Tokenize + enqueue the device program (async JAX dispatch)
+        and return a fetch closure. Lets the coordinator dispatch the
+        agent AND client classifiers before fetching either, so the
+        two programs pipeline on the device instead of ping-ponging
+        dispatch->fetch->dispatch->fetch (one device round trip saved
+        per batch)."""
+        n = len(texts)
+        if n == 0:
+            return lambda: []
+        model = (self.models.get(speaker)
+                 if self.models_available else None)
         if model is None:
-            return _empty_results(len(texts))
+            return lambda: _empty_results(n)
 
         valid_idx = [i for i, t in enumerate(texts)
                      if t and t.strip() and len(t.strip()) >= 5]
         if not valid_idx:
-            return _empty_results(len(texts))
+            return lambda: _empty_results(n)
         enc = model["tokenizer"](
             [texts[i] for i in valid_idx], truncation=True, max_length=512,
             padding=True, return_tensors="np")
@@ -148,18 +153,24 @@ class TextSentimentAnalyzer:
         if pad_b:
             ids = np.pad(ids, ((0, pad_b), (0, 0)))
             mask = np.pad(mask, ((0, pad_b), (0, 0)))
-        probs = np.asarray(model["forward"](model["params"],
-                                            ids, mask))[:nvalid]
-        id2label = model["id2label"]
+        device_probs = model["forward"](model["params"], ids, mask)
 
-        out = _empty_results(len(texts))
-        for row, i in enumerate(valid_idx):
-            p = probs[row]
-            idx = int(np.argmax(p))
-            out[i] = {"prediction": id2label.get(idx, "unknown"),
-                      "confidence": float(p.max()),
-                      "probabilities": p.tolist()}
-        return out
+        def fetch() -> List[Dict[str, Any]]:
+            probs = np.asarray(device_probs)[:nvalid]
+            id2label = model["id2label"]
+            out = _empty_results(n)
+            for row, i in enumerate(valid_idx):
+                p = probs[row]
+                idx = int(np.argmax(p))
+                out[i] = {"prediction": id2label.get(idx, "unknown"),
+                          "confidence": float(p.max()),
+                          "probabilities": p.tolist()}
+            return out
+        return fetch
+
+    def analyze_batch_sentiment(self, texts: Sequence[str],
+                                speaker: str) -> List[Dict[str, Any]]:
+        return self.dispatch_batch(texts, speaker)()
 
     def analyze_sentiment(self, text: str, speaker: str) -> Dict[str, Any]:
         return self.analyze_batch_sentiment([text], speaker)[0]
@@ -442,10 +453,15 @@ class SentimentAnalyzer:
         agent_waves = [c.get("agent_waveform") for c in chunks]
         client_waves = [c.get("client_waveform") for c in chunks]
 
-        a_text = self.text_analyzer.analyze_batch_sentiment(
-            agent_texts, "agent")
-        c_text = self.text_analyzer.analyze_batch_sentiment(
-            client_texts, "client")
+        # Dispatch both classifiers before fetching either: the agent
+        # and client programs pipeline on the device (and with the
+        # fused ASR path the acoustic features are already on host, so
+        # text is the only device work here).
+        a_fetch = self.text_analyzer.dispatch_batch(agent_texts, "agent")
+        c_fetch = self.text_analyzer.dispatch_batch(client_texts,
+                                                    "client")
+        a_text = a_fetch()
+        c_text = c_fetch()
 
         def acoustic(speaker, waves):
             # Prefer features computed on device by the fused ASR
