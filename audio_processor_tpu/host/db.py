@@ -133,6 +133,18 @@ class DatabaseManager:
                     / "audio_processing.db")
                 Path(path).parent.mkdir(parents=True, exist_ok=True)
             self.connection = sqlite3.connect(path, check_same_thread=False)
+            if self.db_type == "sqlite":
+                # WAL + NORMAL sync: per-statement commits (reference
+                # semantics, one commit per row) stop paying a full
+                # fsync each — WAL appends are durable to application
+                # crash and safe to OS crash short of power loss,
+                # which is the right trade for re-runnable batch
+                # ingest guarded by idempotence markers.
+                try:
+                    self.connection.execute("PRAGMA journal_mode=WAL")
+                    self.connection.execute("PRAGMA synchronous=NORMAL")
+                except Exception:  # pragma: no cover - ancient sqlite
+                    pass
             self._ph = "?"
             self._ts_type = "TIMESTAMP"
         else:

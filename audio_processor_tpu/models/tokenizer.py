@@ -29,6 +29,14 @@ class CTCVocab:
         self.word_delimiter_token = word_delimiter_token
         self.special_ids = {self.vocab[t] for t in special_tokens
                             if t in self.vocab}
+        # Vectorized id -> text table (word delimiter already mapped
+        # to a space, unknown ids to ""): one fancy-index + join
+        # replaces a Python dict lookup per frame in decode_ids.
+        n_ids = max(self.vocab.values()) + 1
+        table = [""] * n_ids
+        for t, i in self.vocab.items():
+            table[i] = " " if t == word_delimiter_token else t
+        self._token_table = np.asarray(table, dtype=object)
 
     def __len__(self) -> int:
         return max(self.vocab.values()) + 1
@@ -61,20 +69,17 @@ def ctc_collapse(ids: np.ndarray, pad_id: int) -> np.ndarray:
 
 def decode_ids(ids: Iterable[int], vocab: CTCVocab,
                skip_special_tokens: bool = False) -> str:
-    arr = np.asarray(list(ids), dtype=np.int64)
+    arr = np.asarray(ids if isinstance(ids, np.ndarray) else list(ids),
+                     dtype=np.int64)
     if skip_special_tokens and vocab.special_ids:
         # HF removes special tokens BEFORE CTC grouping, so repeats
         # separated only by specials merge (Wav2Vec2CTCTokenizer
         # semantics).
         arr = arr[~np.isin(arr, list(vocab.special_ids))]
     collapsed = ctc_collapse(arr, vocab.pad_id)
-    parts: List[str] = []
-    for i in collapsed:
-        tok = vocab.id_to_token.get(int(i))
-        if tok is None:
-            continue
-        parts.append(" " if tok == vocab.word_delimiter_token else tok)
-    return "".join(parts).strip()
+    table = vocab._token_table
+    valid = collapsed[(collapsed >= 0) & (collapsed < table.shape[0])]
+    return "".join(table[valid]).strip()
 
 
 def batch_decode(ids: np.ndarray, vocab: CTCVocab,
