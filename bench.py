@@ -341,6 +341,16 @@ def main():
             return PipelineConfig(
                 transcription_model="", chunk_batch_size=16,
                 file_batch_size=8,
+                # Config 5 IS "8-file batches" (BASELINE.md). The
+                # reference's 23 MB payload cap (config.yaml:25) sizes
+                # batches for float32 GPU decode buffers and never
+                # packs 8 PCM16 calls; scaled to actual 11 MiB files
+                # it admits the full 8-file batch, which packs the
+                # 25 s bucket into clean 16/16/16/8 sub-batches (zero
+                # padding rows vs 24% padded device seconds at 2-file
+                # batches — measured +60% e2e, tools/ab_async.py:
+                # interleaved best 312 vs 194 RTFx).
+                max_batch_size_mb=92.0,
                 logs_folder=str(work / "logs"),
                 database_type="sqlite",
                 client_text_model_path=str(client_dir),
