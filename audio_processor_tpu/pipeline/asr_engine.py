@@ -368,6 +368,23 @@ class ASREngine:
                           -32768, 32767).astype(np.int16)
         return buf, lengths
 
+    def _row_tail_size(self, n: int) -> int:
+        """Static row count for an n-row mono dispatch: the full
+        device batch mid-stream, or the smallest power-of-two
+        fraction (>= 1/4) that covers a final partial batch — the
+        message path often transcribes a handful of VAD segments, and
+        padding 4 segments to 48 rows burns ~10x their device time
+        (measured: message_rtfx 31.6 before this + cross-file
+        batching, tools/profile_message_path.py)."""
+        B = self.device_batch
+        for _ in range(2):
+            half = B // 2
+            if n <= half and half >= 1:
+                B = half
+            else:
+                break
+        return B
+
     def _run_rows(self, rows: np.ndarray, lengths: np.ndarray,
                   bucket_len: int) -> List[str]:
         """Transcribe [N, L] audio rows (padded to bucket_len).
@@ -384,8 +401,9 @@ class ASREngine:
             sl_rows = rows[i:i + B]
             sl_len = lengths[i:i + B]
             valid = sl_rows.shape[0]
-            if valid < B:  # pad to the static device batch
-                pad = B - valid
+            n_dev = self._row_tail_size(valid)
+            if valid < n_dev:  # pad to the static tail batch
+                pad = n_dev - valid
                 sl_rows = np.concatenate(
                     [sl_rows, np.zeros((pad, bucket_len), np.float32)])
                 sl_len = np.concatenate(

@@ -408,6 +408,13 @@ class DataProcessor:
                 self._in_flight.difference_update(str(f) for f in files)
 
     def _run_message_path(self, decoded: List[Dict]) -> None:
+        """VAD -> windows -> batched mono transcription -> message
+        rows. Segments from EVERY file and BOTH speakers in the batch
+        go through ONE transcription call: a lone speaker's handful
+        of VAD windows would otherwise pad to a full device batch per
+        (file, speaker) and burn ~10x their device time (the reference
+        transcribes per segment list per speaker,
+        speech_segment.py:190-290)."""
         from audio_processor_tpu.pipeline.segmenter import (
             SpeechBatchTranscriber,
         )
@@ -415,7 +422,11 @@ class DataProcessor:
         if not hasattr(self, "_transcriber"):
             self._transcriber = SpeechBatchTranscriber(
                 self.config, asr_engine=self.asr_engine)
+        segmenter = self._transcriber.segmenter
         sr = int(self.config.get("target_sample_rate", 16000))
+
+        all_segments: List[Dict] = []
+        spans: List[tuple] = []          # (file_stem, start, count)
         for d in decoded:
             if d.get("waveform") is None or not d["chunks"]:
                 continue
@@ -424,26 +435,37 @@ class DataProcessor:
                 wf = wf[None]
             agent = wf[0]
             client = wf[1] if wf.shape[0] > 1 else wf[0]
-            messages = []
             try:
-                messages.extend(self._transcriber.transcribe_mono(
-                    agent, sr, "agent"))
-                messages.extend(self._transcriber.transcribe_mono(
-                    client, sr, "client"))
+                segs = segmenter.get_speech_segments(agent, sr, "agent")
+                segs += segmenter.get_speech_segments(client, sr,
+                                                      "client")
             except Exception as e:
-                logger.error("Mono transcription failed for %s: %s",
+                logger.error("Segmentation failed for %s: %s",
                              d["file"].stem, e)
                 continue
-            messages.sort(key=lambda m: m.get("start", 0.0))
+            spans.append((d["file"].stem, len(all_segments), len(segs)))
+            all_segments.extend(segs)
+
+        if not all_segments:
+            return
+        try:
+            transcribed = segmenter.transcribe_segments_batched(
+                all_segments, sr)
+        except Exception as e:
+            logger.error("Batched mono transcription failed: %s", e)
+            return
+        for stem, start, count in spans:
+            messages = sorted(transcribed[start:start + count],
+                              key=lambda m: m.get("start", 0.0))
             for i, m in enumerate(messages):
                 try:
                     self.db_manager.insert_message({
-                        "id_enregistrement": d["file"].stem,
+                        "id_enregistrement": stem,
                         "text": m["text"], "speaker": m["speaker"],
                         "order_message": i + 1})
                 except Exception as e:
                     logger.error("Failed to insert message %d for %s: %s",
-                                 i + 1, d["file"].stem, e)
+                                 i + 1, stem, e)
 
     # ------------------------------------------------------------------
     def process_files_parallel(self, files: Sequence[Path]) -> int:

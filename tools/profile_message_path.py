@@ -94,19 +94,24 @@ def main():
     print(f"vad_probs alone: {vad_one:.2f}s per {call_sec:.0f}s channel",
           flush=True)
 
+    # Engine regime (engine._run_message_path): VAD/window per
+    # channel, then ONE batched transcription over every segment of
+    # the whole file batch — a lone channel's few windows would
+    # otherwise pad to a full device batch each.
     phases = {"vad+window": 0.0, "asr": 0.0}
     n_segments = 0
     t_all = time.perf_counter()
+    batch_segments = []
     for wav in calls:
         for ch, label in ((0, "agent"), (1, "client")):
             t0 = time.perf_counter()
             segments = seg.get_speech_segments(wav[ch], SR, label)
             phases["vad+window"] += time.perf_counter() - t0
-
-            t0 = time.perf_counter()
-            out = seg.transcribe_segments_batched(segments, SR)
-            phases["asr"] += time.perf_counter() - t0
-            n_segments += len(out)
+            batch_segments.extend(segments)
+    t0 = time.perf_counter()
+    out = seg.transcribe_segments_batched(batch_segments, SR)
+    phases["asr"] += time.perf_counter() - t0
+    n_segments = len(out)
     total = time.perf_counter() - t_all
 
     audio_sec = n_calls * call_sec * 2  # both speaker channels
