@@ -401,21 +401,28 @@ def binarize(probs: np.ndarray, frame_hop_sec: float,
              onset: float = 0.5, offset: float = 0.5,
              min_duration_on: float = 0.0,
              min_duration_off: float = 0.0) -> List[Tuple[float, float]]:
-    """Frame probabilities -> [(start_sec, end_sec)] speech regions."""
+    """Frame probabilities -> [(start_sec, end_sec)] speech regions.
+
+    Vectorized hysteresis: the per-frame state machine (activate on
+    p > onset, deactivate on p < offset) is a forward-fill of the
+    last decisive frame's sign — a Python loop over ~18k frames per
+    3-minute channel was ~0.3 s/channel of the message path."""
     probs = np.asarray(probs).reshape(-1)
+    n = probs.shape[0]
     segments: List[Tuple[float, float]] = []
-    active = False
-    start = 0.0
-    for i, p in enumerate(probs):
-        t = i * frame_hop_sec
-        if not active and p > onset:
-            active = True
-            start = t
-        elif active and p < offset:
-            segments.append((start, t))
-            active = False
-    if active:
-        segments.append((start, len(probs) * frame_hop_sec))
+    if n:
+        sig = np.where(probs > onset, 1,
+                       np.where(probs < offset, -1, 0)).astype(np.int8)
+        last = np.maximum.accumulate(
+            np.where(sig != 0, np.arange(n), -1))
+        active = np.where(last >= 0,
+                          sig[np.maximum(last, 0)] == 1, False)
+        prev = np.concatenate(([False], active[:-1]))
+        starts = np.nonzero(active & ~prev)[0]
+        ends = np.nonzero(~active & prev)[0]
+        for k, s in enumerate(starts):
+            e = ends[k] if k < ends.shape[0] else n
+            segments.append((s * frame_hop_sec, e * frame_hop_sec))
 
     if min_duration_off > 0 and segments:
         merged = [list(segments[0])]

@@ -256,3 +256,39 @@ def test_segmenter_uses_pyannet_checkpoint(oracle, tmp_path, rng):
     expect = [(max(0.0, s - 0.5), min(4.0, e + 0.5)) for s, e in merged]
     got = [(round(d["start"], 3), round(d["end"], 3)) for d in segs]
     assert got == [(round(s, 3), round(e, 3)) for s, e in expect]
+
+
+def test_binarize_vectorized_matches_loop_reference(rng):
+    """The vectorized hysteresis must equal the frame-by-frame state
+    machine for arbitrary probs and asymmetric onset/offset."""
+    def loop_binarize(probs, hop, onset, offset):
+        segments = []
+        active = False
+        start = 0.0
+        for i, p in enumerate(probs):
+            t = i * hop
+            if not active and p > onset:
+                active = True
+                start = t
+            elif active and p < offset:
+                segments.append((start, t))
+                active = False
+        if active:
+            segments.append((start, len(probs) * hop))
+        return segments
+
+    hop = 0.016875
+    for trial in range(50):
+        n = int(rng.integers(0, 400))
+        probs = rng.uniform(0, 1, n)
+        onset = float(rng.uniform(0.3, 0.9))
+        offset = float(rng.uniform(0.1, onset))
+        got = binarize(probs, hop, onset=onset, offset=offset)
+        want = loop_binarize(probs, hop, onset, offset)
+        assert got == want, (trial, n, onset, offset)
+    # hysteresis band actually exercised: values between offset and
+    # onset must hold the previous state
+    probs = np.array([0.2, 0.9, 0.55, 0.55, 0.3, 0.55, 0.9, 0.1])
+    got = binarize(probs, hop, onset=0.8, offset=0.4)
+    want = loop_binarize(probs, hop, 0.8, 0.4)
+    assert got == want
