@@ -80,7 +80,7 @@ def main():
     enable_compilation_cache()
     cfg = PipelineConfig(transcription_model="",
                          logs_folder="/tmp/serve_logs",
-                         serve_warmup="all")
+                         extras={"serve_warmup": "all"})
     print("starting server (warmup compiles all buckets)...", flush=True)
     server = serve(cfg, host="127.0.0.1", port=PORT)
     srv_thread = threading.Thread(target=server.serve_forever,
