@@ -26,22 +26,27 @@ class ProcessedMarkers:
     def is_processed(self, file_path: str | Path) -> bool:
         return (self.dir / f"{Path(file_path).stem}.done").exists()
 
-    def mark_processed(self, file_path: str | Path) -> None:
+    def _write(self, name: str, payload: str, what: str) -> None:
+        # Recreate the marker dir if an operator (or retention
+        # cleanup) removed it mid-run: losing a marker silently costs
+        # idempotence on the next sweep.
         try:
-            (self.dir / f"{Path(file_path).stem}.done").write_text(
-                datetime.now().isoformat())
+            try:
+                (self.dir / name).write_text(payload)
+            except FileNotFoundError:
+                self.dir.mkdir(parents=True, exist_ok=True)
+                (self.dir / name).write_text(payload)
         except OSError:
-            logger.warning("Failed to create processed marker for %s",
-                           file_path)
+            logger.warning("Failed to create %s marker %s", what, name)
+
+    def mark_processed(self, file_path: str | Path) -> None:
+        self._write(f"{Path(file_path).stem}.done",
+                    datetime.now().isoformat(), "processed")
 
     def mark_failed(self, file_path: str | Path, error: str = "") -> None:
-        try:
-            (self.dir / f"{Path(file_path).stem}.failed").write_text(
-                json.dumps({"timestamp": datetime.now().isoformat(),
-                            "error": error}))
-        except OSError:
-            logger.warning("Failed to create failed marker for %s",
-                           file_path)
+        self._write(f"{Path(file_path).stem}.failed",
+                    json.dumps({"timestamp": datetime.now().isoformat(),
+                                "error": error}), "failed")
 
     def failed_error(self, file_path: str | Path) -> Optional[str]:
         p = self.dir / f"{Path(file_path).stem}.failed"
