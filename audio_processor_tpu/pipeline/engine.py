@@ -543,10 +543,15 @@ class DataProcessor:
                     try:
                         pending_analysis[0].result(timeout=timeout)
                     except FuturesTimeoutError:
-                        logger.error(
-                            "Analysis backlog exceeded %ds timeout",
-                            timeout)
-                        self.stats["errors"] += 1
+                        # Flow control only — NOT an error: a slow
+                        # analysis (e.g. first-sweep BERT compiles
+                        # through a cold toolchain) is accounted once
+                        # at the drain loop if it truly hangs;
+                        # counting it here would double-count and
+                        # turn warm-in into phantom errors.
+                        logger.warning(
+                            "Analysis backlog slow (>%ds); continuing "
+                            "with a wider in-flight window", timeout)
                 try:
                     decoded = next_decode.result(timeout=timeout)
                 except FuturesTimeoutError:

@@ -74,8 +74,30 @@ def main():
         print("loading engine + analyzer", flush=True)
         engine = ASREngine(cfg)
         analyzer = bench.EngagedSentimentAnalyzer(SentimentAnalyzer(cfg))
+
+        # Warmup sweep over an 8-call subset: compiles the ASR + BERT
+        # shapes and warms the tunnel so the timed soak measures
+        # steady state, not cold-start.
+        warm_in = work / "warm_input"
+        warm_in.mkdir()
+        for p in sorted(input_dir.glob("*.wav"))[:8]:
+            (warm_in / p.name).write_bytes(p.read_bytes())
+        wcfg = cfg.replace(input_folder=str(warm_in),
+                           output_folder=str(work / "warm_out"),
+                           db_path=str(work / "warm.sqlite"))
+        wdb = DatabaseManager(wcfg)
+        analyzer.set_database_manager(wdb)
+        wproc = DataProcessor(wcfg, db_manager=wdb, asr_engine=engine,
+                              sentiment_analyzer=analyzer)
+        t0 = time.perf_counter()
+        assert wproc.run() == 8
+        wproc.close()
+        wdb.close()
+        print(f"warmup sweep {time.perf_counter()-t0:.0f}s", flush=True)
+
         db = DatabaseManager(cfg)
         analyzer.set_database_manager(db)
+        analyzer.reset_counters()
         proc = DataProcessor(cfg, db_manager=db, asr_engine=engine,
                              sentiment_analyzer=analyzer)
         rss0 = rss_mb()
