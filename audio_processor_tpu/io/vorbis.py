@@ -658,6 +658,19 @@ class VorbisDecoder:
         self._last_granule = _last_granule_position(data)
 
     def decode(self) -> Tuple[np.ndarray, int]:
+        out = list(self.stream())
+        if not out:
+            return (np.zeros((self.setup.channels, 0), np.float32),
+                    self.setup.sample_rate)
+        return np.concatenate(out, axis=1), self.setup.sample_rate
+
+    def stream(self):
+        """Generator of [ch, n] float32 PCM blocks, one per decoded
+        audio packet (overlap-add already applied), with the final
+        block end-trimmed to the stream's last granule position.
+        Peak memory is O(blocksize), not O(file) — long calls decode
+        incrementally (the reference buffers ffmpeg's full output,
+        audio_processor.py:76-86)."""
         s = self.setup
         ch = s.channels
         imdct = {n: _imdct_matrix(n)
@@ -666,7 +679,8 @@ class VorbisDecoder:
         mode_bits = ilog(len(s.modes) - 1)
         prev_frame: Optional[np.ndarray] = None  # [ch, prev_n] windowed
         prev_n = 0
-        out: List[np.ndarray] = []
+        produced = 0                 # samples already yielded
+        pending: Optional[np.ndarray] = None   # withheld for end trim
 
         for pkt in self._audio_packets:
             br = BitReader(pkt)
@@ -757,17 +771,22 @@ class VorbisDecoder:
                 seg[:, :prev_part.shape[1]] += prev_part
                 cur_part = frame[:, max(0, n // 2 - span):n // 2]
                 seg[:, span - cur_part.shape[1]:] += cur_part
-                out.append(seg)
+                # Withhold one block: the end trim (granule position)
+                # can only shorten the FINAL block, which is unknown
+                # until the packet iterator is exhausted.
+                if pending is not None:
+                    produced += pending.shape[1]
+                    yield pending
+                pending = seg
             prev_frame = frame
             prev_n = n
 
-        if not out:
-            return np.zeros((ch, 0), np.float32), s.sample_rate
-        pcm = np.concatenate(out, axis=1)
-        if self._last_granule is not None and \
-                self._last_granule < pcm.shape[1]:
-            pcm = pcm[:, :self._last_granule]
-        return pcm, s.sample_rate
+        if pending is not None:
+            if self._last_granule is not None:
+                keep = max(0, self._last_granule - produced)
+                pending = pending[:, :keep]
+            if pending.shape[1]:
+                yield pending
 
 
 def _make_window(n: int, blocksize0: int, is_long: bool,
@@ -806,3 +825,15 @@ def decode_vorbis(path_or_bytes) -> Tuple[np.ndarray, int]:
     else:
         data = bytes(path_or_bytes)
     return VorbisDecoder(data).decode()
+
+
+def decode_vorbis_stream(path_or_bytes):
+    """Streaming decode: (sample_rate, iterator of [C, n] float32
+    blocks). Concatenating the blocks equals decode_vorbis exactly
+    (tested); peak memory is per-block."""
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+    dec = VorbisDecoder(data)
+    return dec.setup.sample_rate, dec.stream()

@@ -477,3 +477,25 @@ def test_real_libvorbisenc_stream_decodes_bit_true(sr, stereo, quality,
         # keep the bit-exact assertion on the shared codepaths.
         np.testing.assert_allclose(py_pcm[:, :m], cpp_pcm[:, :m],
                                    atol=2e-6)
+
+
+@pytest.mark.parametrize("stereo", [True, False])
+def test_streaming_decode_equals_eager(stereo, tmp_path):
+    """decode_vorbis_stream blocks concatenate to exactly the eager
+    decode (incl. the end-granule trim on the final block), on a real
+    libvorbisenc stream."""
+    from tests.libvorbis_ctypes import available, encode_vorbis
+
+    if not available():
+        pytest.skip("system libvorbisenc not present")
+    from audio_processor_tpu.io.vorbis import decode_vorbis_stream
+
+    pcm = _real_encoder_pcm(16000, 1.2, stereo, seed=5)
+    data = encode_vorbis(pcm, 16000, 0.4)
+    full, sr = decode_vorbis(data)
+    sr2, blocks = decode_vorbis_stream(data)
+    blocks = list(blocks)
+    assert sr2 == sr
+    assert len(blocks) > 4           # actually streamed
+    streamed = np.concatenate(blocks, axis=1)
+    np.testing.assert_array_equal(streamed, full)
