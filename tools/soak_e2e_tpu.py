@@ -115,7 +115,7 @@ def main():
         rows = csvs[0].read_text().count("\n") - 1
         assert rows == proc.stats["chunks_processed"], \
             (rows, proc.stats["chunks_processed"])
-        n_db = db._execute("SELECT COUNT(*) AS c FROM chunks",
+        n_db = db._execute("SELECT COUNT(*) AS c FROM chunk",
                            fetch="one")["c"]
         assert n_db == rows, (n_db, rows)
         proc.close()
