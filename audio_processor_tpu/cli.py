@@ -119,6 +119,14 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()  # ~10x faster cold starts on cached hosts
     setup_logging(cfg.logs_folder)
+    # Multi-host bootstrap (no-op without JAX_COORDINATOR_ADDRESS):
+    # wires jax.distributed so engine.run() shards calls across hosts
+    # by call-id hash (parallel/distributed, SURVEY.md §2.4).
+    from audio_processor_tpu.parallel.distributed import (
+        initialize_distributed,
+    )
+
+    initialize_distributed()
     try:
         validate_config(cfg)
     except ValueError as e:

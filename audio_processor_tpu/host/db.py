@@ -132,7 +132,12 @@ class DatabaseManager:
                     Path(self.config.get("output_folder", "."))
                     / "audio_processing.db")
                 Path(path).parent.mkdir(parents=True, exist_ok=True)
-            self.connection = sqlite3.connect(path, check_same_thread=False)
+            # timeout=30: multi-host runs (parallel/distributed) may
+            # share one DB file across processes; WAL serializes the
+            # writers and the busy handler waits instead of raising
+            # "database is locked" at the first contention.
+            self.connection = sqlite3.connect(
+                path, check_same_thread=False, timeout=30.0)
             if self.db_type == "sqlite":
                 # WAL + NORMAL sync: per-statement commits (reference
                 # semantics, one commit per row) stop paying a full

@@ -784,6 +784,24 @@ class DataProcessor:
                 f"Input directory {input_dir} does not exist")
         files = self.file_scanner.scan_files_parallel(input_dir)
         logger.info("Found %d valid audio files", len(files))
+        # Multi-host sharding (SURVEY.md §2.4, roadmap #2): under
+        # jax.distributed each process keeps only the calls it owns by
+        # call-id hash — decode, device work, DB writes, markers,
+        # reports and Bedrock calls are all sharded host-side with no
+        # cross-host coordination beyond the deterministic hash
+        # (parallel/distributed.owns_call). Hash-of-id, not
+        # index-striping, so ownership is stable across sweeps even
+        # when hosts see different directory listings mid-ingest.
+        import jax
+
+        if jax.process_count() > 1:
+            from audio_processor_tpu.parallel.distributed import owns_call
+
+            owned = [f for f in files if owns_call(f.stem)]
+            logger.info("Multi-host shard: process %d/%d owns %d/%d "
+                        "calls", jax.process_index(),
+                        jax.process_count(), len(owned), len(files))
+            files = owned
         # Pre-compile the chunk programs OUTSIDE the timeout-bounded
         # batch loop: a cold full-model compile takes minutes and
         # would otherwise trip the 300 s batch timeout as a phantom
