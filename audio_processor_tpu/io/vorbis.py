@@ -656,6 +656,7 @@ class VorbisDecoder:
         self.setup = VorbisSetup(ident, setup)
         self._audio_packets = list(packets)
         self._last_granule = _last_granule_position(data)
+        self._frames_cache: Optional[List[Tuple[int, int]]] = None
 
     def decode(self) -> Tuple[np.ndarray, int]:
         out = list(self.stream())
@@ -664,13 +665,88 @@ class VorbisDecoder:
                     self.setup.sample_rate)
         return np.concatenate(out, axis=1), self.setup.sample_rate
 
-    def stream(self):
+    def stream(self, start_sample: int = 0,
+               end_sample: Optional[int] = None):
         """Generator of [ch, n] float32 PCM blocks, one per decoded
         audio packet (overlap-add already applied), with the final
         block end-trimmed to the stream's last granule position.
         Peak memory is O(blocksize), not O(file) — long calls decode
         incrementally (the reference buffers ffmpeg's full output,
-        audio_processor.py:76-86)."""
+        audio_processor.py:76-86).
+
+        ``start_sample``/``end_sample`` select a PCM range (seeking):
+        frame positions are indexed with a light header-bit scan
+        (mode/blockflag only, no floor/residue decode), then decoding
+        starts at the one priming frame before the range — the
+        libvorbisfile ov_pcm_seek regime. The concatenated output is
+        bit-identical to the same slice of a full decode (tested)."""
+        if end_sample is not None and end_sample <= start_sample:
+            return
+        first_pkt, base = 0, 0
+        if start_sample > 0:
+            frames = self._frame_index()
+            if not frames:
+                return
+            import bisect
+
+            positions = [c for _, c in frames]
+            # Largest frame k with c_k <= start: decode from frame k
+            # (primes the overlap-add); frame k+1 yields the segment
+            # starting at c_k.
+            k0 = max(0, bisect.bisect_right(positions, start_sample) - 1)
+            first_pkt, base = frames[k0]
+        for pos, seg in self._segments(first_pkt, base):
+            if end_sample is not None and pos >= end_sample:
+                return
+            a = max(0, start_sample - pos)
+            b = seg.shape[1] if end_sample is None else \
+                min(seg.shape[1], end_sample - pos)
+            if a < b:
+                yield seg[:, a:b]
+
+    def _frame_index(self) -> List[Tuple[int, int]]:
+        """(packet_index, cumulative_pcm_position) for every audio
+        frame, from header bits alone. Reads exactly the bits the
+        decode loop reads before it can no longer drop the packet
+        (packet type, mode, window flags), so the frame sequence —
+        including corrupt/non-audio packets skipped by ``continue``
+        and truncated packets salvaged by the end-of-packet rule —
+        matches _segments packet for packet."""
+        if getattr(self, "_frames_cache", None) is not None:
+            return self._frames_cache
+        s = self.setup
+        mode_bits = ilog(len(s.modes) - 1)
+        frames: List[Tuple[int, int]] = []
+        prev_n = 0
+        pos = 0
+        for idx, pkt in enumerate(self._audio_packets):
+            br = BitReader(pkt)
+            try:
+                if br.read(1) != 0:
+                    continue
+                mode_idx = br.read(mode_bits)
+                if mode_idx >= len(s.modes):
+                    continue
+                mode = s.modes[mode_idx]
+                n = s.blocksize1 if mode.blockflag else s.blocksize0
+                if mode.blockflag:
+                    br.read(1)
+                    br.read(1)
+            except EOFError:
+                continue
+            if frames:
+                pos += prev_n // 4 + n // 4
+            frames.append((idx, pos))
+            prev_n = n
+        self._frames_cache = frames
+        return frames
+
+    def _segments(self, first_pkt: int = 0, base_pos: int = 0):
+        """Decode packets from ``first_pkt`` on, yielding
+        (global_pcm_position, [ch, n] block) pairs. ``base_pos`` is
+        the stream position of the first yielded segment (frame
+        cumulative position of ``first_pkt``) so the last-granule end
+        trim stays correct for mid-stream starts."""
         s = self.setup
         ch = s.channels
         imdct = {n: _imdct_matrix(n)
@@ -679,10 +755,10 @@ class VorbisDecoder:
         mode_bits = ilog(len(s.modes) - 1)
         prev_frame: Optional[np.ndarray] = None  # [ch, prev_n] windowed
         prev_n = 0
-        produced = 0                 # samples already yielded
+        produced = base_pos          # global position of next yield
         pending: Optional[np.ndarray] = None   # withheld for end trim
 
-        for pkt in self._audio_packets:
+        for pkt in self._audio_packets[first_pkt:]:
             br = BitReader(pkt)
             mapping = None
             n = 0
@@ -775,8 +851,8 @@ class VorbisDecoder:
                 # can only shorten the FINAL block, which is unknown
                 # until the packet iterator is exhausted.
                 if pending is not None:
+                    yield produced, pending
                     produced += pending.shape[1]
-                    yield pending
                 pending = seg
             prev_frame = frame
             prev_n = n
@@ -786,7 +862,7 @@ class VorbisDecoder:
                 keep = max(0, self._last_granule - produced)
                 pending = pending[:, :keep]
             if pending.shape[1]:
-                yield pending
+                yield produced, pending
 
 
 def _make_window(n: int, blocksize0: int, is_long: bool,
@@ -827,13 +903,38 @@ def decode_vorbis(path_or_bytes) -> Tuple[np.ndarray, int]:
     return VorbisDecoder(data).decode()
 
 
-def decode_vorbis_stream(path_or_bytes):
+def decode_vorbis_stream(path_or_bytes, start_sample: int = 0,
+                         end_sample: Optional[int] = None):
     """Streaming decode: (sample_rate, iterator of [C, n] float32
     blocks). Concatenating the blocks equals decode_vorbis exactly
-    (tested); peak memory is per-block."""
+    (tested); peak memory is per-block. ``start_sample``/
+    ``end_sample`` seek to a PCM range (see VorbisDecoder.stream)."""
     if isinstance(path_or_bytes, (str, Path)):
         data = Path(path_or_bytes).read_bytes()
     else:
         data = bytes(path_or_bytes)
     dec = VorbisDecoder(data)
-    return dec.setup.sample_rate, dec.stream()
+    return dec.setup.sample_rate, dec.stream(start_sample, end_sample)
+
+
+def decode_vorbis_range(path_or_bytes, start_sample: int,
+                        num_samples: Optional[int] = None
+                        ) -> Tuple[np.ndarray, int]:
+    """Seek + decode one PCM range -> ([C, n] float32, rate).
+
+    Bit-identical to ``decode_vorbis(...)[0][:, start:start+num]`` but
+    decodes only the frames overlapping the range plus one priming
+    frame (header-bit frame index; the libvorbisfile ov_pcm_seek
+    regime — the reference's ffmpeg path has no seek at all,
+    services/audio_processor.py:76-86)."""
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+    dec = VorbisDecoder(data)
+    end = None if num_samples is None else start_sample + num_samples
+    out = list(dec.stream(start_sample, end))
+    if not out:
+        return (np.zeros((dec.setup.channels, 0), np.float32),
+                dec.setup.sample_rate)
+    return np.concatenate(out, axis=1), dec.setup.sample_rate

@@ -499,3 +499,79 @@ def test_streaming_decode_equals_eager(stereo, tmp_path):
     assert len(blocks) > 4           # actually streamed
     streamed = np.concatenate(blocks, axis=1)
     np.testing.assert_array_equal(streamed, full)
+
+
+def test_seek_range_bit_exact_self_generated():
+    """decode_vorbis_range == the same slice of a full decode, bit for
+    bit, on a self-generated stereo stream (short+long blocks)."""
+    from tests.vorbis_encoder import make_stereo_stream
+
+    from audio_processor_tpu.io.vorbis import (
+        VorbisDecoder, decode_vorbis_range,
+    )
+
+    data = make_stereo_stream(n_packets=40, seed=3)
+    full, sr = VorbisDecoder(data).decode()
+    T = full.shape[1]
+    rng = np.random.default_rng(0)
+    cases = [(0, 100), (1, None), (373, 1000), (T // 2, 777),
+             (T - 50, 200), (T + 10, 5), (0, None), (5, 0)]
+    cases += [(int(rng.integers(0, T)), int(rng.integers(1, T)))
+              for _ in range(8)]
+    for s, n in cases:
+        pcm, r = decode_vorbis_range(data, s, n)
+        assert r == sr
+        ref = full[:, s:(s + n if n is not None else None)]
+        assert pcm.shape == ref.shape, (s, n)
+        np.testing.assert_array_equal(pcm, ref, err_msg=f"({s},{n})")
+
+
+def test_seek_range_bit_exact_real_encoder():
+    """Seek parity on a real libvorbisenc stream (the encoder family
+    production OGGs come from)."""
+    from tests.libvorbis_ctypes import available, encode_vorbis
+
+    if not available():
+        pytest.skip("system libvorbisenc not present")
+    from audio_processor_tpu.io.vorbis import (
+        VorbisDecoder, decode_vorbis_range,
+    )
+
+    pcm_in = _real_encoder_pcm(16000, 2.0, stereo=True, seed=9)
+    data = encode_vorbis(pcm_in, 16000, 0.4)
+    full, sr = VorbisDecoder(data).decode()
+    T = full.shape[1]
+    for s, n in [(0, 500), (1234, 4096), (T // 2, None),
+                 (T - 100, 1000), (17, 1)]:
+        pcm, _ = decode_vorbis_range(data, s, n)
+        ref = full[:, s:(s + n if n is not None else None)]
+        np.testing.assert_array_equal(pcm, ref, err_msg=f"({s},{n})")
+
+
+def test_seek_decodes_only_needed_frames(monkeypatch):
+    """A tail seek must not decode the whole stream: the header-bit
+    frame index (VorbisDecoder._frame_index) positions the decode at
+    one priming frame before the range, so residue decoding runs for
+    O(range) packets, not O(file)."""
+    from tests.vorbis_encoder import make_stereo_stream
+
+    from audio_processor_tpu.io import vorbis as V
+
+    data = make_stereo_stream(n_packets=60, seed=4)
+    full, _ = V.VorbisDecoder(data).decode()
+    T = full.shape[1]
+
+    calls = {"n": 0}
+    real = V.decode_residue
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(V, "decode_residue", counting)
+    pcm, _ = V.decode_vorbis_range(data, T - 64, 64)
+    np.testing.assert_array_equal(pcm, full[:, T - 64:])
+    # 60-packet stream; a tail seek should touch only a handful of
+    # frames (each frame = one residue call per submap, stereo
+    # coupled -> 1 call/frame here).
+    assert 0 < calls["n"] <= 8, calls["n"]
