@@ -668,8 +668,10 @@ class VorbisDecoder:
     def stream(self, start_sample: int = 0,
                end_sample: Optional[int] = None):
         """Generator of [ch, n] float32 PCM blocks, one per decoded
-        audio packet (overlap-add already applied), with the final
-        block end-trimmed to the stream's last granule position.
+        audio packet (overlap-add already applied), end-trimmed to the
+        stream's last granule position (clamped per block, so a
+        granulepos cutting into several lapped blocks truncates the
+        same as a whole-file decode-then-slice).
         Peak memory is O(blocksize), not O(file) — long calls decode
         incrementally (the reference buffers ffmpeg's full output,
         audio_processor.py:76-86).
@@ -756,7 +758,6 @@ class VorbisDecoder:
         prev_frame: Optional[np.ndarray] = None  # [ch, prev_n] windowed
         prev_n = 0
         produced = base_pos          # global position of next yield
-        pending: Optional[np.ndarray] = None   # withheld for end trim
 
         for pkt in self._audio_packets[first_pkt:]:
             br = BitReader(pkt)
@@ -847,22 +848,22 @@ class VorbisDecoder:
                 seg[:, :prev_part.shape[1]] += prev_part
                 cur_part = frame[:, max(0, n // 2 - span):n // 2]
                 seg[:, span - cur_part.shape[1]:] += cur_part
-                # Withhold one block: the end trim (granule position)
-                # can only shorten the FINAL block, which is unknown
-                # until the packet iterator is exhausted.
-                if pending is not None:
-                    yield produced, pending
-                    produced += pending.shape[1]
-                pending = seg
+                # End trim: clamp EVERY block to the stream's last
+                # granule position in global coordinates. A legal
+                # (edited/truncated) stream's final-page granulepos
+                # may cut into more than the final lapped block, so a
+                # final-block-only trim would leave excess samples
+                # (position accounting stays in untrimmed space).
+                out = seg
+                if self._last_granule is not None:
+                    keep = max(0, min(span,
+                                      self._last_granule - produced))
+                    out = seg[:, :keep]
+                if out.shape[1]:
+                    yield produced, out
+                produced += span
             prev_frame = frame
             prev_n = n
-
-        if pending is not None:
-            if self._last_granule is not None:
-                keep = max(0, self._last_granule - produced)
-                pending = pending[:, :keep]
-            if pending.shape[1]:
-                yield produced, pending
 
 
 def _make_window(n: int, blocksize0: int, is_long: bool,

@@ -411,12 +411,27 @@ def binarize(probs: np.ndarray, frame_hop_sec: float,
     n = probs.shape[0]
     segments: List[Tuple[float, float]] = []
     if n:
-        sig = np.where(probs > onset, 1,
-                       np.where(probs < offset, -1, 0)).astype(np.int8)
-        last = np.maximum.accumulate(
-            np.where(sig != 0, np.arange(n), -1))
-        active = np.where(last >= 0,
-                          sig[np.maximum(last, 0)] == 1, False)
+        if onset < offset:
+            # Inverted "hysteresis" band: a p in (onset, offset)
+            # satisfies BOTH transitions, so the state machine
+            # toggles every frame — no forward-fill equivalent
+            # exists. Run the exact per-frame machine for this
+            # (misconfigured but legal) regime.
+            active = np.empty(n, dtype=bool)
+            act = False
+            for i, p in enumerate(probs):
+                if not act and p > onset:
+                    act = True
+                elif act and p < offset:
+                    act = False
+                active[i] = act
+        else:
+            sig = np.where(probs > onset, 1,
+                           np.where(probs < offset, -1, 0)).astype(np.int8)
+            last = np.maximum.accumulate(
+                np.where(sig != 0, np.arange(n), -1))
+            active = np.where(last >= 0,
+                              sig[np.maximum(last, 0)] == 1, False)
         prev = np.concatenate(([False], active[:-1]))
         starts = np.nonzero(active & ~prev)[0]
         ends = np.nonzero(~active & prev)[0]

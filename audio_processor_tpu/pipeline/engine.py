@@ -136,9 +136,17 @@ class DataProcessor:
         # accumulating in RAM for the whole run — at full throughput a
         # 24 h --watch sweep would otherwise hold ~1M chunk rows.
         self._csv_stream = None
+        # Guards open/append/close of the CSV stream: the sweep's
+        # main thread closes it (end of run()) while a late analysis
+        # of a timed-out batch may still be appending on the analysis
+        # worker.
+        self._csv_lock = threading.Lock()
         # Dispatched-but-incomplete device futures (current + any
         # abandoned-after-timeout), for the device_queue metric.
+        # Updated from the sweep thread AND abandoned-future done
+        # callbacks, so read-modify-writes take the lock.
         self._device_inflight = 0
+        self._device_inflight_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def setup_models(self):
@@ -331,7 +339,13 @@ class DataProcessor:
                     logger.exception("Device fetch failed for batch "
                                      "%d: %s", batch_id + 1, e)
                     self.stats["errors"] += 1
-                    results = ctx["results"] = []
+                    # Batch-level device failure: mirror the sync
+                    # path (an exception from transcribe_chunks makes
+                    # _asr_stage return None — no markers, no success
+                    # counts), so the files stay unmarked and retry
+                    # on the next sweep instead of being silently
+                    # marked processed with zero rows.
+                    return 0
                 self.stats["chunks_processed"] += len(results)
             # Call rows are written here, NOT on the device-stage
             # worker: a slow or reconnecting database must never stall
@@ -448,15 +462,9 @@ class DataProcessor:
 
         if not all_segments:
             return
-        try:
-            transcribed = segmenter.transcribe_segments_batched(
-                all_segments, sr)
-        except Exception as e:
-            logger.error("Batched mono transcription failed: %s", e)
-            return
-        for stem, start, count in spans:
-            messages = sorted(transcribed[start:start + count],
-                              key=lambda m: m.get("start", 0.0))
+
+        def insert_rows(stem: str, msgs: List[Dict]) -> None:
+            messages = sorted(msgs, key=lambda m: m.get("start", 0.0))
             for i, m in enumerate(messages):
                 try:
                     self.db_manager.insert_message({
@@ -466,6 +474,28 @@ class DataProcessor:
                 except Exception as e:
                     logger.error("Failed to insert message %d for %s: %s",
                                  i + 1, stem, e)
+
+        try:
+            transcribed = segmenter.transcribe_segments_batched(
+                all_segments, sr)
+        except Exception as e:
+            # Per-file isolation: one failed batched call must not
+            # drop message rows for every file in the batch — retry
+            # each file's segments separately so only the genuinely
+            # failing file loses its messages (the reference
+            # transcribes per file, speech_segment.py:190-290).
+            logger.error("Batched mono transcription failed (%s); "
+                         "retrying per file", e)
+            for stem, start, count in spans:
+                try:
+                    insert_rows(stem, segmenter.transcribe_segments_batched(
+                        all_segments[start:start + count], sr))
+                except Exception as e2:
+                    logger.error("Mono transcription failed for %s: %s",
+                                 stem, e2)
+            return
+        for stem, start, count in spans:
+            insert_rows(stem, transcribed[start:start + count])
 
     # ------------------------------------------------------------------
     def process_files_parallel(self, files: Sequence[Path]) -> int:
@@ -521,8 +551,9 @@ class DataProcessor:
             # pool so batch ordering and single-threaded stats
             # mutation are preserved — never inline on whatever
             # thread finished the abandoned future.
-            self._device_inflight -= 1
-            self._queue_depths["device_queue"] = self._device_inflight
+            with self._device_inflight_lock:
+                self._device_inflight -= 1
+                self._queue_depths["device_queue"] = self._device_inflight
             if f.exception() is None and f.result() is not None:
                 try:
                     self._analysis_pool.submit(
@@ -570,12 +601,16 @@ class DataProcessor:
                 if decoded is not None:
                     fut = device_pool.submit(
                         self._asr_stage, i, batch, decoded)
-                    self._device_inflight += 1
-                    self._queue_depths["device_queue"] = \
-                        self._device_inflight
+                    with self._device_inflight_lock:
+                        self._device_inflight += 1
+                        self._queue_depths["device_queue"] = \
+                            self._device_inflight
                     try:
                         ctx = fut.result(timeout=timeout)
-                        self._device_inflight -= 1
+                        with self._device_inflight_lock:
+                            self._device_inflight -= 1
+                            self._queue_depths["device_queue"] = \
+                                self._device_inflight
                     except FuturesTimeoutError:
                         logger.error(
                             "Batch %d device work exceeded %ds timeout",
@@ -586,8 +621,6 @@ class DataProcessor:
                     if ctx is not None:
                         analysis_futs.append(analysis_pool.submit(
                             self._analysis_stage, ctx))
-                    self._queue_depths["device_queue"] = \
-                        self._device_inflight
                 self._queue_depths["result_queue"] = sum(
                     1 for f in analysis_futs if not f.done())
                 sweep_errors = self.stats["errors"] - errors_at_start
@@ -739,23 +772,29 @@ class DataProcessor:
 
         from audio_processor_tpu.host.csv_writer import COLUMNS, _row
 
-        if self._csv_stream is None:
-            self.output_dir.mkdir(parents=True, exist_ok=True)
-            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-            path = self.output_dir / f"optimized_results_{ts}.csv"
-            fh = open(path, "w", newline="", encoding="utf-8")
-            writer = csv.DictWriter(fh, fieldnames=COLUMNS)
-            writer.writeheader()
-            self._csv_stream = {"path": path, "fh": fh, "writer": writer}
-        try:
-            for r in results:
-                self._csv_stream["writer"].writerow(_row(r))
-            self._csv_stream["fh"].flush()
-        except OSError as e:
-            logger.error("Failed to stream CSV rows: %s", e)
+        with self._csv_lock:
+            if self._csv_stream is None:
+                self.output_dir.mkdir(parents=True, exist_ok=True)
+                ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+                path = self.output_dir / f"optimized_results_{ts}.csv"
+                fh = open(path, "w", newline="", encoding="utf-8")
+                writer = csv.DictWriter(fh, fieldnames=COLUMNS)
+                writer.writeheader()
+                self._csv_stream = {"path": path, "fh": fh,
+                                    "writer": writer}
+            try:
+                for r in results:
+                    self._csv_stream["writer"].writerow(_row(r))
+                self._csv_stream["fh"].flush()
+            except (OSError, ValueError) as e:
+                # ValueError: write on a file the sweep already
+                # closed (late analysis past the close) — log, don't
+                # let it count as an analysis-stage error.
+                logger.error("Failed to stream CSV rows: %s", e)
 
     def _close_csv_stream(self) -> Optional[Path]:
-        stream, self._csv_stream = self._csv_stream, None
+        with self._csv_lock:
+            stream, self._csv_stream = self._csv_stream, None
         if stream is None:
             return None
         try:

@@ -627,3 +627,71 @@ def test_analysis_overlaps_next_batch_asr(tmp_path):
     assert t["analysis_1_end"] <= t["analysis_2_start"]
     # All three batches were fully analyzed (markers written in order).
     assert proc.stats["files_success"] == 3
+
+
+def test_async_fetch_failure_leaves_files_unmarked(workspace):
+    """An exception escaping the async device fetch is a batch-level
+    error mirroring the sync path: no processed markers, no success
+    counts, no chunk rows — the files retry on the next sweep instead
+    of being silently marked done with zero transcriptions."""
+    cfg, input_dir, output_dir = workspace
+
+    class ExplodingEngine:
+        def warmup(self, all_buckets=False):
+            return 0
+
+        def dispatch_chunks(self, chunks):
+            def fetch():
+                raise RuntimeError("simulated device failure")
+            return fetch
+
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "x.db")))
+    proc = DataProcessor(cfg, db_manager=db,
+                         asr_engine=ExplodingEngine())
+    proc.setup_models()
+    assert proc.run() == 0
+    assert proc.stats["errors"] >= 1
+    assert proc.stats["files_success"] == 0
+    for i in range(3):
+        assert not proc.markers.is_processed(input_dir / f"call-{i}.wav")
+        assert db.get_chunks_by_id_enregistrement(f"call-{i}") == []
+    # A healthy engine on the next sweep picks them all up.
+    proc2 = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc2.setup_models()
+    assert proc2.run() == 3
+    db.close()
+
+
+def test_message_path_batch_failure_isolated(workspace, monkeypatch):
+    """One failed batched mono transcription must not drop message
+    rows for the whole file batch: the engine retries per file, so
+    only a genuinely failing file loses its messages."""
+    from audio_processor_tpu.pipeline.segmenter import (
+        SpeechBatchTranscriber,
+    )
+
+    cfg, input_dir, output_dir = workspace
+    cfg = cfg.replace(extras={**cfg.extras, "enable_message_path": True})
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "mi.db")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    proc._transcriber = SpeechBatchTranscriber(
+        cfg, asr_engine=proc.asr_engine)
+    seg = proc._transcriber.segmenter
+    real = seg.transcribe_segments_batched
+    calls = {"n": 0}
+
+    def flaky(segments, sr):
+        calls["n"] += 1
+        if calls["n"] == 1:          # the first full-batch call
+            raise RuntimeError("simulated batched failure")
+        return real(segments, sr)
+
+    monkeypatch.setattr(seg, "transcribe_segments_batched", flaky)
+    proc.run()
+    assert calls["n"] >= 3           # full-batch fail + per-file retries
+    msgs = db.get_messages_by_id_enregistrement("call-0")
+    assert len(msgs) >= 1
+    orders = [m["order_message"] for m in msgs]
+    assert orders == sorted(orders)
+    db.close()

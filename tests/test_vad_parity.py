@@ -292,3 +292,17 @@ def test_binarize_vectorized_matches_loop_reference(rng):
     got = binarize(probs, hop, onset=0.8, offset=0.4)
     want = loop_binarize(probs, hop, 0.8, 0.4)
     assert got == want
+    # Inverted band (onset < offset): a p in (onset, offset) toggles
+    # the state machine every frame — the exact-loop fallback must
+    # match, including the alternating one-frame segments at p=0.5.
+    for trial in range(30):
+        n = int(rng.integers(0, 200))
+        probs = rng.uniform(0, 1, n)
+        onset = float(rng.uniform(0.1, 0.5))
+        offset = float(rng.uniform(onset, 0.9))
+        got = binarize(probs, hop, onset=onset, offset=offset)
+        want = loop_binarize(probs, hop, onset, offset)
+        assert got == want, (trial, n, onset, offset)
+    probs = np.full(6, 0.5)
+    assert binarize(probs, hop, onset=0.4, offset=0.6) == \
+        loop_binarize(probs, hop, 0.4, 0.6)

@@ -575,3 +575,37 @@ def test_seek_decodes_only_needed_frames(monkeypatch):
     # frames (each frame = one residue call per submap, stereo
     # coupled -> 1 call/frame here).
     assert 0 < calls["n"] <= 8, calls["n"]
+
+
+def test_granule_trim_across_multiple_blocks():
+    """A legal edited/truncated stream whose final-page granulepos
+    cuts into more than the final lapped block must truncate exactly
+    like decode-then-slice (the trim is clamped per block in global
+    coordinates, not final-block-only)."""
+    from tests.vorbis_encoder import make_stereo_stream, ogg_crc
+
+    from audio_processor_tpu.io.vorbis import (
+        VorbisDecoder, decode_vorbis_range,
+    )
+
+    data = make_stereo_stream(n_packets=40, seed=6)
+    full, sr = VorbisDecoder(data).decode()
+    T = full.shape[1]
+    cut = 7000                       # spans many lapped blocks
+    assert T > cut + 200
+    idx = data.rfind(b"OggS")
+    n_segs = data[idx + 26]
+    body = sum(data[idx + 27: idx + 27 + n_segs])
+    page = bytearray(data[idx: idx + 27 + n_segs + body])
+    page[6:14] = int(T - cut).to_bytes(8, "little", signed=True)
+    page[22:26] = b"\0\0\0\0"
+    page[22:26] = ogg_crc(bytes(page)).to_bytes(4, "little")
+    edited = data[:idx] + bytes(page)
+
+    pcm, r = VorbisDecoder(edited).decode()
+    assert r == sr
+    assert pcm.shape[1] == T - cut
+    np.testing.assert_array_equal(pcm, full[:, :T - cut])
+    # Seeking respects the shortened stream too.
+    rng_pcm, _ = decode_vorbis_range(edited, T - cut - 100, 200)
+    np.testing.assert_array_equal(rng_pcm, full[:, T - cut - 100:T - cut])

@@ -32,7 +32,10 @@ def main():
                 try:
                     overrides[k] = int(v)
                 except ValueError:
-                    overrides[k] = float(v)
+                    try:
+                        overrides[k] = float(v)
+                    except ValueError:
+                        overrides[k] = v   # string-valued config key
         else:
             reps = int(arg)
     if not overrides:
