@@ -577,7 +577,7 @@ def test_seek_decodes_only_needed_frames(monkeypatch):
     assert 0 < calls["n"] <= 8, calls["n"]
 
 
-def test_granule_trim_across_multiple_blocks():
+def test_granule_trim_across_multiple_blocks(tmp_path):
     """A legal edited/truncated stream whose final-page granulepos
     cuts into more than the final lapped block must truncate exactly
     like decode-then-slice (the trim is clamped per block in global
@@ -609,3 +609,16 @@ def test_granule_trim_across_multiple_blocks():
     # Seeking respects the shortened stream too.
     rng_pcm, _ = decode_vorbis_range(edited, T - cut - 100, 200)
     np.testing.assert_array_equal(rng_pcm, full[:, T - cut - 100:T - cut])
+    # The C++ decoder trims with min(granule, written) globally —
+    # Python must agree (bit-exact on self-generated streams).
+    from audio_processor_tpu.io import native
+
+    if native.has_vorbis():
+        p = tmp_path / "edited.ogg"
+        p.write_bytes(edited)
+        out = native.decode_vorbis(p)
+        assert out is not None
+        pcm_c, sr_c = out
+        assert sr_c == sr
+        assert pcm_c.shape == pcm.shape
+        np.testing.assert_array_equal(pcm_c, pcm)
