@@ -164,6 +164,58 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
         raise
 
 
+def load_audio_range(path: str | Path, start_sample: int,
+                     num_samples: Optional[int] = None
+                     ) -> Tuple[np.ndarray, int]:
+    """Random-access decode: ([C, n] float32, rate) for one sample
+    range at the file's native output rate, without decoding the
+    whole file.
+
+    - WAV: exact byte-range read (header parse + one seek, io/wav.py)
+    - Ogg/Vorbis: bit-exact seek decode (header-bit frame index + one
+      priming frame, io/vorbis.py)
+    - Ogg/Opus: RFC 7845 pre-roll seek at 48 kHz (float tolerance,
+      io/opus.py)
+    - anything else: full decode + slice (correct, not random-access)
+
+    The reference stack has no random access at all — its ffmpeg
+    subprocess decodes whole files (services/audio_processor.py:76-86).
+    """
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix == ".wav":
+        return wav_mod.read_range(p, start_sample, num_samples)
+    if suffix == ".ogg":
+        from audio_processor_tpu.io.ogg import probe_ogg
+
+        info = probe_ogg(p)
+        if info is not None and info.encoding == "opus":
+            from audio_processor_tpu.io import opus as opus_mod
+
+            if opus_mod.available():
+                try:
+                    return opus_mod.decode_opus_range(
+                        p, start_sample, num_samples)
+                except Exception as e:
+                    logger.warning("opus range decode failed for %s "
+                                   "(%s); falling back", p, e)
+        else:
+            try:
+                from audio_processor_tpu.io.vorbis import (
+                    decode_vorbis_range,
+                )
+
+                pcm, rate = decode_vorbis_range(p, start_sample,
+                                                num_samples)
+                return np.clip(pcm, -1.0, 1.0), rate
+            except Exception as e:
+                logger.warning("vorbis range decode failed for %s "
+                               "(%s); falling back", p, e)
+    pcm, rate = load_audio(p)
+    stop = None if num_samples is None else start_sample + num_samples
+    return np.ascontiguousarray(pcm[:, start_sample:stop]), rate
+
+
 def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     """Decode an in-memory WAV/OGG payload -> ([C, T] float32, sr).
 

@@ -70,6 +70,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.opus_multistream_decode_float.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+        # Packet duration from the TOC byte alone (no decode) — the
+        # basis of the seek index (decode_opus_range).
+        lib.opus_packet_get_nb_samples.restype = ctypes.c_int
+        lib.opus_packet_get_nb_samples.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -218,18 +223,8 @@ def _ogg_opus_packets(data: bytes):
         pos = off
 
 
-def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
-    """Decode an Ogg/Opus file or byte buffer.
-
-    Returns ([channels, frames] float32 in [-1, 1], 48000), with
-    RFC 7845 pre-skip dropped, the tail trimmed to the final page's
-    granule position, and the header output gain applied.
-    """
-    if isinstance(path_or_bytes, (str, Path)):
-        data = Path(path_or_bytes).read_bytes()
-    else:
-        data = bytes(path_or_bytes)
-
+def _parse_stream(data: bytes):
+    """-> (OpusHead, [(audio_packet, page_granule_or_None), ...])."""
     it = _ogg_opus_packets(data)
     try:
         first, _ = next(it)
@@ -242,18 +237,34 @@ def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
         raise OpusError("missing OpusTags packet")
     if tags[:8] != b"OpusTags":
         raise OpusError("second packet is not OpusTags")
+    return head, [(p, g) for p, g in it if p]
+
+
+def _finish(pcm: np.ndarray, head: OpusHead) -> np.ndarray:
+    if head.output_gain_q8:
+        pcm = pcm * (10.0 ** (head.output_gain_q8 / (20.0 * 256.0)))
+    return np.ascontiguousarray(np.clip(pcm.T, -1.0, 1.0))
+
+
+def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """Decode an Ogg/Opus file or byte buffer.
+
+    Returns ([channels, frames] float32 in [-1, 1], 48000), with
+    RFC 7845 pre-skip dropped, the tail trimmed to the final page's
+    granule position, and the header output gain applied.
+    """
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+    head, packets = _parse_stream(data)
 
     dec = _Decoder(head)
     try:
         parts: List[np.ndarray] = []
-        total = 0
         last_granule: Optional[int] = None
-        for packet, granule in it:
-            if not packet:
-                continue
-            pcm = dec.decode(packet)
-            parts.append(pcm)
-            total += pcm.shape[0]
+        for packet, granule in packets:
+            parts.append(dec.decode(packet))
             if granule is not None and granule >= 0:
                 last_granule = granule
     finally:
@@ -268,8 +279,115 @@ def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
     end = pcm.shape[0]
     if last_granule is not None:
         end = min(end, last_granule)
-    pcm = pcm[start:end]
-    if head.output_gain_q8:
-        pcm = pcm * (10.0 ** (head.output_gain_q8 / (20.0 * 256.0)))
-    out = np.ascontiguousarray(np.clip(pcm.T, -1.0, 1.0))
-    return out, _SR
+    return _finish(pcm[start:end], head), _SR
+
+
+def decode_opus_stream(path_or_bytes):
+    """Streaming decode: (48000, iterator of [C, n] float32 blocks).
+
+    Concatenating the blocks equals decode_opus exactly; peak memory
+    is one packet's PCM. Pre-skip / end-granule trims are applied per
+    block in raw-sample coordinates (granules come from a header-only
+    page scan before any decode)."""
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+    head, packets = _parse_stream(data)
+    last_granule = None
+    for _, g in packets:
+        if g is not None and g >= 0:
+            last_granule = g
+
+    def gen():
+        dec = _Decoder(head)
+        try:
+            pos = 0                      # raw samples decoded so far
+            for packet, _ in packets:
+                pcm = dec.decode(packet)
+                lo = max(0, head.pre_skip - pos)
+                hi = pcm.shape[0]
+                if last_granule is not None:
+                    hi = min(hi, max(0, last_granule - pos))
+                pos += pcm.shape[0]
+                if lo < hi:
+                    yield _finish(pcm[lo:hi], head)
+        finally:
+            dec.close()
+
+    return _SR, gen()
+
+
+def decode_opus_range(path_or_bytes, start_sample: int,
+                      num_samples: Optional[int] = None,
+                      preroll_samples: int = 23040
+                      ) -> Tuple[np.ndarray, int]:
+    """Seek + decode one PCM range -> ([C, n] float32, 48000).
+
+    Positions are in decode_opus's output space (48 kHz, pre-skip
+    removed, granule-trimmed). Packet positions come from the TOC
+    byte (opus_packet_get_nb_samples) with no decoding; a fresh
+    decoder starts ``preroll_samples`` before the range (default
+    480 ms — 6x the RFC 7845 §4.4 minimum pre-roll; measured decoder
+    convergence: 160 ms -> ~2e-2 error, 320 ms -> ~1e-4,
+    480 ms -> ~6e-7) so the codec state converges before the first
+    kept sample. Output therefore matches the same slice of a full
+    decode to float tolerance, not bit-exactly (a seek clamped to
+    packet 0 is bit-exact)."""
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+    head, packets = _parse_stream(data)
+    lib = _load()
+    if lib is None:
+        raise OpusError("libopus not available")
+
+    # TOC-byte duration index: raw-space start position of each packet.
+    starts = np.empty(len(packets) + 1, np.int64)
+    starts[0] = 0
+    last_granule: Optional[int] = None
+    for i, (packet, granule) in enumerate(packets):
+        n = lib.opus_packet_get_nb_samples(packet, len(packet), _SR)
+        if n < 0:
+            raise OpusError(f"bad packet TOC at index {i} (err={n})")
+        starts[i + 1] = starts[i] + n
+        if granule is not None and granule >= 0:
+            last_granule = granule
+    total_raw = int(starts[-1])
+    end_raw = total_raw if last_granule is None \
+        else min(total_raw, last_granule)
+
+    out_len = max(0, end_raw - head.pre_skip)
+    start_sample = max(0, start_sample)
+    stop = out_len if num_samples is None \
+        else min(out_len, start_sample + num_samples)
+    start_sample = min(start_sample, stop)
+    ch = head.channels
+    if start_sample >= stop:
+        return np.zeros((ch, 0), np.float32), _SR
+
+    raw_lo = start_sample + head.pre_skip
+    raw_hi = stop + head.pre_skip
+    import bisect
+
+    first = max(0, bisect.bisect_right(
+        starts, max(0, raw_lo - preroll_samples)) - 1)
+    dec = _Decoder(head)
+    try:
+        parts: List[np.ndarray] = []
+        pos = int(starts[first])
+        for packet, _ in packets[first:]:
+            pcm = dec.decode(packet)
+            lo = max(0, raw_lo - pos)
+            hi = min(pcm.shape[0], raw_hi - pos)
+            pos += pcm.shape[0]
+            if lo < hi:
+                parts.append(pcm[lo:hi])
+            if pos >= raw_hi:
+                break
+    finally:
+        dec.close()
+    pcm = np.concatenate(parts, axis=0) if parts \
+        else np.zeros((0, ch), np.float32)
+    return _finish(pcm, head), _SR

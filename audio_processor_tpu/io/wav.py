@@ -112,8 +112,15 @@ def read(path: str | Path, dtype=np.float32) -> Tuple[np.ndarray, int]:
 def read_bytes(data: bytes, dtype=np.float32) -> Tuple[np.ndarray, int]:
     """Decode an in-memory WAV payload (serving path — no temp file)."""
     ai, off, size = _parse_header(data)
-    raw = data[off:off + size]
-    n = ai.num_frames * ai.num_channels
+    x = _convert_frames(data[off:off + size], ai, ai.num_frames, dtype)
+    return x, ai.sample_rate
+
+
+def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
+                    dtype) -> np.ndarray:
+    """Raw sample bytes -> [channels, num_frames] normalized array
+    (torchaudio.load conventions)."""
+    n = num_frames * ai.num_channels
     if ai.encoding == "pcm_float":
         dt = np.float32 if ai.bits_per_sample == 32 else np.float64
         x = np.frombuffer(raw, dtype="<" + np.dtype(dt).char, count=n) \
@@ -133,8 +140,28 @@ def read_bytes(data: bytes, dtype=np.float32) -> Tuple[np.ndarray, int]:
                 | (b[:, 2].astype(np.int32) << 16))
         vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
         x = vals.astype(dtype) / 8388608.0
-    x = x.reshape(ai.num_frames, ai.num_channels).T
-    return np.ascontiguousarray(x), ai.sample_rate
+    x = x.reshape(num_frames, ai.num_channels).T
+    return np.ascontiguousarray(x)
+
+
+def read_range(path: str | Path, start_frame: int,
+               num_frames: Optional[int] = None,
+               dtype=np.float32) -> Tuple[np.ndarray, int]:
+    """Random-access read of a frame range without loading the file:
+    header parse on a 64 KiB prefix, one seek, one bounded read.
+    Bit-identical to ``read(path)[0][:, start:start+num]``."""
+    file_size = Path(path).stat().st_size
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+        ai, off, _size = _parse_header(head, file_size=file_size)
+        bpf = ai.num_channels * (ai.bits_per_sample // 8)
+        start = max(0, min(start_frame, ai.num_frames))
+        stop = ai.num_frames if num_frames is None \
+            else min(ai.num_frames, start + max(0, num_frames))
+        count = max(0, stop - start)
+        f.seek(off + start * bpf)
+        raw = f.read(count * bpf)
+    return _convert_frames(raw, ai, count, dtype), ai.sample_rate
 
 
 def write(path: str | Path, waveform: np.ndarray, sample_rate: int) -> None:

@@ -243,3 +243,44 @@ def test_wav_extensible_format(tmp_path):
     if native.available():
         out = native.read_wav(p)
         np.testing.assert_array_equal(out[0], x)
+
+
+def test_wav_read_range_bit_exact(tmp_path, stereo_call):
+    """read_range == the same slice of a full read, bit for bit,
+    including clamped / empty / open-ended ranges."""
+    p = _write_call(tmp_path / "c.wav", stereo_call, 16000)
+    full, sr = wav.read(p)
+    T = full.shape[1]
+    for s, n in [(0, 100), (1234, 4096), (T - 7, None), (T + 10, 5),
+                 (50, 0), (0, None)]:
+        x, r = wav.read_range(p, s, n)
+        assert r == sr
+        ref = full[:, min(s, T):(min(s, T) + n if n is not None
+                                 else None)]
+        np.testing.assert_array_equal(x, ref, err_msg=f"({s},{n})")
+
+
+@pytest.mark.parametrize("bits,fmt", [(16, "int"), (24, "int"),
+                                      (32, "float")])
+def test_wav_read_range_all_encodings(tmp_path, bits, fmt):
+    rng = np.random.default_rng(1)
+    data = (0.8 * rng.standard_normal((2, 4000))).clip(-0.99, 0.99) \
+        .astype(np.float64)
+    p = tmp_path / f"r_{bits}_{fmt}.wav"
+    _write_wav_custom(p, data, 16000, bits, fmt)
+    full, _ = wav.read(p)
+    x, _ = wav.read_range(p, 777, 2048)
+    np.testing.assert_array_equal(x, full[:, 777:777 + 2048])
+
+
+def test_load_audio_range_dispatch(tmp_path, stereo_call):
+    """load_audio_range routes per container and matches the full
+    decode's slice (WAV bit-exact; Vorbis bit-exact per io/vorbis
+    seek decode)."""
+    from audio_processor_tpu.io.decode import load_audio_range
+
+    p = _write_call(tmp_path / "c.wav", stereo_call, 16000)
+    full, sr = load_audio(p)
+    x, r = load_audio_range(p, 500, 3000)
+    assert r == sr
+    np.testing.assert_array_equal(x, full[:, 500:3500])

@@ -202,3 +202,40 @@ def test_decode_survives_corrupt_streams(tmp_path):
         f"opus decode crashed/leaked on corrupt input:\n"
         f"{r.stdout}\n{r.stderr}")
     assert "opus-fuzz-ok 300" in r.stdout
+
+
+def test_streaming_decode_equals_eager():
+    """decode_opus_stream blocks concatenate to exactly the eager
+    decode (pre-skip, end-granule trim, and output gain included)."""
+    pcm_in = _sine_pcm(int(SR * 1.7), 2)
+    data = encode_ogg_opus(pcm_in, 2)
+    full, sr = opus_mod.decode_opus(data)
+    sr2, blocks = opus_mod.decode_opus_stream(data)
+    blocks = list(blocks)
+    assert sr2 == sr == 48000
+    assert len(blocks) > 4
+    np.testing.assert_array_equal(np.concatenate(blocks, axis=1), full)
+
+
+def test_range_decode_matches_full_slice():
+    """decode_opus_range == the same slice of a full decode to float
+    tolerance (fresh decoder + 480 ms pre-roll; RFC 7845 §4.4 floor
+    is 80 ms), with exact shapes/positions from the TOC-byte packet
+    index."""
+    pcm_in = _sine_pcm(int(SR * 3.0), 2)
+    data = encode_ogg_opus(pcm_in, 2)
+    full, sr = opus_mod.decode_opus(data)
+    T = full.shape[1]
+    for s, n in [(0, 1000), (5000, 2000), (T // 2, 4800),
+                 (T - 1000, None), (T + 5, 3), (7, 0)]:
+        pcm, r = opus_mod.decode_opus_range(data, s, n)
+        assert r == sr
+        ref = full[:, s:(s + n if n is not None else None)] \
+            if s <= T else full[:, :0]
+        assert pcm.shape == ref.shape, (s, n)
+        if ref.size:
+            np.testing.assert_allclose(pcm, ref, atol=1e-4,
+                                       err_msg=f"({s},{n})")
+    # A seek from 0 decodes from the first packet: bit-exact.
+    pcm0, _ = opus_mod.decode_opus_range(data, 0, 1000)
+    np.testing.assert_array_equal(pcm0, full[:, :1000])
