@@ -1,0 +1,125 @@
+"""Opus packet / TOC parsing (RFC 6716 §3).
+
+Splits a packet into its mode / bandwidth / frame duration / channel
+configuration and the list of compressed frames (codes 0-3, CBR and
+VBR, padding).  Pure function of the packet bytes.
+
+Replaces the TOC handling libopus does in opus_decode_native /
+opus_packet_parse; the reference stack never parses packets itself
+(it shells audio out to ffmpeg, services/audio_processor.py:76-86).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+
+class OpusPacketError(ValueError):
+    pass
+
+
+# config -> (mode, bandwidth, frame_ms)
+_CONFIG = {}
+for _i, _bw in enumerate(("NB", "MB", "WB")):
+    for _j, _ms in enumerate((10, 20, 40, 60)):
+        _CONFIG[_i * 4 + _j] = ("silk", _bw, _ms)
+for _i, _bw in enumerate(("SWB", "FB")):
+    for _j, _ms in enumerate((10, 20)):
+        _CONFIG[12 + _i * 2 + _j] = ("hybrid", _bw, _ms)
+for _i, _bw in enumerate(("NB", "WB", "SWB", "FB")):
+    for _j, _ms in enumerate((2.5, 5, 10, 20)):
+        _CONFIG[16 + _i * 4 + _j] = ("celt", _bw, _ms)
+
+# audio bandwidth -> SILK internal rate kHz / CELT effective end band
+SILK_KHZ = {"NB": 8, "MB": 12, "WB": 16, "SWB": 16, "FB": 16}
+
+
+@dataclass
+class PacketInfo:
+    mode: str              # 'silk' | 'hybrid' | 'celt'
+    bandwidth: str         # NB MB WB SWB FB
+    frame_ms: float
+    frame_size: int        # samples per frame at 48 kHz
+    stereo: bool
+    frames: List[bytes]
+
+
+def _frame_len(data: bytes, pos: int):
+    if pos >= len(data):
+        raise OpusPacketError("truncated frame length")
+    b = data[pos]
+    if b < 252:
+        return b, pos + 1
+    if pos + 1 >= len(data):
+        raise OpusPacketError("truncated 2-byte frame length")
+    return 4 * data[pos + 1] + b, pos + 2
+
+
+def parse_packet(data: bytes) -> PacketInfo:
+    """RFC 6716 §3.2: packet -> frames."""
+    if len(data) < 1:
+        raise OpusPacketError("empty packet")
+    toc = data[0]
+    config, stereo, code = toc >> 3, bool((toc >> 2) & 1), toc & 3
+    mode, bw, ms = _CONFIG[config]
+    frame_size = int(48 * ms)
+    body = data[1:]
+
+    if code == 0:
+        frames = [bytes(body)]
+    elif code == 1:
+        if len(body) % 2:
+            raise OpusPacketError("code-1 packet with odd payload")
+        h = len(body) // 2
+        frames = [bytes(body[:h]), bytes(body[h:])]
+    elif code == 2:
+        n1, pos = _frame_len(data, 1)
+        if n1 > len(data) - pos:
+            raise OpusPacketError("code-2 first frame overruns packet")
+        frames = [bytes(data[pos:pos + n1]), bytes(data[pos + n1:])]
+    else:
+        if len(body) < 1:
+            raise OpusPacketError("code-3 packet without count byte")
+        c = body[0]
+        vbr, padding, count = bool(c & 0x80), bool(c & 0x40), c & 0x3F
+        if not 1 <= count <= 48 or count * ms > 120:
+            raise OpusPacketError(f"bad code-3 frame count {count}")
+        pos = 2  # absolute position in `data`
+        end = len(data)
+        if padding:
+            pad = 0
+            while True:
+                if pos >= len(data):
+                    raise OpusPacketError("truncated padding length")
+                p = data[pos]
+                pos += 1
+                if p == 255:
+                    pad += 254
+                else:
+                    pad += p
+                    break
+            if pad > len(data) - pos:
+                raise OpusPacketError("padding overruns packet")
+            end = len(data) - pad
+        if vbr:
+            lens = []
+            for _ in range(count - 1):
+                n, pos = _frame_len(data, pos)
+                lens.append(n)
+            total = sum(lens)
+            if total > end - pos:
+                raise OpusPacketError("VBR frames overrun packet")
+            frames = []
+            for n in lens:
+                frames.append(bytes(data[pos:pos + n]))
+                pos += n
+            frames.append(bytes(data[pos:end]))
+        else:
+            avail = end - pos
+            if avail % count:
+                raise OpusPacketError("CBR payload not divisible")
+            n = avail // count
+            frames = [bytes(data[pos + i * n:pos + (i + 1) * n])
+                      for i in range(count)]
+    return PacketInfo(mode, bw, ms, frame_size, stereo, frames)
