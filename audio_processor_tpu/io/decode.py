@@ -6,7 +6,8 @@ torchaudio stack, services/audio_processor.py:73-97):
 1. ``.wav`` — first-party reader (io/wav.py; C++ fast path via
    io/native.py when built).
 2. ``.ogg`` — payload-routed: Vorbis via the first-party decoders
-   (C++/Python), Opus via the in-process libopus binding (io/opus.py);
+   (C++/Python), Opus via the in-process libopus binding or the first-party
+   decoder (io/opus.py, io/opusdec/);
    ``ffmpeg`` subprocess (the reference's own mechanism) and
    pygame/SDL_mixer as last resorts, else a clear error.
 
@@ -116,7 +117,7 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
             if out is not None:
                 return out
         return wav_mod.read(p)
-    if suffix == ".ogg":
+    if suffix in (".ogg", ".opus"):
         # Payload-routed decode: Vorbis goes to the first-party
         # decoders (C++ fast path native/vorbis.cpp ~590x realtime,
         # then the validated Python reference io/vorbis.py); Opus goes
@@ -129,12 +130,11 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
         if info is not None and info.encoding == "opus":
             from audio_processor_tpu.io import opus as opus_mod
 
-            if opus_mod.available():
-                try:
-                    return opus_mod.decode_opus(p)
-                except Exception as e:
-                    logger.warning("in-process opus decode failed for "
-                                   "%s (%s); falling back", p, e)
+            try:
+                return opus_mod.decode_opus(p)
+            except Exception as e:
+                logger.warning("in-process opus decode failed for "
+                               "%s (%s); falling back", p, e)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             out = nat.decode_vorbis(p)
@@ -185,20 +185,19 @@ def load_audio_range(path: str | Path, start_sample: int,
     suffix = p.suffix.lower()
     if suffix == ".wav":
         return wav_mod.read_range(p, start_sample, num_samples)
-    if suffix == ".ogg":
+    if suffix in (".ogg", ".opus"):
         from audio_processor_tpu.io.ogg import probe_ogg
 
         info = probe_ogg(p)
         if info is not None and info.encoding == "opus":
             from audio_processor_tpu.io import opus as opus_mod
 
-            if opus_mod.available():
-                try:
-                    return opus_mod.decode_opus_range(
-                        p, start_sample, num_samples)
-                except Exception as e:
-                    logger.warning("opus range decode failed for %s "
-                                   "(%s); falling back", p, e)
+            try:
+                return opus_mod.decode_opus_range(
+                    p, start_sample, num_samples)
+            except Exception as e:
+                logger.warning("opus range decode failed for %s "
+                               "(%s); falling back", p, e)
         else:
             try:
                 from audio_processor_tpu.io.vorbis import (
@@ -234,12 +233,11 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         if b"OpusHead" in data[:1024]:
             from audio_processor_tpu.io import opus as opus_mod
 
-            if opus_mod.available():
-                try:
-                    return opus_mod.decode_opus(data)
-                except Exception as e:
-                    logger.warning("in-process opus decode failed "
-                                   "(%s); falling back", e)
+            try:
+                return opus_mod.decode_opus(data)
+            except Exception as e:
+                logger.warning("in-process opus decode failed "
+                               "(%s); falling back", e)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             with tempfile.NamedTemporaryFile(suffix=".ogg") as f:

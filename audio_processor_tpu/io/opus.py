@@ -175,6 +175,44 @@ class _Decoder:
             pass
 
 
+class _FallbackDecoder:
+    """First-party decoder with the _Decoder interface, used when the
+    system libopus is unavailable (mapping family 0 only).  SILK-mode
+    streams decode bit-exactly vs libopus; see
+    audio_processor_tpu/io/opusdec/."""
+
+    def __init__(self, head: "OpusHead"):
+        if head.mapping_family != 0:
+            raise OpusError(
+                "multistream Opus requires libopus (first-party "
+                "fallback supports mapping family 0)")
+        from audio_processor_tpu.io.opusdec.decoder import OpusDecoder
+        self._dec = OpusDecoder(head.channels)
+
+    def decode(self, packet: bytes) -> np.ndarray:
+        try:
+            return self._dec.decode(packet)
+        except NotImplementedError as e:
+            raise OpusError(str(e)) from e
+
+    def close(self):
+        self._dec = None
+
+
+def _make_decoder(head: "OpusHead"):
+    return _Decoder(head) if _load() is not None \
+        else _FallbackDecoder(head)
+
+
+def _packet_nb_samples(packet: bytes) -> int:
+    """48 kHz duration of one packet from its TOC byte alone
+    (opus_packet_get_nb_samples equivalent, used when libopus is
+    absent)."""
+    from audio_processor_tpu.io.opusdec.packet import parse_packet
+    info = parse_packet(packet)
+    return info.frame_size * len(info.frames)
+
+
 def _ogg_opus_packets(data: bytes):
     """(packet, page_granule_or_None) pairs for the first Opus stream.
 
@@ -259,7 +297,7 @@ def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
         data = bytes(path_or_bytes)
     head, packets = _parse_stream(data)
 
-    dec = _Decoder(head)
+    dec = _make_decoder(head)
     try:
         parts: List[np.ndarray] = []
         last_granule: Optional[int] = None
@@ -300,7 +338,7 @@ def decode_opus_stream(path_or_bytes):
             last_granule = g
 
     def gen():
-        dec = _Decoder(head)
+        dec = _make_decoder(head)
         try:
             pos = 0                      # raw samples decoded so far
             for packet, _ in packets:
@@ -340,15 +378,19 @@ def decode_opus_range(path_or_bytes, start_sample: int,
         data = bytes(path_or_bytes)
     head, packets = _parse_stream(data)
     lib = _load()
-    if lib is None:
-        raise OpusError("libopus not available")
 
     # TOC-byte duration index: raw-space start position of each packet.
     starts = np.empty(len(packets) + 1, np.int64)
     starts[0] = 0
     last_granule: Optional[int] = None
     for i, (packet, granule) in enumerate(packets):
-        n = lib.opus_packet_get_nb_samples(packet, len(packet), _SR)
+        if lib is not None:
+            n = lib.opus_packet_get_nb_samples(packet, len(packet), _SR)
+        else:
+            try:
+                n = _packet_nb_samples(packet)
+            except ValueError as e:
+                raise OpusError(f"bad packet at index {i}: {e}") from e
         if n < 0:
             raise OpusError(f"bad packet TOC at index {i} (err={n})")
         starts[i + 1] = starts[i] + n
@@ -373,7 +415,7 @@ def decode_opus_range(path_or_bytes, start_sample: int,
 
     first = max(0, bisect.bisect_right(
         starts, max(0, raw_lo - preroll_samples)) - 1)
-    dec = _Decoder(head)
+    dec = _make_decoder(head)
     try:
         parts: List[np.ndarray] = []
         pos = int(starts[first])

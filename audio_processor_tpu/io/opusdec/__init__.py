@@ -11,4 +11,6 @@ Reference mechanism being replaced: the upstream stack shells out to
 ffmpeg for Ogg payloads (services/audio_processor.py:76-86).
 """
 
+from audio_processor_tpu.io.opusdec.decoder import (  # noqa: F401
+    OpusDecodeError, OpusDecoder)
 from audio_processor_tpu.io.opusdec.packet import parse_packet  # noqa: F401

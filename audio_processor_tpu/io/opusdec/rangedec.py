@@ -110,7 +110,7 @@ class RangeDecoder:
         while True:
             ret += 1
             t = s
-            s = r * icdf[ret]
+            s = r * int(icdf[ret])
             if d >= s:
                 break
         self.val = d - s

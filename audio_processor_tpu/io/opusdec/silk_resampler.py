@@ -1,0 +1,122 @@
+"""SILK fixed-point resampler, decoder direction only (8/12/16 kHz
+internal -> 48 kHz API): 2x all-pass upsampler + fractional
+interpolation FIR (reference resampler ROM coefficients in _tables).
+Bit-exact with silk_resampler() for the upsampling path."""
+
+from __future__ import annotations
+
+from typing import List
+
+from audio_processor_tpu.io.opusdec import _tables as T
+from audio_processor_tpu.io.opusdec.fixp import (rshift_round, sat16,
+                                                 smulbb, smulwb,
+                                                 smulww)
+
+ORDER_FIR_12 = 8
+# delay_matrix_dec rows NB/MB/WB -> column for 48 kHz output
+_INPUT_DELAY_48 = {8: 0, 12: 4, 16: 7}
+
+_HQ0 = [int(v) for v in T.SILK_UP2_HQ_0]
+_HQ1 = [int(v) for v in T.SILK_UP2_HQ_1]
+_FIR = [[int(v) for v in row] for row in T.SILK_RESAMPLER_FRAC_FIR_12]
+
+
+def _up2_hq(S: List[int], x_in: List[int]) -> List[int]:
+    """silk_resampler_private_up2_HQ: 2x upsample, Q10 state S[6]."""
+    out = [0] * (2 * len(x_in))
+    s0, s1, s2, s3, s4, s5 = S
+    for k, v in enumerate(x_in):
+        in32 = v << 10
+        # even sample: three all-pass sections
+        Y = in32 - s0
+        X = smulwb(Y, _HQ0[0])
+        out1 = s0 + X
+        s0 = in32 + X
+        Y = out1 - s1
+        X = smulwb(Y, _HQ0[1])
+        out2 = s1 + X
+        s1 = out1 + X
+        Y = out2 - s2
+        X = Y + smulwb(Y, _HQ0[2])
+        out1 = s2 + X
+        s2 = out2 + X
+        out[2 * k] = sat16(rshift_round(out1, 10))
+        # odd sample
+        Y = in32 - s3
+        X = smulwb(Y, _HQ1[0])
+        out1 = s3 + X
+        s3 = in32 + X
+        Y = out1 - s4
+        X = smulwb(Y, _HQ1[1])
+        out2 = s4 + X
+        s4 = out1 + X
+        Y = out2 - s5
+        X = Y + smulwb(Y, _HQ1[2])
+        out1 = s5 + X
+        s5 = out2 + X
+        out[2 * k + 1] = sat16(rshift_round(out1, 10))
+    S[:] = [s0, s1, s2, s3, s4, s5]
+    return out
+
+
+class SilkResampler:
+    """State-carrying upsampler: process() consumes one SILK frame of
+    int16 at fs_in kHz and emits 48 kHz int16."""
+
+    def __init__(self, fs_in_khz: int):
+        assert fs_in_khz in (8, 12, 16)
+        self.fs_in_khz = fs_in_khz
+        self.fs_out_khz = 48
+        self.batch_size = fs_in_khz * 10
+        self.input_delay = _INPUT_DELAY_48[fs_in_khz]
+        self.delay_buf = [0] * 48   # >= Fs_in_kHz samples
+        self.s_iir = [0] * 6
+        self.s_fir = [0] * ORDER_FIR_12
+        fs_in_hz = fs_in_khz * 1000
+        inv = (((fs_in_hz << 15) // 48000) << 2)
+        while smulww(inv, 48000) < (fs_in_hz << 1):
+            inv += 1
+        self.inv_ratio_q16 = inv
+
+    def _iir_fir(self, x_in: List[int]) -> List[int]:
+        out: List[int] = []
+        buf = list(self.s_fir)
+        pos = 0
+        remaining = len(x_in)
+        while True:
+            n = min(remaining, self.batch_size)
+            up = _up2_hq(self.s_iir, x_in[pos:pos + n])
+            buf = buf[:ORDER_FIR_12] + up
+            max_index_q16 = n << 17
+            index_q16 = 0
+            while index_q16 < max_index_q16:
+                table_index = smulwb(index_q16 & 0xFFFF, 12)
+                base = index_q16 >> 16
+                c = _FIR[table_index]
+                cr = _FIR[11 - table_index]
+                res = (buf[base] * c[0] + buf[base + 1] * c[1]
+                       + buf[base + 2] * c[2] + buf[base + 3] * c[3]
+                       + buf[base + 4] * cr[3] + buf[base + 5] * cr[2]
+                       + buf[base + 6] * cr[1] + buf[base + 7] * cr[0])
+                out.append(sat16(rshift_round(res, 15)))
+                index_q16 += self.inv_ratio_q16
+            pos += n
+            remaining -= n
+            tail = buf[n << 1:(n << 1) + ORDER_FIR_12]
+            if remaining > 0:
+                buf = tail  # becomes the head of the next batch
+            else:
+                break
+        self.s_fir = tail
+        return out
+
+    def process(self, x_in: List[int]) -> List[int]:
+        """silk_resampler(): delay-compensated streaming resample."""
+        n_first = self.fs_in_khz - self.input_delay
+        head = self.delay_buf[:self.input_delay] + x_in[:n_first]
+        out = self._iir_fir(head)
+        out += self._iir_fir(x_in[n_first:len(x_in) - self.input_delay])
+        self.delay_buf[:self.input_delay] = \
+            x_in[len(x_in) - self.input_delay:] if self.input_delay \
+            else []
+        return out

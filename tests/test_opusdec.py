@@ -1,0 +1,209 @@
+"""Parity tests for the first-party Opus decoder
+(audio_processor_tpu/io/opusdec/) against the system libopus.
+
+SILK-mode streams must be BIT-EXACT with libopus' int16 decode API:
+the SILK decoder is fixed-point in every libopus build, so float
+rounding never enters.  Stream fixtures are produced by the libopus
+ENCODER in forced modes (an independent implementation of the
+encode side), making this a true cross-implementation check.
+
+Reference mechanism replaced: the upstream stack shells audio out to
+ffmpeg (services/audio_processor.py:76-86) and never decodes Opus
+itself.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.io.opusdec.decoder import OpusDecoder
+from audio_processor_tpu.io.opusdec.packet import parse_packet
+from tests.opus_encoder import encoder_available
+
+_SR = 48000
+OPUS_APPLICATION_VOIP = 2048
+OPUS_SET_BITRATE = 4002
+OPUS_SET_BANDWIDTH = 4008
+OPUS_SET_COMPLEXITY = 4010
+OPUS_SET_FORCE_MODE = 11002
+MODE_SILK_ONLY = 1000
+_BW = {"NB": 1101, "MB": 1102, "WB": 1103}
+
+pytestmark = pytest.mark.skipif(
+    not encoder_available(), reason="system libopus unavailable")
+
+
+def _lib():
+    lib = ctypes.CDLL(ctypes.util.find_library("opus"))
+    lib.opus_encoder_create.restype = ctypes.c_void_p
+    lib.opus_encoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.opus_encode_float.restype = ctypes.c_int32
+    lib.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int32]
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    lib.opus_decoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.opus_decode.restype = ctypes.c_int
+    lib.opus_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def _speechy(n, channels, seed=0):
+    """Pitch-pulse + noise signal that drives the encoder through
+    voiced, unvoiced and inactive SILK frame types."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / _SR
+    out = np.zeros((n, channels), np.float32)
+    for c in range(channels):
+        f0 = 110.0 + 40 * c
+        sig = np.zeros(n)
+        for h in range(1, 12):
+            sig += np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 6)) / h
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t + c)
+        out[:, c] = (0.3 * sig * env
+                     + rng.standard_normal(n) * 0.02).astype(np.float32)
+    return np.clip(out, -0.99, 0.99)
+
+
+def _encode_silk(pcm, channels, bw="WB", bitrate=24000, frame_ms=20):
+    lib = _lib()
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(lib.opus_encoder_create(
+        _SR, channels, OPUS_APPLICATION_VOIP, ctypes.byref(err)))
+    assert err.value == 0
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BITRATE),
+                         ctypes.c_int32(bitrate))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_COMPLEXITY),
+                         ctypes.c_int32(10))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BANDWIDTH),
+                         ctypes.c_int32(_BW[bw]))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_FORCE_MODE),
+                         ctypes.c_int32(MODE_SILK_ONLY))
+    frame = _SR * frame_ms // 1000
+    pcm = np.asarray(pcm, np.float32).reshape(-1, channels)
+    out = ctypes.create_string_buffer(8000)
+    pkts = []
+    for i in range(len(pcm) // frame):
+        fr = np.ascontiguousarray(pcm[i * frame:(i + 1) * frame])
+        nb = lib.opus_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frame, out, len(out))
+        assert nb > 0
+        pkts.append(out.raw[:nb])
+    lib.opus_encoder_destroy(ctypes.c_void_p(enc.value))
+    return pkts
+
+
+def _ref_decode(pkts, channels):
+    lib = _lib()
+    err = ctypes.c_int(0)
+    dec = ctypes.c_void_p(lib.opus_decoder_create(
+        _SR, channels, ctypes.byref(err)))
+    assert err.value == 0
+    buf = np.empty(5760 * channels, np.int16)
+    outs = []
+    for p in pkts:
+        n = lib.opus_decode(
+            dec, p, len(p),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            5760, 0)
+        assert n > 0
+        outs.append(buf[:n * channels].reshape(n, channels).copy())
+    lib.opus_decoder_destroy(ctypes.c_void_p(dec.value))
+    return outs
+
+
+def _assert_stream_exact(pkts, channels):
+    refs = _ref_decode(pkts, channels)
+    dec = OpusDecoder(channels)
+    assert any(parse_packet(p).mode == "silk" for p in pkts)
+    for i, (p, ref) in enumerate(zip(pkts, refs)):
+        mine = dec.decode_int16(p)
+        assert mine.shape == ref.shape, f"packet {i} shape"
+        assert np.array_equal(mine, ref), (
+            f"packet {i}: "
+            f"{int((mine != ref).sum())}/{ref.size} samples differ")
+
+
+@pytest.mark.parametrize("bw", ["NB", "MB", "WB"])
+def test_silk_mono_bandwidths_bit_exact(bw):
+    pcm = _speechy(_SR, 1)
+    _assert_stream_exact(_encode_silk(pcm, 1, bw=bw), 1)
+
+
+@pytest.mark.parametrize("frame_ms", [10, 20, 40, 60])
+def test_silk_frame_durations_bit_exact(frame_ms):
+    pcm = _speechy(_SR, 1)
+    _assert_stream_exact(
+        _encode_silk(pcm, 1, frame_ms=frame_ms, bitrate=16000), 1)
+
+
+@pytest.mark.parametrize("scenario", ["decorrelated", "correlated",
+                                      "quiet_side"])
+def test_silk_stereo_bit_exact(scenario):
+    n = 2 * _SR
+    if scenario == "decorrelated":
+        pcm = _speechy(n, 2)
+    elif scenario == "correlated":
+        pcm = np.repeat(_speechy(n, 1), 2, axis=1)
+    else:  # near-silent side drives mid-only coding + side resets
+        pcm = np.concatenate(
+            [_speechy(n, 1), 0.02 * _speechy(n, 1, seed=5)], axis=1)
+    _assert_stream_exact(_encode_silk(pcm, 2, bitrate=40000), 2)
+
+
+def test_silk_low_bitrate_voiced_bit_exact():
+    # 6 kb/s NB leans on LTP + conditional coding heavily
+    pcm = _speechy(2 * _SR, 1)
+    _assert_stream_exact(_encode_silk(pcm, 1, bw="NB", bitrate=6000), 1)
+
+
+def test_fallback_ogg_decode_matches_libopus(monkeypatch):
+    """decode_opus via the first-party fallback == via libopus."""
+    from audio_processor_tpu.io import opus as opus_mod
+    from tests.opus_encoder import opus_head, opus_tags
+    from tests.vorbis_encoder import ogg_page
+
+    pcm = _speechy(_SR, 2)
+    pkts = _encode_silk(pcm, 2, bitrate=40000)
+    serial = 0x51AB
+    pages = [ogg_page([opus_head(2, 312)], serial, 0, 0, 0x2),
+             ogg_page([opus_tags()], serial, 1, 0, 0x0)]
+    granule = 0
+    for i, p in enumerate(pkts):
+        granule += 960
+        pages.append(ogg_page([p], serial, 2 + i, granule,
+                              0x4 if i == len(pkts) - 1 else 0x0))
+    ogg = b"".join(pages)
+
+    ref_pcm, sr = opus_mod.decode_opus(ogg)
+    monkeypatch.setattr(opus_mod, "_load", lambda: None)
+    got_pcm, sr2 = opus_mod.decode_opus(ogg)
+    assert sr == sr2 == _SR
+    assert ref_pcm.shape == got_pcm.shape
+    # libopus float API == int16/32768 exactly for SILK-only streams
+    assert np.array_equal(ref_pcm, got_pcm)
+
+    # range decode falls back too (first-party TOC duration index)
+    ref_rng, _ = opus_mod.decode_opus_range(ogg, 4800, 9600)
+    assert np.allclose(
+        ref_rng, ref_pcm[:, 4800:14400], atol=1e-6)
+
+
+def test_fallback_rejects_celt_packets(monkeypatch):
+    from audio_processor_tpu.io import opus as opus_mod
+    dec = opus_mod._FallbackDecoder.__new__(opus_mod._FallbackDecoder)
+    from audio_processor_tpu.io.opusdec.decoder import OpusDecoder
+    dec._dec = OpusDecoder(1)
+    toc = (31 << 3)  # config 31: CELT FB 20 ms
+    with pytest.raises(opus_mod.OpusError):
+        dec.decode(bytes([toc, 0, 0, 0]))
