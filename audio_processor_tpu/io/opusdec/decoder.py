@@ -16,6 +16,7 @@ from typing import Optional
 
 import numpy as np
 
+from audio_processor_tpu.io.opusdec.celt import END_BAND, CeltDecoder
 from audio_processor_tpu.io.opusdec.packet import (OpusPacketError,
                                                    PacketInfo,
                                                    SILK_KHZ,
@@ -26,6 +27,60 @@ from audio_processor_tpu.io.opusdec.silk import SilkDecoder
 
 class OpusDecodeError(ValueError):
     pass
+
+
+def pcm_soft_clip(x: np.ndarray, declip_mem: np.ndarray) -> None:
+    """opus_pcm_soft_clip (opus.c): the waveshaper the int16 API
+    applies in float builds when the decoded float exceeds +-1.
+    In-place on [N, C]; declip_mem is the per-channel `a` state."""
+    n, channels = x.shape
+    if n < 1:
+        return
+    np.clip(x, -2.0, 2.0, out=x)
+    for c in range(channels):
+        xc = x[:, c]
+        a = declip_mem[c]
+        # continue the previous frame's non-linearity (no discontinuity)
+        for i in range(n):
+            if xc[i] * a >= 0:
+                break
+            xc[i] = xc[i] + a * xc[i] * xc[i]
+        curr = 0
+        x0 = xc[0]
+        while True:
+            i = curr
+            while i < n and -1.0 <= xc[i] <= 1.0:
+                i += 1
+            if i == n:
+                a = 0.0
+                break
+            peak_pos = i
+            start = end = i
+            maxval = abs(xc[i])
+            while start > 0 and xc[i] * xc[start - 1] >= 0:
+                start -= 1
+            while end < n and xc[i] * xc[end] >= 0:
+                if abs(xc[end]) > maxval:
+                    maxval = abs(xc[end])
+                    peak_pos = end
+                end += 1
+            special = start == 0 and xc[i] * xc[0] >= 0
+            a = (maxval - 1) / (maxval * maxval)
+            a += a * 2.4e-7
+            if xc[i] > 0:
+                a = -a
+            for j in range(start, end):
+                xc[j] = xc[j] + a * xc[j] * xc[j]
+            if special and peak_pos >= 2:
+                offset = x0 - xc[0]
+                delta = offset / peak_pos
+                for j in range(curr, peak_pos):
+                    offset -= delta
+                    xc[j] = max(-1.0, min(1.0, xc[j] + offset))
+            curr = end
+            if curr == n:
+                break
+        declip_mem[c] = a
 
 
 class OpusDecoder:
@@ -41,7 +96,10 @@ class OpusDecoder:
             raise OpusDecodeError(f"unsupported channel count {channels}")
         self.channels = channels
         self.silk = SilkDecoder()
+        self.celt = CeltDecoder(channels)
         self.prev_mode: Optional[str] = None
+        self.prev_redundancy = False
+        self._softclip_mem = np.zeros(channels)
 
     # ----------------------------------------------------------------
     def _decode_silk_frame(self, rd: RangeDecoder,
@@ -66,24 +124,149 @@ class OpusDecoder:
                 out[:, c] = np.asarray(chans[c], np.int16)
         return out
 
+    def _decode_celt_frame(self, rd: RangeDecoder, frame: bytes,
+                           info: PacketInfo) -> np.ndarray:
+        self.celt.start = 0
+        self.celt.end = END_BAND[info.bandwidth]
+        C = 2 if info.stereo else 1
+        pcm = self.celt.decode(len(frame), rd, info.frame_size, C)
+        return pcm.T  # [N, CC] float
+
+    def _decode_redundant(self, tail: bytes, info: PacketInfo
+                          ) -> np.ndarray:
+        """Decode a 5 ms redundant CELT frame from the packet tail
+        (own range decoder, start band 0)."""
+        self.celt.start = 0
+        self.celt.end = END_BAND[info.bandwidth]
+        rrd = RangeDecoder(tail)
+        C = 2 if info.stereo else 1
+        return self.celt.decode(len(tail), rrd, 240, C).T
+
+    @staticmethod
+    def _smooth_fade(in1: np.ndarray, in2: np.ndarray) -> np.ndarray:
+        """opus_decoder.c smooth_fade over 2.5 ms ([120, C])."""
+        from audio_processor_tpu.io.opusdec.celt import _WINDOW
+        w = (_WINDOW * _WINDOW)[:, None]
+        return w * in2 + (1.0 - w) * in1
+
     # ----------------------------------------------------------------
-    def decode_int16(self, packet: bytes) -> np.ndarray:
-        """Decode one packet -> int16 [N, channels] at 48 kHz."""
+    def _decode_frame_float(self, frame: bytes,
+                            info: PacketInfo) -> np.ndarray:
+        """One frame, following opus_decode_frame's mode dispatch,
+        redundancy splicing and CELT state rules
+        (/root/reference has no decoder; this mirrors RFC 6716 §4.5).
+
+        Not implemented: PLC/DTX (lost frames raise instead) and the
+        PLC-based smoothing for redundancy-free mode transitions (the
+        libopus encoder sends redundancy on transitions whenever the
+        rate allows)."""
+        if not frame:
+            raise OpusPacketError("empty frame (PLC not supported)")
+        rd = RangeDecoder(frame)
+        mode = info.mode
+        C = 2 if info.stereo else 1
+        F2_5 = 120
+
+        silk_out = None
+        redundancy = 0
+        celt_to_silk = 0
+        red_bytes = 0
+        data_len = len(frame)
+        if mode != "celt":
+            if self.prev_mode == "celt":
+                self.silk = SilkDecoder()  # silk_InitDecoder on
+                # CELT-only -> SILK/hybrid transitions
+            silk_out = self._decode_silk_frame(rd, info) \
+                .astype(np.float64) / 32768.0
+            # leftover bytes carry a redundant CELT frame
+            if rd.tell() + 17 + 20 * (mode == "hybrid") \
+                    <= 8 * len(frame):
+                redundancy = rd.dec_bit_logp(12) \
+                    if mode == "hybrid" else 1
+                if redundancy:
+                    celt_to_silk = rd.dec_bit_logp(1)
+                    if mode == "hybrid":
+                        red_bytes = rd.dec_uint(256) + 2
+                    else:
+                        red_bytes = len(frame) \
+                            - ((rd.tell() + 7) >> 3)
+                    data_len -= red_bytes
+                    if data_len * 8 < rd.tell():
+                        data_len = 0
+                        red_bytes = 0
+                        redundancy = 0
+                    else:
+                        # keep the raw-bit reader off the tail
+                        rd.storage -= red_bytes
+
+        red_audio = None
+        if redundancy and celt_to_silk:
+            # CELT -> SILK/hybrid: redundant frame continues the old
+            # CELT state, which is then discarded
+            red_audio = self._decode_redundant(frame[data_len:], info)
+            self.celt.reset()
+
+        if mode != "silk":
+            if mode != self.prev_mode and self.prev_mode is not None \
+                    and not self.prev_redundancy:
+                self.celt.reset()
+            if mode == "celt":
+                out = self._decode_celt_frame(rd, frame, info)
+            else:
+                self.celt.start = 17
+                self.celt.end = END_BAND[info.bandwidth]
+                celt_out = self.celt.decode(data_len, rd,
+                                            info.frame_size, C).T
+                out = silk_out + celt_out
+        else:
+            out = silk_out
+            if self.prev_mode == "hybrid" and not (
+                    redundancy and celt_to_silk
+                    and self.prev_redundancy):
+                # fade out the CELT MDCT tail with a silence frame
+                self.celt.start = 0
+                self.celt.end = END_BAND[info.bandwidth]
+                srd = RangeDecoder(b"\xff\xff")
+                fade = self.celt.decode(2, srd, F2_5, C).T
+                out = out.copy()
+                out[:F2_5] += fade
+
+        if redundancy and not celt_to_silk:
+            # SILK -> CELT: redundant frame from a reset CELT state,
+            # crossfaded over the main output's last 2.5 ms
+            self.celt.reset()
+            red_audio = self._decode_redundant(frame[data_len:], info)
+            out = out.copy()
+            out[-F2_5:] = self._smooth_fade(out[-F2_5:],
+                                            red_audio[F2_5:2 * F2_5])
+        if redundancy and celt_to_silk:
+            out = out.copy()
+            out[:F2_5] = red_audio[:F2_5]
+            out[F2_5:2 * F2_5] = self._smooth_fade(
+                red_audio[F2_5:2 * F2_5], out[F2_5:2 * F2_5])
+
+        if rd.error:
+            raise OpusDecodeError("range decoder error")
+        self.prev_mode = mode
+        self.prev_redundancy = bool(redundancy and not celt_to_silk)
+        return out
+
+    def decode_float(self, packet: bytes) -> np.ndarray:
+        """Decode one packet -> float64 [N, channels] at 48 kHz."""
         info = parse_packet(packet)
-        if info.mode != "silk":
-            raise NotImplementedError(
-                f"opusdec: {info.mode} mode not yet implemented")
-        outs = []
-        for frame in info.frames:
-            if not frame:
-                raise OpusPacketError("empty frame (PLC not supported)")
-            rd = RangeDecoder(frame)
-            outs.append(self._decode_silk_frame(rd, info))
-            if rd.error:
-                raise OpusDecodeError("range decoder error")
+        outs = [self._decode_frame_float(f, info) for f in info.frames]
         self.prev_mode = info.mode
         return np.concatenate(outs, axis=0)
 
+    def decode_int16(self, packet: bytes) -> np.ndarray:
+        """Decode one packet -> int16 [N, channels] at 48 kHz
+        (libopus opus_decode() semantics: FLOAT2INT16 with
+        round-half-even; bit-exact for SILK-only streams)."""
+        pcm = self.decode_float(packet)
+        pcm_soft_clip(pcm, self._softclip_mem)
+        pcm *= 32768.0
+        return np.rint(np.clip(pcm, -32768.0, 32767.0)).astype(np.int16)
+
     def decode(self, packet: bytes) -> np.ndarray:
         """Decode one packet -> float32 [N, channels] in [-1, 1]."""
-        return self.decode_int16(packet).astype(np.float32) / 32768.0
+        return self.decode_float(packet).astype(np.float32)

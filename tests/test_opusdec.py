@@ -199,11 +199,154 @@ def test_fallback_ogg_decode_matches_libopus(monkeypatch):
         ref_rng, ref_pcm[:, 4800:14400], atol=1e-6)
 
 
-def test_fallback_rejects_celt_packets(monkeypatch):
+def test_fallback_ogg_decode_celt_close(monkeypatch):
+    """CELT-mode Ogg stream through the fallback: float path matches
+    libopus decode_float to 1 LSB (float32 vs float64 rounding)."""
     from audio_processor_tpu.io import opus as opus_mod
-    dec = opus_mod._FallbackDecoder.__new__(opus_mod._FallbackDecoder)
-    from audio_processor_tpu.io.opusdec.decoder import OpusDecoder
-    dec._dec = OpusDecoder(1)
-    toc = (31 << 3)  # config 31: CELT FB 20 ms
-    with pytest.raises(opus_mod.OpusError):
-        dec.decode(bytes([toc, 0, 0, 0]))
+    from tests.opus_encoder import opus_head, opus_tags
+    from tests.vorbis_encoder import ogg_page
+
+    pcm = _speechy(_SR, 1)
+    pkts = _encode_mode(pcm, 1, MODE_CELT_ONLY, "FB", 64000)
+    serial = 0x51AC
+    pages = [ogg_page([opus_head(1, 312)], serial, 0, 0, 0x2),
+             ogg_page([opus_tags()], serial, 1, 0, 0x0)]
+    granule = 0
+    for i, p in enumerate(pkts):
+        granule += 960
+        pages.append(ogg_page([p], serial, 2 + i, granule,
+                              0x4 if i == len(pkts) - 1 else 0x0))
+    ogg = b"".join(pages)
+    ref_pcm, _ = opus_mod.decode_opus(ogg)
+    monkeypatch.setattr(opus_mod, "_load", lambda: None)
+    got_pcm, _ = opus_mod.decode_opus(ogg)
+    assert ref_pcm.shape == got_pcm.shape
+    assert np.abs(ref_pcm - got_pcm).max() <= 1.01 / 32768
+
+
+# --------------------------------------------------------------------
+# CELT + hybrid modes (float path: tolerance is 1 int16 LSB, the
+# reference float32 vs this decoder's float64 rounding)
+# --------------------------------------------------------------------
+
+_CELT_BW = {"NB": 1101, "WB": 1103, "SWB": 1104, "FB": 1105}
+MODE_HYBRID = 1001
+MODE_CELT_ONLY = 1002
+OPUS_APPLICATION_AUDIO = 2049
+
+
+def _encode_mode(pcm, channels, mode, bw="FB", bitrate=64000,
+                 frame_ms=20, complexity=10):
+    lib = _lib()
+    err = ctypes.c_int(0)
+    app = OPUS_APPLICATION_AUDIO if mode == MODE_CELT_ONLY \
+        else OPUS_APPLICATION_VOIP
+    enc = ctypes.c_void_p(lib.opus_encoder_create(
+        _SR, channels, app, ctypes.byref(err)))
+    assert err.value == 0
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BITRATE),
+                         ctypes.c_int32(bitrate))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_COMPLEXITY),
+                         ctypes.c_int32(complexity))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BANDWIDTH),
+                         ctypes.c_int32(_CELT_BW[bw]))
+    if mode is not None:
+        lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_FORCE_MODE),
+                             ctypes.c_int32(mode))
+    frame = int(_SR * frame_ms) // 1000
+    pcm = np.asarray(pcm, np.float32).reshape(-1, channels)
+    out = ctypes.create_string_buffer(8000)
+    pkts = []
+    for i in range(len(pcm) // frame):
+        fr = np.ascontiguousarray(pcm[i * frame:(i + 1) * frame])
+        nb = lib.opus_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frame, out, len(out))
+        assert nb > 0
+        pkts.append(out.raw[:nb])
+    lib.opus_encoder_destroy(ctypes.c_void_p(enc.value))
+    return pkts
+
+
+def _transient(n, channels, seed=7):
+    rng = np.random.default_rng(seed)
+    out = rng.standard_normal((n, channels)).astype(np.float32) * 0.02
+    for p in range(0, n, 2400):
+        out[p:p + 120] += rng.standard_normal(
+            (min(120, n - p), channels)).astype(np.float32) * 0.7
+    return np.clip(out, -.99, .99)
+
+
+def _assert_stream_close(pkts, channels, tol=1, mode=None):
+    refs = _ref_decode(pkts, channels)
+    dec = OpusDecoder(channels)
+    if mode is not None:
+        assert any(parse_packet(p).mode == mode for p in pkts)
+    for i, (p, ref) in enumerate(zip(pkts, refs)):
+        mine = dec.decode_int16(p)
+        assert mine.shape == ref.shape, f"packet {i} shape"
+        d = int(np.abs(mine.astype(np.int32)
+                       - ref.astype(np.int32)).max())
+        assert d <= tol, f"packet {i}: max abs diff {d} > {tol}"
+
+
+@pytest.mark.parametrize("bw", ["NB", "WB", "SWB", "FB"])
+def test_celt_bandwidths_close(bw):
+    _assert_stream_close(
+        _encode_mode(_speechy(_SR, 1), 1, MODE_CELT_ONLY, bw, 48000),
+        1, mode="celt")
+
+
+@pytest.mark.parametrize("frame_ms", [2.5, 5, 10, 20])
+def test_celt_frame_sizes_close(frame_ms):
+    _assert_stream_close(
+        _encode_mode(_speechy(_SR, 1), 1, MODE_CELT_ONLY, "FB",
+                     96000, frame_ms), 1, mode="celt")
+
+
+@pytest.mark.parametrize("channels,bitrate", [(1, 64000), (2, 96000)])
+def test_celt_transients_close(channels, bitrate):
+    """Transient frames: short blocks, tf changes, anti-collapse."""
+    _assert_stream_close(
+        _encode_mode(_transient(2 * _SR, channels), channels,
+                     MODE_CELT_ONLY, "FB", bitrate), channels)
+
+
+def test_celt_low_bitrate_folding_close():
+    _assert_stream_close(
+        _encode_mode(_speechy(2 * _SR, 1), 1, MODE_CELT_ONLY, "FB",
+                     12000), 1)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_hybrid_close(channels):
+    _assert_stream_close(
+        _encode_mode(_speechy(2 * _SR, channels), channels,
+                     MODE_HYBRID, "FB", 48000 * channels), channels,
+        mode="hybrid")
+
+
+def test_auto_mode_transitions_close():
+    """Unforced encoder switching modes mid-stream: exercises the
+    redundant-frame crossfades and SILK/CELT state reset rules."""
+    n = 3 * _SR
+    t = np.arange(n) / _SR
+    rng = np.random.default_rng(3)
+    speech = _speechy(n, 1)[:, 0]
+    music = (0.4 * np.sin(2 * np.pi * 880 * t)
+             + 0.3 * np.sin(2 * np.pi * 1320.5 * t)
+             + 0.1 * rng.standard_normal(n))
+    mix = np.where((t > 1.0) & (t < 2.0), music,
+                   speech).astype(np.float32)
+    pkts = _encode_mode(mix, 1, None, "FB", 32000)
+    modes = {parse_packet(p).mode for p in pkts}
+    assert len(modes) >= 2, f"expected mode switches, got {modes}"
+    _assert_stream_close(pkts, 1)
+
+
+def test_softclip_engages_on_hot_signal():
+    """Clipping-level input: the int16 path must reproduce libopus'
+    opus_pcm_soft_clip (nonlinear), not a hard clamp."""
+    pcm = np.clip(_transient(_SR, 1) * 3.0, -0.999, 0.999)
+    pkts = _encode_mode(pcm, 1, MODE_CELT_ONLY, "FB", 96000)
+    _assert_stream_close(pkts, 1)

@@ -90,7 +90,7 @@ def encode_packets(pcm, channels, mode="silk", bw="WB", bitrate=24000,
     rc = lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_FORCE_MODE),
                               ctypes.c_int32(force))
     print(f"force_mode rc={rc}")
-    frame = _SR * frame_ms // 1000
+    frame = int(_SR * frame_ms) // 1000
     pcm = np.asarray(pcm, np.float32).reshape(-1, channels)
     nfr = len(pcm) // frame
     out = ctypes.create_string_buffer(4000)
