@@ -177,17 +177,20 @@ class _Decoder:
 
 class _FallbackDecoder:
     """First-party decoder with the _Decoder interface, used when the
-    system libopus is unavailable (mapping family 0 only).  SILK-mode
-    streams decode bit-exactly vs libopus; see
+    system libopus is unavailable (mapping families 0 and 1).
+    SILK-mode streams decode bit-exactly vs libopus; see
     audio_processor_tpu/io/opusdec/."""
 
     def __init__(self, head: "OpusHead"):
-        if head.mapping_family != 0:
-            raise OpusError(
-                "multistream Opus requires libopus (first-party "
-                "fallback supports mapping family 0)")
-        from audio_processor_tpu.io.opusdec.decoder import OpusDecoder
-        self._dec = OpusDecoder(head.channels)
+        from audio_processor_tpu.io.opusdec.decoder import (
+            OpusDecoder, OpusMSDecoder)
+        if head.mapping_family == 0:
+            self._dec = OpusDecoder(head.channels)
+        else:
+            self._dec = OpusMSDecoder(head.channels,
+                                      head.stream_count,
+                                      head.coupled_count,
+                                      head.mapping)
 
     def decode(self, packet: bytes) -> np.ndarray:
         try:

@@ -251,12 +251,16 @@ class OpusDecoder:
         self.prev_redundancy = bool(redundancy and not celt_to_silk)
         return out
 
-    def decode_float(self, packet: bytes) -> np.ndarray:
-        """Decode one packet -> float64 [N, channels] at 48 kHz."""
-        info = parse_packet(packet)
+    def decode_info_float(self, info: PacketInfo) -> np.ndarray:
+        """Decode an already-parsed packet (multistream sub-packets
+        arrive via self-delimited framing and can't be re-parsed)."""
         outs = [self._decode_frame_float(f, info) for f in info.frames]
         self.prev_mode = info.mode
         return np.concatenate(outs, axis=0)
+
+    def decode_float(self, packet: bytes) -> np.ndarray:
+        """Decode one packet -> float64 [N, channels] at 48 kHz."""
+        return self.decode_info_float(parse_packet(packet))
 
     def decode_int16(self, packet: bytes) -> np.ndarray:
         """Decode one packet -> int16 [N, channels] at 48 kHz
@@ -270,3 +274,66 @@ class OpusDecoder:
     def decode(self, packet: bytes) -> np.ndarray:
         """Decode one packet -> float32 [N, channels] in [-1, 1]."""
         return self.decode_float(packet).astype(np.float32)
+
+
+class OpusMSDecoder:
+    """opus_multistream_decoder equivalent: N elementary streams in
+    one packet (all but the last in RFC 6716 Appendix-B self-delimited
+    framing), mapped to output channels per RFC 7845 §5.1.1."""
+
+    def __init__(self, channels: int, stream_count: int,
+                 coupled_count: int, mapping) -> None:
+        if stream_count < 1 or coupled_count > stream_count:
+            raise OpusDecodeError("invalid stream/coupled counts")
+        self.channels = channels
+        self.coupled_count = coupled_count
+        self.mapping = list(mapping)
+        nout = 2 * coupled_count + (stream_count - coupled_count)
+        if any(m != 255 and m >= nout for m in self.mapping):
+            raise OpusDecodeError("channel mapping index out of range")
+        self.streams = [OpusDecoder(2 if i < coupled_count else 1)
+                        for i in range(stream_count)]
+        self._softclip_mem = [np.zeros(d.channels)
+                              for d in self.streams]
+
+    def _decode_streams(self, packet: bytes):
+        pos = 0
+        outs = []
+        for i, dec in enumerate(self.streams):
+            last = i == len(self.streams) - 1
+            info = parse_packet(packet[pos:], self_delimited=not last)
+            outs.append(dec.decode_info_float(info))
+            pos += info.size
+        n = len(outs[0])
+        if any(len(o) != n for o in outs):
+            raise OpusDecodeError("stream duration mismatch")
+        return outs
+
+    def _map(self, outs) -> np.ndarray:
+        n = len(outs[0])
+        pcm = np.zeros((n, self.channels))
+        for c, m in enumerate(self.mapping):
+            if m == 255:
+                continue
+            if m < 2 * self.coupled_count:
+                pcm[:, c] = outs[m >> 1][:, m & 1]
+            else:
+                pcm[:, c] = outs[self.coupled_count
+                                 + (m - 2 * self.coupled_count)][:, 0]
+        return pcm
+
+    def decode_float(self, packet: bytes) -> np.ndarray:
+        """-> float64 [N, channels]; no soft clip (float API)."""
+        return self._map(self._decode_streams(packet))
+
+    def decode(self, packet: bytes) -> np.ndarray:
+        return self.decode_float(packet).astype(np.float32)
+
+    def decode_int16(self, packet: bytes) -> np.ndarray:
+        """int16 API semantics: soft clip applied per elementary
+        stream (opus_multistream_decode passes soft_clip=1)."""
+        outs = self._decode_streams(packet)
+        for o, mem in zip(outs, self._softclip_mem):
+            pcm_soft_clip(o, mem)
+        pcm = self._map(outs) * 32768.0
+        return np.rint(np.clip(pcm, -32768.0, 32767.0)).astype(np.int16)

@@ -43,6 +43,87 @@ class PacketInfo:
     frame_size: int        # samples per frame at 48 kHz
     stereo: bool
     frames: List[bytes]
+    size: int = 0          # bytes consumed (self-delimited parse)
+
+
+def _parse_self_delimited(data: bytes):
+    """RFC 6716 Appendix B framing (opus_packet_parse_impl with
+    self_delimited=1): one extra length field delimits the final
+    frame; returns (PacketInfo, bytes_consumed incl. padding)."""
+    if len(data) < 1:
+        raise OpusPacketError("empty packet")
+    toc = data[0]
+    config, stereo, code = toc >> 3, bool((toc >> 2) & 1), toc & 3
+    mode, bw, ms = _CONFIG[config]
+    pos = 1
+    length = len(data) - 1
+    pad = 0
+    sizes: List[int] = []
+    cbr = False
+    if code == 0:
+        count = 1
+    elif code == 1:
+        count = 2
+        cbr = True
+    elif code == 2:
+        count = 2
+        n0, pos2 = _frame_len(data, pos)
+        length -= pos2 - pos
+        pos = pos2
+        if n0 > length:
+            raise OpusPacketError("code-2 first frame overruns packet")
+        sizes = [n0]
+    else:
+        if length < 1:
+            raise OpusPacketError("code-3 packet without count byte")
+        ch = data[pos]
+        pos += 1
+        length -= 1
+        count = ch & 0x3F
+        if not 1 <= count <= 48 or count * ms > 120:
+            raise OpusPacketError(f"bad code-3 frame count {count}")
+        if ch & 0x40:
+            while True:
+                if length <= 0:
+                    raise OpusPacketError("truncated padding length")
+                p = data[pos]
+                pos += 1
+                length -= 1
+                tmp = 254 if p == 255 else p
+                length -= tmp
+                pad += tmp
+                if p != 255:
+                    break
+        if length < 0:
+            raise OpusPacketError("padding overruns packet")
+        cbr = not (ch & 0x80)
+        if not cbr:
+            for _ in range(count - 1):
+                n, pos2 = _frame_len(data, pos)
+                length -= pos2 - pos
+                pos = pos2
+                if n > length:
+                    raise OpusPacketError("VBR frame overruns packet")
+                sizes.append(n)
+    # the extra self-delimiting size for the last frame
+    nlast, pos2 = _frame_len(data, pos)
+    length -= pos2 - pos
+    pos = pos2
+    if nlast > length:
+        raise OpusPacketError("self-delimited size overruns packet")
+    if cbr:
+        if nlast * count > length:
+            raise OpusPacketError("CBR frames overrun packet")
+        sizes = [nlast] * (count - 1)
+    if sum(sizes) + nlast > length:
+        raise OpusPacketError("frames overrun packet")
+    sizes.append(nlast)
+    frames = []
+    for n in sizes:
+        frames.append(bytes(data[pos:pos + n]))
+        pos += n
+    return (PacketInfo(mode, bw, ms, int(48 * ms), stereo, frames),
+            pos + pad)
 
 
 def _frame_len(data: bytes, pos: int):
@@ -56,8 +137,18 @@ def _frame_len(data: bytes, pos: int):
     return 4 * data[pos + 1] + b, pos + 2
 
 
-def parse_packet(data: bytes) -> PacketInfo:
-    """RFC 6716 §3.2: packet -> frames."""
+def parse_packet(data: bytes, self_delimited: bool = False
+                 ) -> PacketInfo:
+    """RFC 6716 §3.2: packet -> frames.
+
+    With ``self_delimited`` True, parses the Appendix-B framing used
+    by all but the last stream of a multistream packet (one extra
+    length field delimits the otherwise-implicit final frame); the
+    bytes consumed are recorded in ``PacketInfo.size``."""
+    if self_delimited:
+        info, size = _parse_self_delimited(data)
+        info.size = size
+        return info
     if len(data) < 1:
         raise OpusPacketError("empty packet")
     toc = data[0]

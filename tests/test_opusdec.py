@@ -350,3 +350,69 @@ def test_softclip_engages_on_hot_signal():
     pcm = np.clip(_transient(_SR, 1) * 3.0, -0.999, 0.999)
     pkts = _encode_mode(pcm, 1, MODE_CELT_ONLY, "FB", 96000)
     _assert_stream_close(pkts, 1)
+
+
+def test_multistream_family1_parity():
+    """3-channel family-1 (2 streams: 1 coupled + 1 mono): the
+    first-party OpusMSDecoder parses the Appendix-B self-delimited
+    sub-packets and matches libopus' multistream decoder."""
+    from audio_processor_tpu.io.opusdec.decoder import OpusMSDecoder
+
+    lib = _lib()
+    lib.opus_multistream_encoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_encoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_encode_float.restype = ctypes.c_int32
+    lib.opus_multistream_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int32]
+    lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_decoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_decode.restype = ctypes.c_int
+    lib.opus_multistream_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int]
+
+    channels, streams, coupled = 3, 2, 1
+    mapping = bytes([0, 1, 2])
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(lib.opus_multistream_encoder_create(
+        _SR, channels, streams, coupled, mapping,
+        OPUS_APPLICATION_VOIP, ctypes.byref(err)))
+    assert err.value == 0
+    lib.opus_multistream_encoder_ctl(
+        enc, ctypes.c_int(OPUS_SET_BITRATE), ctypes.c_int32(96000))
+
+    pcm = _speechy(_SR, channels)
+    out = ctypes.create_string_buffer(8000)
+    pkts = []
+    for i in range(len(pcm) // 960):
+        fr = np.ascontiguousarray(pcm[i * 960:(i + 1) * 960])
+        nb = lib.opus_multistream_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            960, out, len(out))
+        assert nb > 0
+        pkts.append(out.raw[:nb])
+    lib.opus_multistream_encoder_destroy(ctypes.c_void_p(enc.value))
+
+    dec = ctypes.c_void_p(lib.opus_multistream_decoder_create(
+        _SR, channels, streams, coupled, mapping, ctypes.byref(err)))
+    assert err.value == 0
+    buf = np.empty(5760 * channels, np.int16)
+    mine = OpusMSDecoder(channels, streams, coupled, list(mapping))
+    for i, p in enumerate(pkts):
+        n = lib.opus_multistream_decode(
+            dec, p, len(p),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            5760, 0)
+        assert n > 0
+        ref = buf[:n * channels].reshape(n, channels).copy()
+        got = mine.decode_int16(p)
+        assert got.shape == ref.shape
+        d = int(np.abs(got.astype(np.int32)
+                       - ref.astype(np.int32)).max())
+        assert d <= 1, f"packet {i}: max diff {d}"
+    lib.opus_multistream_decoder_destroy(ctypes.c_void_p(dec.value))
