@@ -251,10 +251,38 @@ class OpusDecoder:
         self.prev_redundancy = bool(redundancy and not celt_to_silk)
         return out
 
+    def _conceal_frame(self, info: PacketInfo) -> np.ndarray:
+        """DTX / zero-length frame: approximate concealment.
+
+        libopus runs full PLC/CNG here (LPC extrapolation + comfort
+        noise).  This fallback decodes a CELT silence frame instead —
+        which reproduces the MDCT fade-out and keeps the CELT energy
+        state evolving like the reference — and treats the SILK
+        contribution as silence.  Every packet's first SILK/CELT frame
+        is entropy-independent, so subsequent real packets stay
+        bit-synced; only the concealed audio itself (and a short,
+        decaying value tail from carried filter state) differs from
+        libopus."""
+        C = 2 if info.stereo else 1
+        n = info.frame_size
+        if info.mode == "silk":
+            return np.zeros((n, self.channels))
+        self.celt.start = 0 if info.mode == "celt" else 17
+        self.celt.end = END_BAND[info.bandwidth]
+        out = np.zeros((n, self.channels))
+        pos = 0
+        while pos < n:
+            blk = min(n - pos, 960)
+            srd = RangeDecoder(b"\xff\xff")
+            out[pos:pos + blk] = self.celt.decode(2, srd, blk, C).T
+            pos += blk
+        return out
+
     def decode_info_float(self, info: PacketInfo) -> np.ndarray:
         """Decode an already-parsed packet (multistream sub-packets
         arrive via self-delimited framing and can't be re-parsed)."""
-        outs = [self._decode_frame_float(f, info) for f in info.frames]
+        outs = [self._decode_frame_float(f, info) if f
+                else self._conceal_frame(info) for f in info.frames]
         self.prev_mode = info.mode
         return np.concatenate(outs, axis=0)
 

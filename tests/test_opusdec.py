@@ -416,3 +416,50 @@ def test_multistream_family1_parity():
                        - ref.astype(np.int32)).max())
         assert d <= 1, f"packet {i}: max diff {d}"
     lib.opus_multistream_decoder_destroy(ctypes.c_void_p(dec.value))
+
+
+def test_dtx_stream_decodes_and_reconverges():
+    """DTX streams (1-2 byte packets during silence) must decode in
+    the fallback.  Concealment is implementation-defined (RFC 6716
+    §4.4): libopus plays comfort noise, this decoder plays the CELT
+    silence fade / SILK silence — so output may differ during the gap,
+    but every packet keeps its exact duration, pre-gap packets stay
+    bit-exact, and post-gap packets re-converge to bit-exact."""
+    lib = _lib()
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(lib.opus_encoder_create(
+        _SR, 1, OPUS_APPLICATION_VOIP, ctypes.byref(err)))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BITRATE),
+                         ctypes.c_int32(24000))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(4016),  # OPUS_SET_DTX
+                         ctypes.c_int32(1))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_FORCE_MODE),
+                         ctypes.c_int32(MODE_SILK_ONLY))
+    pcm = np.concatenate([
+        _speechy(_SR, 1),
+        np.zeros((3 * _SR // 2, 1), np.float32),
+        _speechy(3 * _SR, 1, seed=9)])
+    out = ctypes.create_string_buffer(8000)
+    pkts = []
+    for i in range(len(pcm) // 960):
+        fr = np.ascontiguousarray(pcm[i * 960:(i + 1) * 960])
+        nb = lib.opus_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            960, out, len(out))
+        assert nb > 0
+        pkts.append(out.raw[:nb])
+    lib.opus_encoder_destroy(ctypes.c_void_p(enc.value))
+
+    sizes = [len(p) for p in pkts]
+    dtx = [i for i, s in enumerate(sizes) if s <= 2]
+    assert dtx, "encoder produced no DTX packets"
+    refs = _ref_decode(pkts, 1)
+    dec = OpusDecoder(1)
+    diffs = []
+    for p, r in zip(pkts, refs):
+        m = dec.decode_int16(p)
+        assert m.shape == r.shape
+        diffs.append(int(np.abs(m.astype(np.int32)
+                                - r.astype(np.int32)).max()))
+    assert max(diffs[:dtx[0]]) <= 1          # pre-gap: exact
+    assert max(diffs[-10:]) <= 1             # re-converged by the end
