@@ -279,7 +279,7 @@ def probe(path: str | Path) -> Optional[AudioInfo]:
                 if out is not None:
                     return out
             return wav_mod.info(p)
-        if p.suffix.lower() == ".ogg":
+        if p.suffix.lower() in (".ogg", ".opus"):
             from audio_processor_tpu.io.ogg import probe_ogg
 
             return probe_ogg(p)

@@ -49,6 +49,9 @@ class AudioFileScanner:
         input_dir = Path(input_dir)
         files = sorted(input_dir.rglob("*.wav"))
         files.extend(sorted(input_dir.rglob("*.ogg")))
+        # beyond-reference: .opus routes through the same Ogg/Opus
+        # decoder chain as .ogg (io/decode.py)
+        files.extend(sorted(input_dir.rglob("*.opus")))
         valid: List[Path] = []
         with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
             for f, ok in zip(files, ex.map(self._validate_file, files)):

@@ -284,3 +284,27 @@ def test_load_audio_range_dispatch(tmp_path, stereo_call):
     x, r = load_audio_range(p, 500, 3000)
     assert r == sr
     np.testing.assert_array_equal(x, full[:, 500:3500])
+
+
+def test_scanner_accepts_opus_extension(tmp_path):
+    """Beyond-reference: .opus files route through the same Ogg/Opus
+    chain as .ogg (scan glob + header probe + decode)."""
+    pytest.importorskip("tests.opus_encoder")
+    from tests.opus_encoder import encoder_available, encode_ogg_opus
+    if not encoder_available():
+        pytest.skip("libopus unavailable")
+    import numpy as np
+    from audio_processor_tpu.io.decode import load_audio, probe
+    from audio_processor_tpu.io.scanner import AudioFileScanner
+
+    t = np.arange(48000) / 48000.0
+    pcm = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 660 * t)], 1).astype(np.float32)
+    path = tmp_path / "call.opus"
+    path.write_bytes(encode_ogg_opus(0.5 * pcm, 2))
+    ai = probe(path)
+    assert ai is not None and ai.num_channels == 2
+    found = AudioFileScanner({}).scan_files_parallel(tmp_path)
+    assert [f.name for f in found] == ["call.opus"]
+    audio, sr = load_audio(path)
+    assert sr == 48000 and audio.shape[0] == 2
