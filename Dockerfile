@@ -4,7 +4,7 @@
 FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        g++ make ffmpeg \
+        g++ make ffmpeg libopus0 \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app

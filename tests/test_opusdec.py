@@ -463,3 +463,37 @@ def test_dtx_stream_decodes_and_reconverges():
                                 - r.astype(np.int32)).max()))
     assert max(diffs[:dtx[0]]) <= 1          # pre-gap: exact
     assert max(diffs[-10:]) <= 1             # re-converged by the end
+
+
+def test_fuzz_corrupt_packets_never_hang_or_crash():
+    """Serving feeds untrusted bytes to the decoder: corrupted and
+    random packets must either decode or raise a clean ValueError
+    subclass — never crash, hang, or return a wrong-shape buffer."""
+    rng = np.random.default_rng(11)
+    pcm = _speechy(_SR // 2, 1)
+    base = (_encode_silk(pcm, 1, bitrate=16000)
+            + _encode_mode(pcm, 1, MODE_CELT_ONLY, "FB", 48000)
+            + _encode_mode(pcm, 1, MODE_HYBRID, "FB", 48000))
+    cases = []
+    for p in base[:60]:
+        b = bytearray(p)
+        k = rng.integers(0, len(b))
+        b[k] ^= 1 << int(rng.integers(0, 8))          # bit flip
+        cases.append(bytes(b))
+        cases.append(bytes(b[:max(1, len(b) // 2)]))  # truncation
+    for n in (1, 2, 3, 7, 50):
+        for _ in range(20):
+            cases.append(rng.integers(0, 256, n,
+                                      dtype=np.uint8).tobytes())
+    dec = OpusDecoder(1)
+    ok = err = 0
+    for c in cases:
+        try:
+            out = dec.decode_int16(c)
+            assert out.ndim == 2 and out.shape[1] == 1
+            assert out.shape[0] <= 5760 * 3  # <= 120 ms longest? 60ms*48k
+            ok += 1
+        except ValueError:
+            err = err + 1
+            dec = OpusDecoder(1)  # fresh state after an error
+    assert ok + err == len(cases)
