@@ -106,19 +106,18 @@ class OpusDecoder:
                            info: PacketInfo) -> np.ndarray:
         fs_khz = SILK_KHZ[info.bandwidth]
         n_internal = 2 if info.stereo else 1
+        api_mono = self.channels == 1 and n_internal == 2
         chans = self.silk.decode(rd, n_internal, fs_khz,
-                                 int(info.frame_ms))
+                                 int(info.frame_ms), api_mono)
         n = len(chans[0])
         out = np.zeros((n, self.channels), np.int16)
         if self.channels == 2 and n_internal == 1:
             col = np.asarray(chans[0], np.int16)
             out[:, 0] = col
             out[:, 1] = col
-        elif self.channels == 1 and n_internal == 2:
-            # dec_API.c mono-API downmix: (L + R) >> 1 per sample
-            mix = (np.asarray(chans[0], np.int32)
-                   + np.asarray(chans[1], np.int32)) >> 1
-            out[:, 0] = mix.astype(np.int16)
+        elif api_mono:
+            # mixed at the internal rate inside SilkDecoder.decode
+            out[:, 0] = np.asarray(chans[0], np.int16)
         else:
             for c in range(n_internal):
                 out[:, c] = np.asarray(chans[c], np.int16)

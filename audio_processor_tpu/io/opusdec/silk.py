@@ -567,9 +567,16 @@ class SilkDecoder:
         self.capture_xq = None  # debug: list to collect 16 kHz frames
 
     def decode(self, rd: RangeDecoder, n_channels: int, fs_khz: int,
-               frame_ms: int) -> List[List[int]]:
+               frame_ms: int, api_mono: bool = False
+               ) -> List[List[int]]:
         """Decode all SILK frames of one Opus frame; returns
-        n_channels lists of 48 kHz samples."""
+        n_channels lists of 48 kHz samples.
+
+        api_mono: stereo frame into a mono API decoder — mix L/R at
+        the internal rate and resample once through channel 0's
+        resampler (dec_API.c's nChannelsAPI==1/nChannelsInternal==2
+        path), which is NOT the same as mixing the two resampled
+        outputs (per-sample rounding inside the resampler)."""
         n_frames = 1 if frame_ms <= 20 else frame_ms // 20
         nb_subfr = 2 if frame_ms == 10 else 4
         if n_channels == 2 and self.n_channels_internal == 1:
@@ -652,17 +659,18 @@ class SilkDecoder:
                 self.capture_xq.append([list(x) for x in xqs])
             # buffering (2-sample prefix), unmix, resample
             if n_channels == 2:
-                x1 = [0, 0] + xqs[0] + [0]
-                x2 = [0, 0] + xqs[1] + [0]
-                # ms_to_lr reads [frame_length:frame_length+2] for the
-                # next state; provide them
                 x1 = [0, 0] + xqs[0]
                 x2 = [0, 0] + xqs[1]
                 self.stereo.ms_to_lr(x1, x2, ms_pred, fs_khz,
                                      frame_length)
-                for n, x in enumerate((x1, x2)):
-                    out[n] += self.channels[n].resampler.process(
-                        x[1:1 + frame_length])
+                if api_mono:
+                    mixed = [(x1[i] + x2[i]) >> 1
+                             for i in range(1, 1 + frame_length)]
+                    out[0] += self.channels[0].resampler.process(mixed)
+                else:
+                    for n, x in enumerate((x1, x2)):
+                        out[n] += self.channels[n].resampler.process(
+                            x[1:1 + frame_length])
             else:
                 x1 = list(self.stereo.s_mid) + xqs[0]
                 self.stereo.s_mid = x1[frame_length:frame_length + 2]

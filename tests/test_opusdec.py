@@ -497,3 +497,36 @@ def test_fuzz_corrupt_packets_never_hang_or_crash():
             err = err + 1
             dec = OpusDecoder(1)  # fresh state after an error
     assert ok + err == len(cases)
+
+
+@pytest.mark.parametrize("pkt_ch,dec_ch,mode,tol", [
+    (1, 2, MODE_SILK_ONLY, 0),   # mono packets, stereo decoder
+    (2, 1, MODE_SILK_ONLY, 0),   # stereo packets, mono downmix
+    (1, 2, MODE_CELT_ONLY, 1),
+    (2, 1, MODE_CELT_ONLY, 1),
+])
+def test_channel_count_adaptation(pkt_ch, dec_ch, mode, tol):
+    """Decoder channel count != packet channel count: duplication,
+    and the internal-rate (pre-resampler) SILK downmix / CELT
+    frequency-domain downmix libopus uses."""
+    pcm = _speechy(_SR, pkt_ch)
+    if mode == MODE_SILK_ONLY:
+        pkts = _encode_silk(pcm, pkt_ch, bitrate=16000 * pkt_ch)
+    else:
+        pkts = _encode_mode(pcm, pkt_ch, mode, "FB", 48000 * pkt_ch)
+    refs = _ref_decode(pkts, dec_ch)
+    dec = OpusDecoder(dec_ch)
+    for i, (p, r) in enumerate(zip(pkts, refs)):
+        m = dec.decode_int16(p)
+        assert m.shape == r.shape
+        d = int(np.abs(m.astype(np.int32) - r.astype(np.int32)).max())
+        assert d <= tol, f"packet {i}: {d} > {tol}"
+
+
+def test_starved_stereo_emits_mono_packets_bit_exact():
+    """A bitrate-starved stereo SILK session drops to mono-TOC
+    packets; the stereo decoder must duplicate them bit-exactly."""
+    pcm = np.repeat(_speechy(2 * _SR, 1), 2, axis=1)
+    pkts = _encode_silk(pcm, 2, bitrate=7000)
+    assert any(not parse_packet(p).stereo for p in pkts)
+    _assert_stream_exact(pkts, 2)
