@@ -20,8 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               data: Optional[int] = None,
-              model: int = 1) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices."""
+              model: int = 1,
+              seq: int = 1) -> Mesh:
+    """Build a ('data', 'seq', 'model') mesh over the available
+    devices.  ``seq`` > 1 enables sequence parallelism: activation
+    time dims shard over 'seq' (make_train_step), with XLA inserting
+    the all-gathers attention/conv need."""
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
@@ -35,11 +39,11 @@ def make_mesh(n_devices: Optional[int] = None,
             "BEFORE the JAX backend initializes.")
     devices = devices[:n_devices]
     if data is None:
-        data = n_devices // model
-    assert data * model == n_devices, \
-        f"mesh {data}x{model} != {n_devices} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        data = n_devices // (model * seq)
+    assert data * model * seq == n_devices, \
+        f"mesh {data}x{seq}x{model} != {n_devices} devices"
+    arr = np.asarray(devices).reshape(data, seq, model)
+    return Mesh(arr, axis_names=("data", "seq", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

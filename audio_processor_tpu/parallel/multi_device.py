@@ -60,7 +60,8 @@ class MultiDeviceManager:
             data = int(shape.get("data", 0)) if shape else 0
             model = int(shape.get("model", 1)) if shape else 1
             n = data * model if data else None
-            mesh = make_mesh(n_devices=n, data=data or None, model=model)
+            mesh = make_mesh(n_devices=n, data=data or None, model=model,
+                             seq=int(shape.get("seq", 1)))
         self.mesh = mesh
         self.num_workers = int(np.prod(mesh.devices.shape))
         logger.info("Multi-device mesh: %s",

@@ -146,7 +146,8 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
         from audio_processor_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=cfg.mesh_shape.get("data"),
-                         model=cfg.mesh_shape.get("model", 1))
+                         model=cfg.mesh_shape.get("model", 1),
+                         seq=cfg.mesh_shape.get("seq", 1))
 
     tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
     state = init_state(params, tx, mesh=mesh, cfg=model_cfg)

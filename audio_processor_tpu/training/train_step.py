@@ -150,8 +150,14 @@ def make_train_step(cfg: w2v.W2VBertConfig,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    data2 = NamedSharding(mesh, P("data", None))
-    data3 = NamedSharding(mesh, P("data", None, None))
+    # Sequence parallelism: when the mesh has a 'seq' axis of size
+    # > 1, activation time dims shard over it as well — elementwise /
+    # norm / projection work splits T-wise and XLA all-gathers where
+    # attention and the depthwise conv need the full sequence.
+    seq = "seq" if mesh.shape.get("seq", 1) > 1 else None
+    data2 = NamedSharding(mesh, P("data", seq))
+    data3 = NamedSharding(mesh, P("data", seq, None))
+    lab2 = NamedSharding(mesh, P("data", None))
     batch_sh = {"features": data3, "feature_mask": data2,
-                "labels": data2, "label_mask": data2}
+                "labels": lab2, "label_mask": lab2}
     return jax.jit(step_fn, in_shardings=(None, batch_sh))

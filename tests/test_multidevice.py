@@ -113,3 +113,79 @@ def test_distributed_helpers_single_host():
     assert owns_call("anything")  # single process owns everything
     files = [f"f{i}" for i in range(5)]
     assert local_file_shard(files) == sorted(files)
+
+
+def test_sequence_parallel_train_step_matches():
+    """dp x sp x tp: sharding activation time dims over 'seq' must not
+    change the loss (XLA inserts the attention/conv all-gathers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.training.train_step import (
+        init_state, make_optimizer, make_train_step)
+
+    cfg = w2v.W2VBertConfig(
+        vocab_size=36, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        conv_depthwise_kernel_size=7,
+        left_max_position_embeddings=8,
+        right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-4)
+    rng = np.random.default_rng(0)
+    B, T, N = 8, 32, 8
+    batch = {
+        "features": rng.standard_normal(
+            (B, T, cfg.feature_projection_input_dim)).astype(np.float32),
+        "feature_mask": np.ones((B, T), np.float32),
+        "labels": rng.integers(1, cfg.vocab_size, (B, N)).astype(np.int32),
+        "label_mask": np.ones((B, N), np.float32),
+    }
+    losses = {}
+    for name, kw in [("dp", dict(model=1)),
+                     ("dp_sp", dict(model=1, seq=2)),
+                     ("dp_sp_tp", dict(model=2, seq=2))]:
+        mesh = make_mesh(n_devices=8, **kw)
+        state = init_state(params, tx, mesh=mesh, cfg=cfg)
+        step = make_train_step(cfg, tx, mesh=mesh, dtype=jnp.float32)
+        with mesh:
+            _, loss = step(state, batch)
+            losses[name] = float(loss)
+    base = losses["dp"]
+    for name, v in losses.items():
+        assert abs(v - base) < 1e-3 * max(1.0, abs(base)), losses
+
+
+def test_pipeline_parallel_forward_equals_plain():
+    """GPipe stages over 'stage' with ppermute == unpipelined forward,
+    including ragged attention masks and uneven microbatch content."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.parallel.pipeline import (
+        make_pipelined_forward)
+
+    cfg = w2v.W2VBertConfig(
+        vocab_size=36, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=128,
+        conv_depthwise_kernel_size=7,
+        left_max_position_embeddings=8,
+        right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(2)
+    B, T = 8, 32
+    feats = rng.standard_normal(
+        (B, T, cfg.feature_projection_input_dim)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    mask[1, 10:] = False
+    mask[6, 25:] = False
+    ref = w2v.forward(params, cfg, feats, mask)
+    for n_stages, n_micro in [(2, 4), (4, 8)]:
+        mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("stage",))
+        fn = make_pipelined_forward(cfg, mesh, n_micro)
+        out = fn(params, feats, mask)
+        err = float(jnp.abs(out - ref).max())
+        assert err < 1e-4, (n_stages, n_micro, err)
