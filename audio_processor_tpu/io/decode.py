@@ -130,11 +130,24 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
         if info is not None and info.encoding == "opus":
             from audio_processor_tpu.io import opus as opus_mod
 
-            try:
-                return opus_mod.decode_opus(p)
-            except Exception as e:
-                logger.warning("in-process opus decode failed for "
-                               "%s (%s); falling back", p, e)
+            # Speed order: libopus (ctypes, in-process) >> ffmpeg
+            # subprocess >> first-party pure-Python (3-5x realtime,
+            # io/opusdec) — the last keeps dependency-free hosts
+            # working but should not silently eat throughput when
+            # ffmpeg exists.
+            if opus_mod.available() or not _ffmpeg_available():
+                try:
+                    if not opus_mod.available():
+                        logger.warning(
+                            "libopus not found: decoding %s with the "
+                            "pure-Python Opus fallback (3-5x realtime)",
+                            p)
+                    return opus_mod.decode_opus(p)
+                except Exception as e:
+                    logger.warning("in-process opus decode failed for "
+                                   "%s (%s); falling back", p, e)
+            elif _ffmpeg_available():
+                return _decode_via_ffmpeg(p)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             out = nat.decode_vorbis(p)
@@ -233,11 +246,12 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         if b"OpusHead" in data[:1024]:
             from audio_processor_tpu.io import opus as opus_mod
 
-            try:
-                return opus_mod.decode_opus(data)
-            except Exception as e:
-                logger.warning("in-process opus decode failed "
-                               "(%s); falling back", e)
+            if opus_mod.available() or not _ffmpeg_available():
+                try:
+                    return opus_mod.decode_opus(data)
+                except Exception as e:
+                    logger.warning("in-process opus decode failed "
+                                   "(%s); falling back", e)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             with tempfile.NamedTemporaryFile(suffix=".ogg") as f:

@@ -193,10 +193,7 @@ class _FallbackDecoder:
                                       head.mapping)
 
     def decode(self, packet: bytes) -> np.ndarray:
-        try:
-            return self._dec.decode(packet)
-        except NotImplementedError as e:
-            raise OpusError(str(e)) from e
+        return self._dec.decode(packet)
 
     def close(self):
         self._dec = None
@@ -208,12 +205,33 @@ def _make_decoder(head: "OpusHead"):
 
 
 def _packet_nb_samples(packet: bytes) -> int:
-    """48 kHz duration of one packet from its TOC byte alone
-    (opus_packet_get_nb_samples equivalent, used when libopus is
-    absent)."""
-    from audio_processor_tpu.io.opusdec.packet import parse_packet
-    info = parse_packet(packet)
-    return info.frame_size * len(info.frames)
+    """48 kHz duration of one packet from the TOC (+ code-3 count
+    byte) alone — opus_packet_get_nb_samples semantics.  Deliberately
+    does NOT validate the framing: multistream packets concatenate
+    several elementary streams after the first TOC, which a full
+    parse would reject even though the duration is well-defined."""
+    if len(packet) < 1:
+        raise OpusError("empty packet")
+    toc = packet[0]
+    config, code = toc >> 3, toc & 3
+    if config < 12:
+        frame_size = (480, 960, 1920, 2880)[config & 3]  # SILK
+
+    elif config < 16:
+        frame_size = (480, 960)[config & 1]       # hybrid: 10/20 ms
+    else:
+        frame_size = 120 << (config & 3)          # CELT: 2.5-20 ms
+    if code == 0:
+        count = 1
+    elif code in (1, 2):
+        count = 2
+    else:
+        if len(packet) < 2:
+            raise OpusError("truncated code-3 packet")
+        count = packet[1] & 0x3F
+        if count < 1:
+            raise OpusError("invalid code-3 frame count")
+    return frame_size * count
 
 
 def _ogg_opus_packets(data: bytes):

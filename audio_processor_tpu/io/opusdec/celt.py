@@ -134,7 +134,6 @@ class CeltDecoder:
         m = 1 << lm
         start, end = self.start, self.end
         eff_end = end
-        nb_e = NB_BANDS
 
         total_bits = data_len * 8
         tell = rd.tell()

@@ -252,8 +252,7 @@ def _compute_qn(n: int, b: int, offset: int, pulse_cap: int,
 
 class BandCtx:
     __slots__ = ("rd", "i", "intensity", "spread", "tf_change",
-                 "remaining_bits", "seed", "disable_inv",
-                 "avoid_split_noise", "theta_round")
+                 "remaining_bits", "seed", "disable_inv")
 
     def __init__(self, rd: RangeDecoder, intensity: int, spread: int,
                  seed: int, disable_inv: bool):
@@ -265,8 +264,6 @@ class BandCtx:
         self.remaining_bits = 0
         self.seed = seed
         self.disable_inv = disable_inv
-        self.avoid_split_noise = False
-        self.theta_round = 0
 
 
 class SplitCtx:
@@ -651,7 +648,6 @@ def quant_all_bands(start: int, end: int, x_full: np.ndarray,
     lowband_offset = 0
     update_lowband = True
     ctx = BandCtx(rd, intensity, spread, seed, disable_inv)
-    ctx.avoid_split_noise = b_blocks > 1
     for i in range(start, end):
         ctx.i = i
         last = i == end - 1
@@ -759,7 +755,6 @@ def quant_all_bands(start: int, end: int, x_full: np.ndarray,
         collapse_masks[i * c + c - 1] = y_cm & 0xFF
         balance += pulses[i] + tell
         update_lowband = b > (n << BITRES)
-        ctx.avoid_split_noise = False
     return ctx.seed
 
 

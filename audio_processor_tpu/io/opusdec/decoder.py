@@ -98,6 +98,7 @@ class OpusDecoder:
         self.silk = SilkDecoder()
         self.celt = CeltDecoder(channels)
         self.prev_mode: Optional[str] = None
+        self.prev_bandwidth: Optional[str] = None
         self.prev_redundancy = False
         self._softclip_mem = np.zeros(channels)
 
@@ -247,6 +248,7 @@ class OpusDecoder:
         if rd.error:
             raise OpusDecodeError("range decoder error")
         self.prev_mode = mode
+        self.prev_bandwidth = info.bandwidth
         self.prev_redundancy = bool(redundancy and not celt_to_silk)
         return out
 
@@ -254,20 +256,27 @@ class OpusDecoder:
         """DTX / zero-length frame: approximate concealment.
 
         libopus runs full PLC/CNG here (LPC extrapolation + comfort
-        noise).  This fallback decodes a CELT silence frame instead —
-        which reproduces the MDCT fade-out and keeps the CELT energy
-        state evolving like the reference — and treats the SILK
-        contribution as silence.  Every packet's first SILK/CELT frame
-        is entropy-independent, so subsequent real packets stay
+        noise) using the PREVIOUS frame's mode (a zero-length frame
+        has no usable TOC, opus_decode_native's data==NULL path).
+        This fallback decodes a CELT silence frame instead — which
+        reproduces the MDCT fade-out and keeps the CELT energy state
+        evolving like the reference — and treats the SILK
+        contribution as silence.  Every packet's first SILK/CELT
+        frame is entropy-independent, so subsequent real packets stay
         bit-synced; only the concealed audio itself (and a short,
         decaying value tail from carried filter state) differs from
         libopus."""
         C = 2 if info.stereo else 1
         n = info.frame_size
-        if info.mode == "silk":
+        mode = self.prev_mode or info.mode
+        bandwidth = self.prev_bandwidth or info.bandwidth
+        if mode == "silk":
             return np.zeros((n, self.channels))
-        self.celt.start = 0 if info.mode == "celt" else 17
-        self.celt.end = END_BAND[info.bandwidth]
+        self.celt.start = 0 if mode == "celt" else 17
+        self.celt.end = END_BAND[bandwidth]
+        if self.celt.end <= self.celt.start:
+            # hybrid conceal with an NB/WB history can't run CELT
+            return np.zeros((n, self.channels))
         out = np.zeros((n, self.channels))
         pos = 0
         while pos < n:
@@ -279,10 +288,17 @@ class OpusDecoder:
 
     def decode_info_float(self, info: PacketInfo) -> np.ndarray:
         """Decode an already-parsed packet (multistream sub-packets
-        arrive via self-delimited framing and can't be re-parsed)."""
-        outs = [self._decode_frame_float(f, info) if f
-                else self._conceal_frame(info) for f in info.frames]
-        self.prev_mode = info.mode
+        arrive via self-delimited framing and can't be re-parsed).
+        _decode_frame_float maintains prev_mode/prev_redundancy;
+        concealed frames keep prev_mode and clear prev_redundancy
+        (opus_decode_frame's PLC path decodes no redundancy)."""
+        outs = []
+        for f in info.frames:
+            if f:
+                outs.append(self._decode_frame_float(f, info))
+            else:
+                outs.append(self._conceal_frame(info))
+                self.prev_redundancy = False
         return np.concatenate(outs, axis=0)
 
     def decode_float(self, packet: bytes) -> np.ndarray:

@@ -59,9 +59,10 @@ class MultiDeviceManager:
             shape = config.get("mesh_shape") or {}
             data = int(shape.get("data", 0)) if shape else 0
             model = int(shape.get("model", 1)) if shape else 1
-            n = data * model if data else None
+            seq = int(shape.get("seq", 1)) if shape else 1
+            n = data * model * seq if data else None
             mesh = make_mesh(n_devices=n, data=data or None, model=model,
-                             seq=int(shape.get("seq", 1)))
+                             seq=seq)
         self.mesh = mesh
         self.num_workers = int(np.prod(mesh.devices.shape))
         logger.info("Multi-device mesh: %s",

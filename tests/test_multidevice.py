@@ -189,3 +189,16 @@ def test_pipeline_parallel_forward_equals_plain():
         out = fn(params, feats, mask)
         err = float(jnp.abs(out - ref).max())
         assert err < 1e-4, (n_stages, n_micro, err)
+
+
+def test_manager_mesh_shape_with_seq_axis():
+    """mesh_shape {'data': D, 'seq': S} sizes the mesh as D*S*model
+    (regression: n omitted the seq factor and tripped make_mesh's
+    divisibility assertion)."""
+    from audio_processor_tpu.parallel.multi_device import (
+        MultiDeviceManager)
+
+    mgr = MultiDeviceManager({"mesh_shape": {"data": 2, "seq": 2,
+                                             "model": 2}})
+    assert dict(zip(mgr.mesh.axis_names, mgr.mesh.devices.shape)) == \
+        {"data": 2, "seq": 2, "model": 2}
