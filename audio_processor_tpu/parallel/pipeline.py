@@ -123,3 +123,40 @@ def make_pipelined_forward(cfg, mesh: Mesh, n_microbatches: int,
                   attention_mask=attention_mask)
 
     return jax.jit(wrapped)
+
+
+def make_pipelined_train_step(cfg, tx, mesh: Mesh, n_microbatches: int,
+                              dtype=jnp.float32):
+    """Pipeline-parallel CTC train step: the loss runs the encoder
+    through pipelined_forward, and jax.grad differentiates straight
+    through the ppermute schedule (collective-permute is linear, so
+    the backward pass is the reverse pipeline — XLA derives it).
+    Losses and gradients match the unpipelined train step; see
+    test_multidevice.
+
+    Production note: GPipe fill-drain keeps S-1 bubbles per M
+    microbatches; choose M >= 4*S to amortize."""
+    import optax
+
+    from audio_processor_tpu.training.train_step import TrainState
+
+    def loss_fn(params, batch):
+        logits = pipelined_forward(
+            params, cfg, batch["features"],
+            batch["feature_mask"].astype(bool), mesh,
+            n_microbatches, dtype=dtype)
+        logit_paddings = 1.0 - batch["feature_mask"].astype(jnp.float32)
+        label_paddings = 1.0 - batch["label_mask"].astype(jnp.float32)
+        per_seq = optax.ctc_loss(logits, logit_paddings,
+                                 batch["labels"], label_paddings,
+                                 blank_id=cfg.pad_token_id)
+        return jnp.mean(per_seq)
+
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step)

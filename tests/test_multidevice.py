@@ -202,3 +202,46 @@ def test_manager_mesh_shape_with_seq_axis():
                                              "model": 2}})
     assert dict(zip(mgr.mesh.axis_names, mgr.mesh.devices.shape)) == \
         {"data": 2, "seq": 2, "model": 2}
+
+
+def test_pipeline_parallel_train_step_matches():
+    """Gradient flows back through the ppermute pipeline: one
+    pipelined train step produces the same loss and (to fp32
+    tolerance) the same parameter update as the plain step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.parallel.pipeline import (
+        make_pipelined_train_step)
+    from audio_processor_tpu.training.train_step import (
+        init_state, make_optimizer, make_train_step)
+
+    cfg = w2v.W2VBertConfig(
+        vocab_size=36, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=128,
+        conv_depthwise_kernel_size=7,
+        left_max_position_embeddings=8,
+        right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-4)
+    rng = np.random.default_rng(0)
+    B, T, N = 8, 32, 8
+    batch = {
+        "features": rng.standard_normal(
+            (B, T, cfg.feature_projection_input_dim)).astype(np.float32),
+        "feature_mask": np.ones((B, T), np.float32),
+        "labels": rng.integers(1, cfg.vocab_size, (B, N)).astype(np.int32),
+        "label_mask": np.ones((B, N), np.float32),
+    }
+    ref_state, ref_loss = make_train_step(cfg, tx, dtype=jnp.float32)(
+        init_state(params, tx), batch)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+    pp_step = make_pipelined_train_step(cfg, tx, mesh, n_microbatches=4)
+    with mesh:
+        pp_state, pp_loss = pp_step(init_state(params, tx), batch)
+    assert abs(float(ref_loss) - float(pp_loss)) < 1e-4
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         ref_state.params, pp_state.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-4
