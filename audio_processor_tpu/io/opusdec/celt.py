@@ -134,6 +134,10 @@ class CeltDecoder:
         m = 1 << lm
         start, end = self.start, self.end
         eff_end = end
+        if C == 1:
+            # celt_decode_with_ec: mono frames predict coarse energy
+            # from the max of both channels' history
+            self.old_e[0] = np.maximum(self.old_e[0], self.old_e[1])
 
         total_bits = data_len * 8
         tell = rd.tell()

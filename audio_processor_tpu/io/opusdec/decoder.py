@@ -107,20 +107,21 @@ class OpusDecoder:
                            info: PacketInfo) -> np.ndarray:
         fs_khz = SILK_KHZ[info.bandwidth]
         n_internal = 2 if info.stereo else 1
-        api_mono = self.channels == 1 and n_internal == 2
         chans = self.silk.decode(rd, n_internal, fs_khz,
-                                 int(info.frame_ms), api_mono)
+                                 int(info.frame_ms), self.channels)
         n = len(chans[0])
         out = np.zeros((n, self.channels), np.int16)
         if self.channels == 2 and n_internal == 1:
-            col = np.asarray(chans[0], np.int16)
-            out[:, 0] = col
-            out[:, 1] = col
-        elif api_mono:
-            # mixed at the internal rate inside SilkDecoder.decode
             out[:, 0] = np.asarray(chans[0], np.int16)
+            # stereo_to_mono transitions return a right channel
+            # continued through channel 1's resampler; otherwise
+            # duplicate (dec_API.c)
+            out[:, 1] = np.asarray(
+                chans[1] if len(chans) > 1 else chans[0], np.int16)
         else:
-            for c in range(n_internal):
+            # mono API from stereo frames is mixed inside
+            # SilkDecoder.decode; matched counts map 1:1
+            for c in range(self.channels):
                 out[:, c] = np.asarray(chans[c], np.int16)
         return out
 
@@ -202,9 +203,10 @@ class OpusDecoder:
         red_audio = None
         if redundancy and celt_to_silk:
             # CELT -> SILK/hybrid: redundant frame continues the old
-            # CELT state, which is then discarded
+            # CELT state (no reset here — opus_decode_frame leaves the
+            # post-redundant state for the hybrid->silk silence fade;
+            # the main-decode rule below resets when appropriate)
             red_audio = self._decode_redundant(frame[data_len:], info)
-            self.celt.reset()
 
         if mode != "silk":
             if mode != self.prev_mode and self.prev_mode is not None \
@@ -263,9 +265,12 @@ class OpusDecoder:
         evolving like the reference — and treats the SILK
         contribution as silence.  Every packet's first SILK/CELT
         frame is entropy-independent, so subsequent real packets stay
-        bit-synced; only the concealed audio itself (and a short,
-        decaying value tail from carried filter state) differs from
-        libopus."""
+        bit-synced.  The concealed audio differs from libopus, and
+        because SILK filter/LTP/resampler state is frozen here while
+        libopus' PLC keeps evolving it, the first packets after a
+        long gap can diverge audibly before the states reconverge
+        (up to ~1 s on voiced content; test_dtx_stream measures a
+        silence-exit case).  Exact parity needs silk_PLC/silk_CNG."""
         C = 2 if info.stereo else 1
         n = info.frame_size
         mode = self.prev_mode or info.mode

@@ -47,16 +47,7 @@ def smlawb(a: int, b: int, c: int) -> int:
     return a + smulwb(b, c)
 
 
-def smulwt(a: int, b: int) -> int:
-    return (a >> 16) * (b >> 16) + (((a & 0xFFFF) * (b >> 16)) >> 16)
 
-
-def smlawt(a: int, b: int, c: int) -> int:
-    return a + smulwt(b, c)
-
-
-def smull(a: int, b: int) -> int:
-    return a * b
 
 
 def smmul(a: int, b: int) -> int:
@@ -91,8 +82,11 @@ def sub_sat32(a: int, b: int) -> int:
 
 
 def lshift_sat32(a: int, shift: int) -> int:
-    return sat32(a << shift) if a >= 0 else \
-        max(I32_MIN, min(I32_MAX, a << shift))
+    """silk_LSHIFT_SAT32: clamp to (INT32_MIN>>shift, INT32_MAX>>shift)
+    BEFORE shifting, so positive saturation is (INT32_MAX>>shift)<<shift
+    (e.g. 0x7FFFFFF0 for shift 4), exactly as libopus."""
+    a = max(I32_MIN >> shift, min(I32_MAX >> shift, a))
+    return a << shift
 
 
 def add32_ovflw(a: int, b: int) -> int:
@@ -127,8 +121,6 @@ def div32_16(a: int, b: int) -> int:
     q = abs(a) // abs(b)
     return -q if (a < 0) != (b < 0) else q
 
-
-silk_div = div32_16
 
 
 def inverse32_varQ(b32: int, qres: int) -> int:
@@ -181,24 +173,6 @@ def log2lin(in_log_q7: int) -> int:
     return out
 
 
-def ror32(a: int, rot: int) -> int:
-    """Rotate a 32-bit word right by rot (left for negative rot)."""
-    u = a & _M32
-    r = rot & 31 if rot >= 0 else -((-rot) & 31)
-    if r == 0:
-        return wrap32(u)
-    if r < 0:
-        return wrap32(((u << -r) | (u >> (32 + r))) & _M32)
-    return wrap32(((u >> r) | (u << (32 - r))) & _M32)
-
-
-def lin2log(in_lin: int) -> int:
-    """silk_lin2log: 128 * log2(x)."""
-    lz = clz32(in_lin)
-    frac_q7 = ror32(in_lin, 24 - lz) & 0x7F
-    return smlawb(frac_q7, smulbb(frac_q7, 128 - frac_q7), 179) \
-        + ((31 - lz) << 7)
-
 
 def bwexpander_32(ar: list, d: int, chirp_q16: int) -> None:
     """silk_bwexpander_32 (in-place on Q-anything int32 coefs)."""
@@ -209,10 +183,3 @@ def bwexpander_32(ar: list, d: int, chirp_q16: int) -> None:
     ar[d - 1] = smulww(chirp_q16, ar[d - 1])
 
 
-def bwexpander(ar: list, d: int, chirp_q16: int) -> None:
-    """silk_bwexpander (int16 coefs)."""
-    chirp_minus_one_q16 = chirp_q16 - 65536
-    for i in range(d - 1):
-        ar[i] = rshift_round(chirp_q16 * ar[i], 16)
-        chirp_q16 += rshift_round(chirp_q16 * chirp_minus_one_q16, 16)
-    ar[d - 1] = rshift_round(chirp_q16 * ar[d - 1], 16)

@@ -158,16 +158,22 @@ def parse_packet(data: bytes, self_delimited: bool = False
     body = data[1:]
 
     if code == 0:
+        if len(body) > 1275:
+            raise OpusPacketError("frame exceeds 1275 bytes")
         frames = [bytes(body)]
     elif code == 1:
         if len(body) % 2:
             raise OpusPacketError("code-1 packet with odd payload")
         h = len(body) // 2
+        if h > 1275:
+            raise OpusPacketError("frame exceeds 1275 bytes")
         frames = [bytes(body[:h]), bytes(body[h:])]
     elif code == 2:
         n1, pos = _frame_len(data, 1)
         if n1 > len(data) - pos:
             raise OpusPacketError("code-2 first frame overruns packet")
+        if len(data) - pos - n1 > 1275:
+            raise OpusPacketError("frame exceeds 1275 bytes")
         frames = [bytes(data[pos:pos + n1]), bytes(data[pos + n1:])]
     else:
         if len(body) < 1:
@@ -201,6 +207,8 @@ def parse_packet(data: bytes, self_delimited: bool = False
             total = sum(lens)
             if total > end - pos:
                 raise OpusPacketError("VBR frames overrun packet")
+            if end - pos - total > 1275:
+                raise OpusPacketError("frame exceeds 1275 bytes")
             frames = []
             for n in lens:
                 frames.append(bytes(data[pos:pos + n]))
@@ -211,6 +219,8 @@ def parse_packet(data: bytes, self_delimited: bool = False
             if avail % count:
                 raise OpusPacketError("CBR payload not divisible")
             n = avail // count
+            if n > 1275:
+                raise OpusPacketError("frame exceeds 1275 bytes")
             frames = [bytes(data[pos + i * n:pos + (i + 1) * n])
                       for i in range(count)]
     return PacketInfo(mode, bw, ms, frame_size, stereo, frames)

@@ -16,7 +16,7 @@ from audio_processor_tpu.io.opusdec import _tables as T
 from audio_processor_tpu.io.opusdec.fixp import (
     add_sat32, div32_16, div32_varQ, inverse32_varQ, log2lin,
     lshift_sat32, rshift_round, sat16, silk_rand, smlabb, smlawb,
-    smulbb, smulwb, smulww, to_i16, wrap32)
+    smulbb, smulwb, smulww, wrap32)
 from audio_processor_tpu.io.opusdec.rangedec import RangeDecoder
 from audio_processor_tpu.io.opusdec.silk_nlsf import (CB_NB_MB, CB_WB,
                                                       nlsf_decode,
@@ -567,25 +567,49 @@ class SilkDecoder:
         self.capture_xq = None  # debug: list to collect 16 kHz frames
 
     def decode(self, rd: RangeDecoder, n_channels: int, fs_khz: int,
-               frame_ms: int, api_mono: bool = False
+               frame_ms: int, api_channels: int = 0
                ) -> List[List[int]]:
-        """Decode all SILK frames of one Opus frame; returns
-        n_channels lists of 48 kHz samples.
+        """Decode all SILK frames of one Opus frame; returns the
+        output channels of 48 kHz samples (api_channels of them when
+        channel adaptation applies, else n_channels).
 
-        api_mono: stereo frame into a mono API decoder — mix L/R at
-        the internal rate and resample once through channel 0's
-        resampler (dec_API.c's nChannelsAPI==1/nChannelsInternal==2
-        path), which is NOT the same as mixing the two resampled
-        outputs (per-sample rounding inside the resampler)."""
+        Channel-count adaptation follows dec_API.c exactly:
+        - stereo frame, mono API: mix L/R at the internal rate and
+          resample once through channel 0's resampler (NOT the same
+          as mixing the two resampled outputs — per-sample rounding
+          inside the resampler).
+        - mono -> stereo transition (stereo API): reset the stereo
+          prediction/side history and copy channel 0's resampler
+          state into channel 1.
+        - stereo -> mono transition at the same internal rate
+          (stereo API): the first mono frame's right channel is the
+          mono signal resampled through channel 1's (right-history)
+          resampler; afterwards plain duplication (handled by the
+          caller)."""
+        api_channels = api_channels or n_channels
+        api_mono = api_channels == 1 and n_channels == 2
         n_frames = 1 if frame_ms <= 20 else frame_ms // 20
         nb_subfr = 2 if frame_ms == 10 else 4
-        if n_channels == 2 and self.n_channels_internal == 1:
+        prev_internal = self.n_channels_internal
+        stereo_to_mono = (n_channels == 1 and prev_internal == 2
+                          and fs_khz == self.channels[0].fs_khz)
+        if n_channels == 2 and prev_internal < 2:
             self.channels[1] = ChannelState()  # fresh side state
         self.n_channels_internal = n_channels
         for n in range(n_channels):
             ch = self.channels[n]
             ch.set_fs(fs_khz, nb_subfr)
             ch.n_frames_decoded = 0
+        if api_channels == 2 and n_channels == 2 and prev_internal == 1:
+            # dec_API.c mono -> stereo: reset stereo prediction/side
+            # history, continue the right channel from the left's
+            # resampler state
+            import copy as _copy
+
+            self.stereo.pred_prev_q13 = [0, 0]
+            self.stereo.s_side = [0, 0]
+            self.channels[1].resampler = _copy.deepcopy(
+                self.channels[0].resampler)
         # VAD + LBRR flags
         for n in range(n_channels):
             ch = self.channels[n]
@@ -674,7 +698,16 @@ class SilkDecoder:
             else:
                 x1 = list(self.stereo.s_mid) + xqs[0]
                 self.stereo.s_mid = x1[frame_length:frame_length + 2]
-                out[0] += self.channels[0].resampler.process(
+                left = self.channels[0].resampler.process(
                     x1[1:1 + frame_length])
+                out[0] += left
+                if stereo_to_mono:
+                    # first mono frame after internal stereo: right
+                    # channel continues through channel 1's resampler
+                    if i == 0:
+                        out.append(self.channels[1].resampler.process(
+                            x1[1:1 + frame_length]))
+                    else:
+                        out[1] += left
             self.prev_decode_only_middle = decode_only_middle
         return out

@@ -530,3 +530,49 @@ def test_starved_stereo_emits_mono_packets_bit_exact():
     pkts = _encode_silk(pcm, 2, bitrate=7000)
     assert any(not parse_packet(p).stereo for p in pkts)
     _assert_stream_exact(pkts, 2)
+
+
+OPUS_SET_FORCE_CHANNELS = 4022
+
+
+@pytest.mark.parametrize("mode,tol", [(MODE_SILK_ONLY, 0),
+                                      (MODE_CELT_ONLY, 1)])
+def test_mid_stream_channel_switching(mode, tol):
+    """OPUS_SET_FORCE_CHANNELS toggled mid-stream: mono->stereo resets
+    the stereo prediction/side history and continues the right channel
+    from the left's resampler state; stereo->mono runs the first mono
+    frame's right channel through channel 1's resampler; mono CELT
+    frames merge both channels' energy history (all dec_API.c /
+    celt_decode_with_ec semantics)."""
+    lib = _lib()
+    err = ctypes.c_int(0)
+    app = 2049 if mode == MODE_CELT_ONLY else OPUS_APPLICATION_VOIP
+    enc = ctypes.c_void_p(lib.opus_encoder_create(
+        _SR, 2, app, ctypes.byref(err)))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BITRATE),
+                         ctypes.c_int32(48000))
+    if mode == MODE_SILK_ONLY:
+        # pin WB: unconstrained 48 kb/s drifts to FB = hybrid packets
+        lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BANDWIDTH),
+                             ctypes.c_int32(_BW["WB"]))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_FORCE_MODE),
+                         ctypes.c_int32(mode))
+    # headroom keeps decoded peaks under +-1.0 so the (float) soft
+    # clip never engages and the SILK case stays bit-exact
+    pcm = 0.6 * _speechy(3 * _SR, 2)
+    out = ctypes.create_string_buffer(4000)
+    pkts = []
+    for i in range(len(pcm) // 960):
+        for tgt, at in [(1, 40), (2, 80), (1, 120)]:
+            if i == at:
+                lib.opus_encoder_ctl(
+                    enc, ctypes.c_int(OPUS_SET_FORCE_CHANNELS),
+                    ctypes.c_int32(tgt))
+        fr = np.ascontiguousarray(pcm[i * 960:(i + 1) * 960])
+        nb = lib.opus_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            960, out, len(out))
+        pkts.append(out.raw[:nb])
+    lib.opus_encoder_destroy(ctypes.c_void_p(enc.value))
+    assert len({parse_packet(p).stereo for p in pkts}) == 2
+    _assert_stream_close(pkts, 2, tol=tol)
