@@ -275,13 +275,21 @@ class OpusDecoder:
         n = info.frame_size
         mode = self.prev_mode or info.mode
         bandwidth = self.prev_bandwidth or info.bandwidth
+        silk_part = None
+        if mode in ("silk", "hybrid"):
+            chans = self.silk.conceal(n, self.channels)
+            silk_part = np.zeros((n, self.channels))
+            for c in range(self.channels):
+                col = chans[c if c < len(chans) else 0]
+                silk_part[:, c] = np.asarray(col, np.float64) / 32768.0
         if mode == "silk":
-            return np.zeros((n, self.channels))
+            return silk_part
         self.celt.start = 0 if mode == "celt" else 17
         self.celt.end = END_BAND[bandwidth]
         if self.celt.end <= self.celt.start:
             # hybrid conceal with an NB/WB history can't run CELT
-            return np.zeros((n, self.channels))
+            return silk_part if silk_part is not None \
+                else np.zeros((n, self.channels))
         out = np.zeros((n, self.channels))
         pos = 0
         while pos < n:
@@ -289,6 +297,8 @@ class OpusDecoder:
             srd = RangeDecoder(b"\xff\xff")
             out[pos:pos + blk] = self.celt.decode(2, srd, blk, C).T
             pos += blk
+        if silk_part is not None:
+            out = out + silk_part
         return out
 
     def decode_info_float(self, info: PacketInfo) -> np.ndarray:

@@ -183,3 +183,67 @@ def bwexpander_32(ar: list, d: int, chirp_q16: int) -> None:
     ar[d - 1] = smulww(chirp_q16, ar[d - 1])
 
 
+
+def smultt(a: int, b: int) -> int:
+    return (a >> 16) * (b >> 16)
+
+
+def add_sat16(a: int, b: int) -> int:
+    return sat16(a + b)
+
+
+def ror32(a: int, rot: int) -> int:
+    """Rotate a 32-bit word right by rot (left for negative rot)."""
+    u = a & _M32
+    if rot == 0:
+        return wrap32(u)
+    if rot < 0:
+        m = (-rot) & 31
+        return wrap32(((u << m) | (u >> (32 - m))) & _M32)
+    m = rot & 31
+    return wrap32(((u >> m) | (u << (32 - m))) & _M32)
+
+
+def sqrt_approx(x: int) -> int:
+    """silk_SQRT_APPROX (fixed-point sqrt, ~10 bits accuracy)."""
+    if x <= 0:
+        return 0
+    lz = clz32(x)
+    frac_q7 = ror32(x, 24 - lz) & 0x7F
+    y = 32768 if (lz & 1) else 46214
+    y >>= lz >> 1
+    return smlawb(y, y, smulbb(213, frac_q7))
+
+
+def bwexpander(ar: list, d: int, chirp_q16: int) -> None:
+    """silk_bwexpander (int16 coefs, in place)."""
+    chirp_minus_one_q16 = chirp_q16 - 65536
+    for i in range(d - 1):
+        ar[i] = rshift_round(chirp_q16 * ar[i], 16)
+        chirp_q16 += rshift_round(chirp_q16 * chirp_minus_one_q16, 16)
+    ar[d - 1] = rshift_round(chirp_q16 * ar[d - 1], 16)
+
+
+def sum_sqr_shift(x: list) -> tuple:
+    """silk_sum_sqr_shift -> (energy, shift): energy of an int16
+    vector right-shifted to fit int32 with headroom."""
+    length = len(x)
+    shft = 31 - clz32(length)
+    nrg = length
+    i = 0
+    while i < length - 1:
+        nrg_tmp = x[i] * x[i] + x[i + 1] * x[i + 1]
+        nrg = wrap32(nrg + (nrg_tmp >> shft))
+        i += 2
+    if i < length:
+        nrg = wrap32(nrg + ((x[i] * x[i]) >> shft))
+    shft = max(0, shft + 3 - clz32(nrg))
+    nrg = 0
+    i = 0
+    while i < length - 1:
+        nrg_tmp = x[i] * x[i] + x[i + 1] * x[i + 1]
+        nrg = wrap32(nrg + (nrg_tmp >> shft))
+        i += 2
+    if i < length:
+        nrg = wrap32(nrg + ((x[i] * x[i]) >> shft))
+    return nrg, shft

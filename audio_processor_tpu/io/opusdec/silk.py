@@ -18,6 +18,9 @@ from audio_processor_tpu.io.opusdec.fixp import (
     lshift_sat32, rshift_round, sat16, silk_rand, smlabb, smlawb,
     smulbb, smulwb, smulww, wrap32)
 from audio_processor_tpu.io.opusdec.rangedec import RangeDecoder
+from audio_processor_tpu.io.opusdec.silk_plc import (CNGState, PLCState,
+                                                     cng, glue_frames,
+                                                     plc)
 from audio_processor_tpu.io.opusdec.silk_nlsf import (CB_NB_MB, CB_WB,
                                                       nlsf_decode,
                                                       nlsf_unpack,
@@ -197,6 +200,10 @@ class ChannelState:
         self.lbrr_flag = 0
         self.lbrr_flags = [0, 0, 0]
         self.resampler: Optional[SilkResampler] = None
+        self.plc = PLCState()
+        self.cng = CNGState()
+        self.loss_cnt = 0
+        self.exc_q14 = [0] * 320
         # last decoded indices (shared between decode stages)
         self.ind = {}
 
@@ -358,6 +365,7 @@ class ChannelState:
                 v = -v
             exc_q14[i] = v
             rand_seed = wrap32(rand_seed + pulses[i])
+        self.exc_q14 = exc_q14
 
         xq = [0] * L
         sltp = [0] * self.ltp_mem_length
@@ -475,14 +483,36 @@ class ChannelState:
                                self.frame_length)
         ctrl = self.decode_parameters(cond)
         xq = self.decode_core(ctrl, pulses)
+        plc(self, ctrl, xq, lost=False)   # update PLC estimators
+        self.loss_cnt = 0
         self.prev_signal_type = self.ind["signal_type"]
         self.first_frame_after_reset = False
+        self._finish_frame(ctrl, xq)
+        return xq
+
+    def conceal_frame(self) -> List[int]:
+        """silk_decode_frame with FLAG_PACKET_LOST: LPC/LTP
+        extrapolation + comfort noise (silk_plc.py)."""
+        self.ind["signal_type"] = self.prev_signal_type
+        ctrl = {"pitch_l": [0] * MAX_NB_SUBFR}
+        xq = [0] * self.frame_length
+        plc(self, ctrl, xq, lost=True)    # conceal; increments loss_cnt
+        self._finish_frame(ctrl, xq)
+        return xq
+
+    def _finish_frame(self, ctrl: dict, xq: List[int]) -> None:
+        """Shared tail of silk_decode_frame: CNG estimation/
+        injection, PLC frame gluing, THEN the output-buffer update —
+        outBuf holds the frame as heard (incl. comfort noise and the
+        post-loss fade), which the next voiced frame's LTP
+        rewhitening reads."""
         mv_len = self.ltp_mem_length - self.frame_length
         self.out_buf[:mv_len] = self.out_buf[self.frame_length:
                                              self.ltp_mem_length]
         self.out_buf[mv_len:self.ltp_mem_length] = xq
+        cng(self, ctrl, xq)
+        glue_frames(self, xq)
         self.lag_prev = ctrl["pitch_l"][self.nb_subfr - 1]
-        return xq
 
 
 # --------------------------------------------------------------------
@@ -565,6 +595,54 @@ class SilkDecoder:
         self.n_channels_internal = 0
         self.prev_decode_only_middle = 0
         self.capture_xq = None  # debug: list to collect 16 kHz frames
+
+    def conceal(self, n_samples_48k: int, api_channels: int
+                ) -> List[List[int]]:
+        """silk_Decode with FLAG_PACKET_LOST: extrapolate enough
+        internal frames (at the last-configured rate/duration) to
+        cover ``n_samples_48k`` output samples; same channel-count
+        adaptation as decode()."""
+        n_channels = max(1, self.n_channels_internal)
+        ch0 = self.channels[0]
+        if ch0.fs_khz == 0:
+            # never decoded anything: true silence
+            return [[0] * n_samples_48k
+                    for _ in range(min(api_channels, 2))]
+        frame_length = ch0.frame_length
+        fs_khz = ch0.fs_khz
+        api_mono = api_channels == 1 and n_channels == 2
+        n_out = 1 if api_mono else n_channels
+        out: List[List[int]] = [[] for _ in range(n_out)]
+        produced = 0
+        while produced < n_samples_48k:
+            xqs = []
+            for n in range(n_channels):
+                ch = self.channels[n]
+                if n == 0 or not self.prev_decode_only_middle:
+                    xqs.append(ch.conceal_frame())
+                else:
+                    xqs.append([0] * frame_length)
+            if n_channels == 2:
+                x1 = [0, 0] + xqs[0]
+                x2 = [0, 0] + xqs[1]
+                self.stereo.ms_to_lr(x1, x2, self.stereo.pred_prev_q13,
+                                     fs_khz, frame_length)
+                if api_mono:
+                    mixed = [(x1[i] + x2[i]) >> 1
+                             for i in range(1, 1 + frame_length)]
+                    out[0] += self.channels[0].resampler.process(mixed)
+                else:
+                    for n, x in enumerate((x1, x2)):
+                        out[n] += self.channels[n].resampler.process(
+                            x[1:1 + frame_length])
+            else:
+                x1 = list(self.stereo.s_mid) + xqs[0]
+                self.stereo.s_mid = x1[frame_length:frame_length + 2]
+                out[0] += self.channels[0].resampler.process(
+                    x1[1:1 + frame_length])
+            produced += frame_length * 48 // fs_khz
+        self.prev_decode_only_middle = 0
+        return [o[:n_samples_48k] for o in out]
 
     def decode(self, rd: RangeDecoder, n_channels: int, fs_khz: int,
                frame_ms: int, api_channels: int = 0

@@ -419,12 +419,12 @@ def test_multistream_family1_parity():
 
 
 def test_dtx_stream_decodes_and_reconverges():
-    """DTX streams (1-2 byte packets during silence) must decode in
-    the fallback.  Concealment is implementation-defined (RFC 6716
-    §4.4): libopus plays comfort noise, this decoder plays the CELT
-    silence fade / SILK silence — so output may differ during the gap,
-    but every packet keeps its exact duration, pre-gap packets stay
-    bit-exact, and post-gap packets re-converge to bit-exact."""
+    """DTX streams (1-2 byte packets during silence): the fallback
+    runs the ported silk_PLC/silk_CNG, so concealed SILK frames are
+    BIT-EXACT with libopus through the gap (comfort noise included).
+    The first good frames after a gap retain one small, decaying
+    divergence (an as-yet-unidentified post-loss state interaction in
+    libopus; bounded, gone within ~0.5 s) — asserted to reconverge."""
     lib = _lib()
     err = ctypes.c_int(0)
     enc = ctypes.c_void_p(lib.opus_encoder_create(
@@ -462,6 +462,11 @@ def test_dtx_stream_decodes_and_reconverges():
         diffs.append(int(np.abs(m.astype(np.int32)
                                 - r.astype(np.int32)).max()))
     assert max(diffs[:dtx[0]]) <= 1          # pre-gap: exact
+    in_gap = [diffs[i] for i in dtx]
+    # concealment itself is bit-exact; the <=2 headroom covers gaps
+    # that contain CNG-refresh packets (their post-loss residual
+    # carries into the following concealed frames)
+    assert max(in_gap) <= 2
     assert max(diffs[-10:]) <= 1             # re-converged by the end
 
 
