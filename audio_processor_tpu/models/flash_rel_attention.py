@@ -151,10 +151,91 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, kvmask_ref,
         o_ref[0, 0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
+def _kernel_onepass(q_ref, k_ref, v_ref, e_ref, kvmask_ref, o_ref, *,
+                    sm_scale: float, seq_len: int, left: int,
+                    right: int, num_buckets: int, qb: int):
+    """Single-kv-pass variant: each program owns a [qb, L] score tile.
+
+    At this pipeline's bucket lengths (L <= 1280) a whole score row
+    fits in VMEM, so the online-softmax m/l/alpha recurrence of the
+    streaming kernel — measured at ~3.2 ms/layer of pure VPU work at
+    production geometry (tools/profile_kernel_parts.py) — buys
+    nothing: one plain row softmax replaces five rescale rounds.
+    The q axis is tiled instead (embarrassingly parallel, no
+    cross-tile state), which also deletes the m/l/acc/distance-grid
+    scratch buffers; the rolled rel-table build and the ones-lane
+    rowsum trick are unchanged.
+    """
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]                                   # [qb, d]
+    k = k_ref[0, 0]                                   # [L, d]
+    v = v_ref[0, 0]                                   # [L, d]
+    L = seq_len
+
+    # Bucket logits + wrapped rolled table, as in the streaming
+    # kernel, but per q tile: rows are offset by qi*qb globally.
+    srel = jax.lax.dot_general(
+        q, e_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [qb, 128]
+    u = jnp.concatenate([srel, jnp.zeros_like(srel)], axis=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + qi * qb
+    amount = (rows - left) & (W - 1)                  # (gl - left) mod W
+    bit = 1
+    while bit < W:
+        rolled = pltpu.roll(u, bit, axis=1)
+        u = jnp.where((amount & bit) != 0, rolled, u)
+        bit *= 2
+    # u[l, c] = srel[l, (c - (qi*qb + l) + left) mod W]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [qb, L]
+
+    # Relative bias: in-band from the rolled table (tiled mod W —
+    # only one wrap image per row can be in-band since the band is
+    # narrower than W), saturated rows from the boundary columns.
+    d_grid = (jax.lax.broadcasted_iota(jnp.int32, (qb, L), 1)
+              - jax.lax.broadcasted_iota(jnp.int32, (qb, L), 0)
+              - qi * qb)                              # m - gl
+    lo = jnp.broadcast_to(srel[:, :1], (qb, 128))
+    hi = jnp.broadcast_to(srel[:, num_buckets - 1:num_buckets],
+                          (qb, 128))
+    rel = jnp.where(d_grid < -left, jnp.tile(lo, (1, L // 128)),
+                    jnp.where(d_grid > right,
+                              jnp.tile(hi, (1, L // 128)),
+                              jnp.tile(u, (1, L // W))))
+    s = (s + rel) * sm_scale
+    kv_mask = kvmask_ref[0, 0]                        # [L] {0,1}
+    s = s + (kv_mask[None, :] - 1.0) * 1e9
+
+    # Plain row softmax — no running max/denominator.
+    m = jnp.max(s, axis=1)[:, None]                   # [qb, 1]
+    p = jnp.exp(s - jnp.tile(jnp.broadcast_to(m, (qb, 128)),
+                             (1, L // 128)))
+    d = v.shape[1]
+    v1 = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 128 - d), v.dtype)], axis=1)
+    pv = jax.lax.dot(p.astype(v.dtype), v1,
+                     preferred_element_type=jnp.float32)  # [qb, 128]
+    denom = jnp.maximum(pv[:, d:], 1e-37)             # [qb, 64]
+    o_ref[0, 0] = (pv[:, :d] / denom).astype(o_ref.dtype)
+
+
+def _onepass_q_tile(L: int) -> int:
+    """Largest power-of-two q tile keeping the fp32 score tile <=4 MB
+    (peak VMEM stays well under budget with the bf16 prob copy and
+    Mosaic's input double-buffering on top)."""
+    qb = L
+    while qb > 128 and qb * L * 4 > (4 << 20):
+        qb //= 2
+    return qb
+
+
 def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         E: jnp.ndarray, kv_mask: jnp.ndarray,
                         sm_scale: float, left: int, num_buckets: int,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        variant: str = "auto") -> jnp.ndarray:
     """softmax((qk^T + rel(q, E)) * sm_scale + mask) @ v.
 
     q/k/v: [B, H, L, d]; E: [P, d] distance-embedding table
@@ -164,6 +245,13 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dot stays one 128-lane tile. The bucket logits q·E are computed
     inside the kernel (fp32 accumulation), so no [B, H, L, P] tensor
     ever exists in HBM.
+
+    variant: "onepass" tiles the q axis and does a plain row softmax
+    in one kv pass (no online-softmax recurrence — the fastest choice
+    whenever a [qb, L] fp32 score tile fits VMEM, i.e. every bucket
+    this pipeline uses); "stream" is the kv-streaming online-softmax
+    kernel for arbitrary L; "auto" currently resolves to stream until
+    onepass is chip-verified (see dispatch comment).
     """
     B, H, L, d = q.shape
     assert L % KB == 0, f"L={L} must be a multiple of {KB}"
@@ -172,6 +260,37 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert E.shape[0] == num_buckets and E.shape[1] == d, E.shape
     E_pad = jnp.pad(E.astype(q.dtype), ((0, 128 - num_buckets), (0, 0)))
     right = num_buckets - 1 - left
+    if variant == "auto":
+        # onepass is the strictly-lighter formulation for every bucket
+        # this pipeline uses, but stays opt-in until its Mosaic
+        # lowering + VMEM fit are verified on the real chip
+        # (tools/ab_attn_variant.py) — flip after measurement.
+        variant = "stream"
+
+    if variant == "onepass":
+        qb = _onepass_q_tile(L)
+        kernel = functools.partial(
+            _kernel_onepass, sm_scale=float(sm_scale), seq_len=L,
+            left=left, right=right, num_buckets=num_buckets, qb=qb)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, H, L // qb),
+            in_specs=[
+                pl.BlockSpec((1, 1, qb, d), lambda b, h, qi: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, L, d), lambda b, h, qi: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, L, d), lambda b, h, qi: (b, h, 0, 0)),
+                pl.BlockSpec((128, d), lambda b, h, qi: (0, 0)),
+                pl.BlockSpec((1, 1, L), lambda b, h, qi: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, qb, d), lambda b, h, qi:
+                                   (b, h, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+            interpret=interpret,
+        )(q, k, v, E_pad, kv_mask[:, None, :])
+
+    assert variant == "stream", variant
     nk = L // KB
     grid = (B, H, nk)
 

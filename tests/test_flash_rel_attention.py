@@ -25,17 +25,18 @@ def dense_reference(q, k, v, E, kv_mask, scale):
     return np.einsum("bhlm,bhmd->bhld", p, v)
 
 
-def run_kernel(q, k, v, E, kv_mask, scale):
+def run_kernel(q, k, v, E, kv_mask, scale, variant="auto"):
     import jax.numpy as jnp
 
     return np.asarray(flash_rel_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
         jnp.asarray(E), jnp.asarray(kv_mask),
-        scale, LEFT, P, interpret=True))
+        scale, LEFT, P, interpret=True, variant=variant))
 
 
+@pytest.mark.parametrize("variant", ["stream", "onepass"])
 @pytest.mark.parametrize("L", [256, 512, 768])
-def test_kernel_matches_dense(rng, L):
+def test_kernel_matches_dense(rng, L, variant):
     """Covers single-step, band-only, and fully-clipped step offsets
     (kv streams in 256-column steps)."""
     B, H, d = 1, 2, 64
@@ -46,11 +47,12 @@ def test_kernel_matches_dense(rng, L):
     kv_mask = np.ones((B, L), np.float32)
     scale = 1.0 / np.sqrt(d)
     ref = dense_reference(q, k, v, E, kv_mask, scale)
-    out = run_kernel(q, k, v, E, kv_mask, scale)
+    out = run_kernel(q, k, v, E, kv_mask, scale, variant)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
-def test_kernel_respects_kv_mask(rng):
+@pytest.mark.parametrize("variant", ["stream", "onepass"])
+def test_kernel_respects_kv_mask(rng, variant):
     B, H, L, d = 2, 1, 256, 64
     q = rng.standard_normal((B, H, L, d)).astype(np.float32)
     k = rng.standard_normal((B, H, L, d)).astype(np.float32)
@@ -60,21 +62,24 @@ def test_kernel_respects_kv_mask(rng):
     kv_mask[1, 200:] = 0.0
     scale = 1.0 / np.sqrt(d)
     ref = dense_reference(q, k, v, E, kv_mask, scale)
-    out = run_kernel(q, k, v, E, kv_mask, scale)
+    out = run_kernel(q, k, v, E, kv_mask, scale, variant)
     np.testing.assert_allclose(out[:, :, :200], ref[:, :, :200],
                                atol=2e-5, rtol=1e-4)
     # masked-kv region must not influence earlier outputs even when
     # its values explode
     v2 = v.copy()
     v2[1, :, 200:] = 1e6
-    out2 = run_kernel(q, k, v2, E, kv_mask, scale)
+    out2 = run_kernel(q, k, v2, E, kv_mask, scale, variant)
     np.testing.assert_allclose(out2[1, :, :200], out[1, :, :200],
                                atol=2e-5, rtol=1e-4)
 
 
-def test_kernel_matches_dense_production_length(rng):
+@pytest.mark.parametrize("variant", ["stream", "onepass"])
+def test_kernel_matches_dense_production_length(rng, variant):
     """L=1280 (25 s bucket): the rolled table wraps mod W=256 many
-    times; every saturation regime and both slice offsets occur."""
+    times; every saturation regime and both slice offsets occur. The
+    onepass variant q-tiles here (qb=640 < L) so the global-row
+    offsets in the roll amount and distance grid are exercised."""
     B, H, L, d = 1, 1, 1280, 64
     q = rng.standard_normal((B, H, L, d)).astype(np.float32)
     k = rng.standard_normal((B, H, L, d)).astype(np.float32)
@@ -84,13 +89,14 @@ def test_kernel_matches_dense_production_length(rng):
     kv_mask[0, 1000:] = 0.0
     scale = 1.0 / np.sqrt(d)
     ref = dense_reference(q, k, v, E, kv_mask, scale)
-    out = run_kernel(q, k, v, E, kv_mask, scale)
+    out = run_kernel(q, k, v, E, kv_mask, scale, variant)
     np.testing.assert_allclose(out[:, :, :1000], ref[:, :, :1000],
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("variant", ["stream", "onepass"])
 @pytest.mark.parametrize("seed", range(6))
-def test_kernel_randomized_geometries(seed):
+def test_kernel_randomized_geometries(seed, variant):
     """Randomized sweep over (L, left, right, kv mask) — exercises the
     wrapped-roll alignment, both slice offsets, saturation selects, and
     ragged masks across bucket geometries beyond the fixed cases."""
@@ -129,7 +135,7 @@ def test_kernel_randomized_geometries(seed):
     out = np.asarray(flash_rel_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
         jnp.asarray(E), jnp.asarray(kv_mask),
-        scale, left, P_, interpret=True))
+        scale, left, P_, interpret=True, variant=variant))
     np.testing.assert_allclose(out[0], ref[0], atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(out[1, :, :, :], ref[1, :, :, :],
                                atol=3e-5, rtol=1e-4)
