@@ -166,8 +166,15 @@ def pyannet_forward(params: Dict[str, Any], cfg: PyanNetConfig,
     conv -> abs (sinc block only) -> maxpool -> affine InstanceNorm ->
     leaky_relu; monolithic BiLSTM; leaky_relu linear stack; sigmoid
     classifier (max over outputs for multi-speaker segmentation
-    checkpoints, which is the VAD pipeline's reduction)."""
+    checkpoints, which is the VAD pipeline's reduction).
+
+    An int16 waveform is the wire format (half the H2D bytes through
+    the tunnel): dequantized on device as x/32768, which is
+    BIT-IDENTICAL to uploading the f32 values when they came from
+    PCM16 (k/2^15 scales exactly in fp32)."""
     slope = cfg.leaky_slope
+    if waveform.dtype == jnp.int16:
+        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
     x = waveform[:, :, None]                                 # [B, T, 1]
     x = _instance_norm(params["wav_norm"], x)
 
@@ -232,7 +239,8 @@ def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
                            mono: np.ndarray,
                            window_sec: float = 5.0,
                            step_sec: float = 2.5,
-                           batch_rows: int = 16) -> np.ndarray:
+                           batch_rows: int = 16,
+                           int16_wire: bool = None) -> np.ndarray:
     """Arbitrary-length mono waveform -> [frames] speech probabilities
     via fixed-size sliding windows, batched, with overlap averaging.
 
@@ -251,6 +259,10 @@ def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
     samples) so every window's frame grid aligns with the absolute
     frame grid; the tail window is zero-padded (pyannote pads short
     chunks the same way). Overlapping frames are averaged.
+
+    ``int16_wire``: None (default) uploads int16 windows when every
+    sample is int16-exact — bit-identical results at half the H2D
+    bytes; False forces the f32 wire (tests).
     """
     sr = cfg.sample_rate
     hop = pyannet_frame_hop_samples(cfg)
@@ -262,6 +274,16 @@ def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
     padded_len = (n_win - 1) * S + W
     if padded_len > T:
         x = np.concatenate([x, np.zeros(padded_len - T, np.float32)])
+    # int16 wire: the sliding windows overlap ~2x, so the upload is
+    # ~2x the audio bytes — halve it whenever the samples are
+    # int16-exact (every PCM16-decoded file), which makes the device
+    # dequantize bit-identical to uploading the f32 values.
+    # int16_wire: None = engage iff exact (default); False = never.
+    if int16_wire is None or int16_wire:
+        q = x * 32768.0
+        qr = np.rint(q)
+        if bool(np.all((qr == q) & (np.abs(qr) <= 32767.0))):
+            x = qr.astype(np.int16)
     windows = np.lib.stride_tricks.as_strided(
         x, shape=(n_win, W), strides=(x.itemsize * S, x.itemsize))
 
@@ -273,7 +295,7 @@ def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
         n = rows.shape[0]
         if n < batch_rows:   # static tail shape: pad rows with zeros
             rows = np.concatenate(
-                [rows, np.zeros((batch_rows - n, W), np.float32)])
+                [rows, np.zeros((batch_rows - n, W), x.dtype)])
         # async dispatch: uploads/compute of sub-batch k+1 overlap k
         pending.append((i, n, _pyannet_jit(params, cfg, rows)))
     for i, n, out in pending:

@@ -185,7 +185,10 @@ class ASREngine:
 
         @jax.jit
         def run(params, audio, lengths):
-            feats, mask = log_mel_frontend(audio, lengths)
+            x = audio.astype(jnp.float32)
+            if audio.dtype == jnp.int16:   # wire format (half H2D)
+                x = x * (1.0 / 32768.0)
+            feats, mask = log_mel_frontend(x, lengths)
             feats, mask = _pad_seq_to_128(feats, mask)
             logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
                                  attention_impl=impl)
@@ -206,7 +209,10 @@ class ASREngine:
 
         @jax.jit
         def run(params, audio, lengths):
-            feats, mask = log_mel_frontend(audio, lengths)
+            x = audio.astype(jnp.float32)
+            if audio.dtype == jnp.int16:   # wire format (half H2D)
+                x = x * (1.0 / 32768.0)
+            feats, mask = log_mel_frontend(x, lengths)
             feats, mask = _pad_seq_to_128(feats, mask)
             logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
                                  attention_impl=impl)
@@ -396,6 +402,14 @@ class ASREngine:
             else self._device_fn(bucket_len)
         B = self.device_batch
         n = rows.shape[0]
+        # int16 wire when every sample is int16-exact (PCM16-decoded
+        # sources): half the upload bytes, device dequantize is
+        # bit-identical to uploading the f32 values.
+        if self.int16_transfers and rows.dtype == np.float32:
+            q = rows * 32768.0
+            qr = np.rint(q)
+            if bool(np.all((qr == q) & (np.abs(qr) <= 32767.0))):
+                rows = qr.astype(np.int16)
         pending = []
         for i in range(0, n, B):
             sl_rows = rows[i:i + B]
@@ -405,7 +419,7 @@ class ASREngine:
             if valid < n_dev:  # pad to the static tail batch
                 pad = n_dev - valid
                 sl_rows = np.concatenate(
-                    [sl_rows, np.zeros((pad, bucket_len), np.float32)])
+                    [sl_rows, np.zeros((pad, bucket_len), rows.dtype)])
                 sl_len = np.concatenate(
                     [sl_len, np.full((pad,), bucket_len, np.int32)])
             pending.append((valid, fn(self.params, sl_rows, sl_len)))

@@ -159,3 +159,44 @@ def test_bucket_guard_for_long_chunks():
         (2, 16000 * 8)).astype(np.float32) * 0.1
     out = eng.transcribe_chunks(split_audio(wf, 16000, "c.wav", 8.0, 1.0))
     assert out[0]["error"] == ""
+
+
+def test_mono_rows_int16_wire_bit_identical(engine, rng):
+    """PCM16-exact mono segments take the int16 wire in _run_rows
+    (half the upload bytes) with BIT-IDENTICAL transcripts; non-exact
+    (e.g. resampled) audio falls back to the f32 wire."""
+    pcm = rng.integers(-12000, 12000, (3, int(1.7 * 16000)))
+    waves = [(p.astype(np.float32) / 32768.0) for p in pcm]
+
+    seen = []
+    orig = engine._device_fn
+
+    def spy(bucket_len):
+        fn = orig(bucket_len)
+
+        def wrapped(params, audio, lengths):
+            seen.append(np.asarray(audio).dtype)
+            return fn(params, audio, lengths)
+        return wrapped
+
+    engine._device_fn = spy
+    try:
+        texts16 = engine.transcribe_mono_segments(waves)
+        engine.int16_transfers = False
+        texts32 = engine.transcribe_mono_segments(waves)
+    finally:
+        engine._device_fn = orig
+        engine.int16_transfers = True
+
+    assert seen[0] == np.int16 and seen[-1] == np.float32
+    assert texts16 == texts32
+
+    # Non-exact input: wire must not engage even with the flag on.
+    seen.clear()
+    engine._device_fn = spy
+    try:
+        engine.transcribe_mono_segments(
+            [waves[0] + np.float32(1e-6)])
+    finally:
+        engine._device_fn = orig
+    assert all(d == np.float32 for d in seen)

@@ -306,3 +306,43 @@ def test_binarize_vectorized_matches_loop_reference(rng):
     probs = np.full(6, 0.5)
     assert binarize(probs, hop, onset=0.4, offset=0.6) == \
         loop_binarize(probs, hop, 0.4, 0.6)
+
+
+def test_int16_wire_bit_identical(oracle, rng):
+    """PCM16-derived waveforms engage the int16 wire (half the H2D
+    bytes for the ~2x-overlapping sliding windows) and the device-side
+    dequantize produces BIT-IDENTICAL probabilities to the f32 wire;
+    non-exact float input falls back to f32."""
+    import audio_processor_tpu.models.vad as vad_mod
+
+    cfg = PyanNetConfig(num_outputs=3)
+    params = convert_pyannet(oracle.state_dict(), cfg)
+    pcm = rng.integers(-2000, 2000, int(7.3 * SR)).astype(np.int16)
+    pcm[SR:3 * SR] += (8000 * np.sin(
+        2 * np.pi * 300 * np.arange(2 * SR) / SR)).astype(np.int16)
+    wav = pcm.astype(np.float32) / 32768.0
+
+    seen = []
+    real = vad_mod._pyannet_jit
+
+    def spy(p, c, rows):
+        seen.append(np.asarray(rows).dtype)
+        return real(p, c, rows)
+
+    vad_mod._pyannet_jit = spy
+    try:
+        got16 = vad_mod.pyannet_probs_windowed(params, cfg, wav,
+                                               batch_rows=4)
+        gotf = vad_mod.pyannet_probs_windowed(params, cfg, wav,
+                                              batch_rows=4,
+                                              int16_wire=False)
+        n16 = len(seen)
+        vad_mod.pyannet_probs_windowed(
+            params, cfg, wav + np.float32(1e-6), batch_rows=4)
+    finally:
+        vad_mod._pyannet_jit = real
+
+    assert seen[0] == np.int16          # wire engaged on exact input
+    assert seen[n16 - 1] == np.float32  # forced f32
+    assert seen[-1] == np.float32       # non-exact input falls back
+    np.testing.assert_array_equal(got16, gotf)
