@@ -203,3 +203,26 @@ def test_overload_maps_to_http_503(cfg):
         srv.shutdown()
         srv.service.close(drain_timeout=5)
         srv.server_close()
+
+
+def test_opus_payload(server):
+    """Ogg/Opus request bodies decode in-process (io/opus.py: libopus
+    ctypes fast path or the first-party RFC 6716 fallback) — the
+    serving surface accepts the reference's third container format
+    without ffmpeg (reference shells out: audio_processor.py:76-86)."""
+    from tests.opus_encoder import encode_ogg_opus, encoder_available
+
+    from audio_processor_tpu.io import opus as opus_mod
+
+    if not (encoder_available() or opus_mod.available()):
+        import pytest as _pytest
+
+        _pytest.skip("no opus encoder available in image")
+    t = np.arange(int(1.2 * 48000)) / 48000.0
+    pcm = np.stack([0.25 * np.sin(2 * np.pi * 220 * t),
+                    0.25 * np.sin(2 * np.pi * 330 * t)], axis=1)
+    body = encode_ogg_opus(pcm.astype(np.float32), channels=2)
+    port = server.server_address[1]
+    status, out = _post(port, body)
+    assert status == 200
+    assert out["num_chunks"] >= 1
