@@ -14,12 +14,15 @@ This kernel keeps everything in VMEM:
   the [B, H, L, 128] logits with an XLA einsum outside the kernel:
   that cost ~1 GB of HBM write+read per layer plus a 0.7 MB DMA per
   program — all gone.)
-- The program barrel-shifts a [L, W=256] wrapped copy of its bucket
-  logits so that ``t[l, c] = s_rel[l, (c - l + left) mod W]``. kv
-  positions stream in pairs of 128-lane blocks (KB=256 columns per
-  grid step = exactly W), so the in-band bias for step ``ki`` is the
-  WHOLE table — the slice offset ``(ki*KB) mod W`` is always 0 and no
-  dynamic lane slicing is needed at all. Distances outside the band —
+- The program barrel-shifts a [L, W=128] wrapped copy of its bucket
+  logits so that ``t[l, c] = s_rel[l, (c - l + left) mod W]`` (one
+  lane tile wide: the band is at most 128 buckets, so mod-128
+  residues are unique in-band and the wrap image only lands on cells
+  the saturation selects overwrite). kv positions stream in pairs of
+  128-lane blocks (KB=256 columns per grid step), and the in-band
+  bias for step ``ki`` is the table tiled twice — the slice offset
+  ``(ki*KB) mod W`` is always 0 and no dynamic lane slicing is
+  needed at all. Distances outside the band —
   almost everywhere, since the clip saturates for ``m-l`` outside
   [-left, right] — are recovered with selects of the two saturation
   columns against a distance grid ``d = d_base + ki*KB`` whose base
@@ -56,7 +59,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 BK = 128             # kv lane block (Mosaic lane width)
 KB = 256             # kv columns per grid step (2 blocks)
-W = 256              # wrapped rel-table width; == KB so slices are whole-table
+W = 128              # wrapped rel-table width (one lane tile)
+# W=128 is enough: num_buckets <= 128 means the in-band residues
+# (c - l + left) mod 128 are unique, and every out-of-band cell is
+# overwritten by the saturation selects, so the wrap image never
+# leaks. Versus the earlier W=256 double-width table this halves the
+# barrel-shift traffic (7 masked rolls over [rows, 128] instead of 8
+# over [rows, 256]) and halves the table scratch; kv steps stay
+# aligned because KB and L are multiples of 128 (slice offset mod W
+# is always 0 — still no dynamic lane slicing).
 
 
 def _kernel(q_ref, k_ref, v_ref, e_ref, kvmask_ref,
@@ -78,8 +89,10 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, kvmask_ref,
             preferred_element_type=jnp.float32)         # [L, 128]
         # Wrapped rolled table: t[l, c] = s_rel[l, (c - l + left) mod W]
         # — `left` is absorbed into the roll. Aligned with a log2
-        # barrel shift (masked rolls).
-        u = jnp.concatenate([srel, jnp.zeros_like(srel)], axis=1)
+        # barrel shift (masked rolls) directly on the [rows, 128]
+        # bucket logits (columns >= num_buckets are zero from E_pad
+        # and land only on out-of-band cells the selects overwrite).
+        u = srel
         rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
         amount = (rows - left) & (W - 1)                # (l - left) mod W
         bit = 1
@@ -116,7 +129,8 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, kvmask_ref,
     lo = jnp.tile(lo_scr[...], (1, KB // 128))        # [L, KB]
     hi = jnp.tile(hi_scr[...], (1, KB // 128))
     rel = jnp.where(d_grid < -left, lo,
-                    jnp.where(d_grid > right, hi, t_scr[...]))
+                    jnp.where(d_grid > right, hi,
+                              jnp.tile(t_scr[...], (1, KB // W))))
     s = (s + rel) * sm_scale
 
     # Padding mask on kv positions: masked (0) -> add -1e9.
@@ -177,7 +191,7 @@ def _kernel_onepass(q_ref, k_ref, v_ref, e_ref, kvmask_ref, o_ref, *,
     srel = jax.lax.dot_general(
         q, e_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # [qb, 128]
-    u = jnp.concatenate([srel, jnp.zeros_like(srel)], axis=1)
+    u = srel
     rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + qi * qb
     amount = (rows - left) & (W - 1)                  # (gl - left) mod W
     bit = 1

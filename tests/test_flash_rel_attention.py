@@ -139,3 +139,38 @@ def test_kernel_randomized_geometries(seed, variant):
     np.testing.assert_allclose(out[0], ref[0], atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(out[1, :, :, :], ref[1, :, :, :],
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["stream", "onepass"])
+def test_kernel_max_bucket_table(variant):
+    """num_buckets == 128 == W: the band occupies every wrap residue,
+    the hardest case for the mod-128 rolled table (any aliasing of the
+    wrap image into the in-band region would corrupt the bias)."""
+    rng = np.random.default_rng(7)
+    left, right = 100, 27
+    P_ = left + right + 1
+    assert P_ == 128
+    B, H, L, d = 1, 1, 512, 64
+    q = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    k = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    v = rng.standard_normal((B, H, L, d)).astype(np.float32)
+    E = rng.standard_normal((P_, d)).astype(np.float32)
+    kv_mask = np.ones((B, L), np.float32)
+
+    i = np.arange(L)[:, None]
+    j = np.arange(L)[None, :]
+    pe = E[np.clip(j - i, -left, right) + left]
+    scale = 1.0 / np.sqrt(d)
+    scores = (np.einsum("bhld,bhmd->bhlm", q, k)
+              + np.einsum("bhld,lmd->bhlm", q, pe)) * scale
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhlm,bhmd->bhld", p, v)
+
+    import jax.numpy as jnp
+
+    out = np.asarray(flash_rel_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(E), jnp.asarray(kv_mask),
+        scale, left, P_, interpret=True, variant=variant))
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)
