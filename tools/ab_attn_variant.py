@@ -57,18 +57,39 @@ def main():
         return jax.jit(lambda x: jax.lax.fori_loop(
             0, n_inner, body, x))
 
-    fns = {}
-    for variant in ("stream", "onepass"):
-        t0 = time.perf_counter()
-        fn = looped(variant)
-        s = float(jnp.sum(fn(q)))
-        print(f"{variant}: compiled+first in "
-              f"{time.perf_counter() - t0:.1f}s sum={s:.3e}", flush=True)
-        fns[variant] = fn
+    import audio_processor_tpu.models.flash_rel_attention as fra
 
-    results = {"stream": [], "onepass": []}
+    def looped_qb(qb):
+        def body(i, x):
+            real = fra._onepass_q_tile
+            fra._onepass_q_tile = lambda L: qb
+            try:
+                return flash_rel_attention(
+                    x, k, v, E, kv_mask, scale, LEFT, NUM_BUCKETS,
+                    variant="onepass")
+            finally:
+                fra._onepass_q_tile = real
+        return jax.jit(lambda x: jax.lax.fori_loop(0, n_inner, body, x))
+
+    names = ["stream", "onepass"] + [f"onepass_qb{qb}"
+                                     for qb in (320, 1280)]
+    fns = {}
+    for name in names:
+        t0 = time.perf_counter()
+        fn = (looped(name) if name in ("stream", "onepass")
+              else looped_qb(int(name.split("qb")[1])))
+        try:
+            s = float(jnp.sum(fn(q)))
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        print(f"{name}: compiled+first in "
+              f"{time.perf_counter() - t0:.1f}s sum={s:.3e}", flush=True)
+        fns[name] = fn
+
+    results = {name: [] for name in fns}
     for r in range(rounds):
-        for variant in ("stream", "onepass"):
+        for variant in fns:
             t0 = time.perf_counter()
             float(jnp.sum(fns[variant](q)))
             dt = time.perf_counter() - t0
