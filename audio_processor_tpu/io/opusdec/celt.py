@@ -27,6 +27,11 @@ from audio_processor_tpu.io.opusdec.celt_rate import (BITRES, EBANDS,
                                                       init_caps)
 from audio_processor_tpu.io.opusdec.rangedec import RangeDecoder
 
+try:                                  # vectorized de-emphasis IIR
+    from scipy.signal import lfilter as _lfilter
+except Exception:                     # pragma: no cover
+    _lfilter = None
+
 NB_BANDS = 21
 SHORT_MDCT_SIZE = 120
 MAX_LM = 3
@@ -341,11 +346,13 @@ class CeltDecoder:
         half = OVERLAP // 2
         out[half:half + n2] = raw
         w = _WINDOW
-        for i in range(half):
-            x1 = out[OVERLAP - 1 - i]
-            x2 = out[i]
-            out[i] = w[OVERLAP - 1 - i] * x2 - w[i] * x1
-            out[OVERLAP - 1 - i] = w[i] * x2 + w[OVERLAP - 1 - i] * x1
+        # TDAC fold, vectorized with the scalar loop's exact op order:
+        # element i pairs with OVERLAP-1-i.
+        wf = w[half:OVERLAP][::-1]            # w[OVERLAP-1-i]
+        x1 = out[half:OVERLAP][::-1].copy()   # out[OVERLAP-1-i]
+        x2 = out[:half].copy()
+        out[:half] = wf * x2 - w[:half] * x1
+        out[half:OVERLAP] = (w[:half] * x2 + wf * x1)[::-1]
 
     # ----------------------------------------------------------------
     def _apply_postfilter(self, out_syn: List[np.ndarray], n: int,
@@ -386,16 +393,26 @@ class CeltDecoder:
 
     def _deemphasis(self, out_syn: List[np.ndarray],
                     n: int) -> np.ndarray:
+        """1-pole de-emphasis: tmp[j] = x[j] + 1e-30 + c*tmp[j-1].
+        scipy's direct-form lfilter runs the identical recurrence
+        (b=[1], a=[1, -c]) in float64, so outputs are bit-identical to
+        the scalar loop; the python loop is the no-scipy fallback."""
         pcm = np.empty((self.cc, n))
         coef0 = _PREEMPH_COEF
         for ch in range(self.cc):
             mem = self.preemph_mem[ch]
             x = out_syn[ch]
-            y = pcm[ch]
-            for j in range(n):
-                tmp = x[j] + 1e-30 + mem
-                mem = coef0 * tmp
-                y[j] = tmp * (1.0 / 32768.0)
+            if _lfilter is not None:
+                tmp, _ = _lfilter([1.0], [1.0, -coef0], x[:n] + 1e-30,
+                                  zi=np.array([mem]))
+                pcm[ch] = tmp * (1.0 / 32768.0)
+                mem = coef0 * tmp[-1] if n else mem
+            else:
+                y = pcm[ch]
+                for j in range(n):
+                    tmp = x[j] + 1e-30 + mem
+                    mem = coef0 * tmp
+                    y[j] = tmp * (1.0 / 32768.0)
             self.preemph_mem[ch] = mem
         return pcm
 
@@ -404,7 +421,13 @@ def _comb_filter(x: np.ndarray, off: int, t0: int, t1: int, n: int,
                  g0: float, g1: float, tapset0: int,
                  tapset1: int) -> None:
     """celt.c comb_filter, in place on x[off:off+n] (x has >= 1024+2
-    samples of history before off)."""
+    samples of history before off).
+
+    Vectorized in chunks of (lag - 2) samples: the filter feeds back
+    on its own output, but the nearest tap is lag-2 >= 13 samples
+    behind the write, so every read inside a chunk is already final.
+    The per-element arithmetic keeps the scalar loop's exact operation
+    order, so outputs are bit-identical to the original loop."""
     if g0 == 0.0 and g1 == 0.0:
         return
     t0 = max(t0, COMBFILTER_MINPERIOD)
@@ -416,34 +439,42 @@ def _comb_filter(x: np.ndarray, off: int, t0: int, t1: int, n: int,
     g11 = g1 * _PF_GAINS[tapset1, 1]
     g12 = g1 * _PF_GAINS[tapset1, 2]
     overlap = OVERLAP
-    x1 = x[off - t1 + 1]
-    x2 = x[off - t1]
-    x3 = x[off - t1 - 1]
-    x4 = x[off - t1 - 2]
     if g0 == g1 and t0 == t1 and tapset0 == tapset1:
         overlap = 0
-    for i in range(overlap):
-        x0 = x[off + i - t1 + 2]
-        f = _WINDOW[i] * _WINDOW[i]
-        x[off + i] = (x[off + i]
-                      + (1 - f) * g00 * x[off + i - t0]
-                      + (1 - f) * g01 * (x[off + i - t0 + 1]
-                                         + x[off + i - t0 - 1])
-                      + (1 - f) * g02 * (x[off + i - t0 + 2]
-                                         + x[off + i - t0 - 2])
-                      + f * g10 * x2
-                      + f * g11 * (x1 + x3)
-                      + f * g12 * (x0 + x4))
-        x4 = x3
-        x3 = x2
-        x2 = x1
-        x1 = x0
+
+    def taps(base: int, t: int, m: int):
+        lo = base - t
+        return (x[lo:lo + m], x[lo + 1:lo + 1 + m], x[lo - 1:lo - 1 + m],
+                x[lo + 2:lo + 2 + m], x[lo - 2:lo - 2 + m])
+
+    # Blended region: old (t1) and new (t0) combs cross-faded by the
+    # squared MDCT window.
+    step = max(1, min(t0, t1) - 2)
+    i = 0
+    while i < overlap:
+        m = min(step, overlap - i)
+        base = off + i
+        f = _WINDOW[i:i + m] * _WINDOW[i:i + m]
+        a0, ap1, am1, ap2, am2 = taps(base, t0, m)
+        b0, bp1, bm1, bp2, bm2 = taps(base, t1, m)
+        x[base:base + m] = (x[base:base + m]
+                            + (1 - f) * g00 * a0
+                            + (1 - f) * g01 * (ap1 + am1)
+                            + (1 - f) * g02 * (ap2 + am2)
+                            + f * g10 * b0
+                            + f * g11 * (bp1 + bm1)
+                            + f * g12 * (bp2 + bm2))
+        i += m
     if g1 == 0.0:
         return
-    for j in range(overlap, n):
-        x[off + j] = (x[off + j]
-                      + g10 * x[off + j - t1]
-                      + g11 * (x[off + j - t1 + 1]
-                               + x[off + j - t1 - 1])
-                      + g12 * (x[off + j - t1 + 2]
-                               + x[off + j - t1 - 2]))
+    step = t1 - 2
+    j = overlap
+    while j < n:
+        m = min(step, n - j)
+        base = off + j
+        b0, bp1, bm1, bp2, bm2 = taps(base, t1, m)
+        x[base:base + m] = (x[base:base + m]
+                            + g10 * b0
+                            + g11 * (bp1 + bm1)
+                            + g12 * (bp2 + bm2))
+        j += m

@@ -149,10 +149,10 @@ def _extract_collapse_mask(iy: List[int], n: int, b: int) -> int:
 def alg_unquant(x: np.ndarray, n: int, k: int, spread: int, b: int,
                 rd: RangeDecoder, gain: float) -> int:
     iy = cwrsi(n, k, rd.dec_uint(pvq_v(n, k)))
-    ryy = float(sum(v * v for v in iy))
+    iyv = np.array(iy, np.int64)
+    ryy = float(iyv @ iyv)
     g = gain / math.sqrt(ryy)
-    for j in range(n):
-        x[j] = g * iy[j]
+    x[:n] = g * iyv
     exp_rotation(x, n, -1, b, k, spread)
     return _extract_collapse_mask(iy, n, b)
 
@@ -164,6 +164,17 @@ def alg_unquant(x: np.ndarray, n: int, k: int, spread: int, b: int,
 def haar1(x: np.ndarray, n0: int, stride: int) -> None:
     n0 >>= 1
     rt = 0.70710678
+    n = n0 * 2 * stride
+    v = x[:n]
+    # numpy's fixed per-op overhead loses to the scalar butterflies
+    # below ~8 pairs (profiled); most calls are tiny.
+    if n > 32 and (v.base is None or v.flags.c_contiguous):
+        m = v.reshape(n0, 2, stride)  # [j, even/odd, i] view
+        a = rt * m[:, 0]
+        b = rt * m[:, 1]
+        m[:, 0] = a + b
+        m[:, 1] = a - b
+        return
     for i in range(stride):
         for j in range(n0):
             a = rt * x[stride * 2 * j + i]
@@ -175,33 +186,24 @@ def haar1(x: np.ndarray, n0: int, stride: int) -> None:
 def deinterleave_hadamard(x: np.ndarray, n0: int, stride: int,
                           hadamard: bool) -> None:
     n = n0 * stride
-    tmp = np.empty(n, x.dtype)
+    # tmp[row(i), j] = x[j*stride + i]: a [n0, stride] -> transpose
+    # gather with an optional Hadamard row order.
+    cols = np.asarray(x[:n]).reshape(n0, stride).T   # [stride, n0] copy
+    tmp = np.empty((stride, n0), x.dtype)
     if hadamard:
-        ordery = _ORDERY[stride - 2:2 * stride - 2]
-        for i in range(stride):
-            for j in range(n0):
-                tmp[ordery[i] * n0 + j] = x[j * stride + i]
+        tmp[_ORDERY[stride - 2:2 * stride - 2]] = cols
     else:
-        for i in range(stride):
-            for j in range(n0):
-                tmp[i * n0 + j] = x[j * stride + i]
-    x[:n] = tmp
+        tmp = cols
+    x[:n] = tmp.reshape(n)
 
 
 def interleave_hadamard(x: np.ndarray, n0: int, stride: int,
                         hadamard: bool) -> None:
     n = n0 * stride
-    tmp = np.empty(n, x.dtype)
+    rows = np.asarray(x[:n]).reshape(stride, n0)
     if hadamard:
-        ordery = _ORDERY[stride - 2:2 * stride - 2]
-        for i in range(stride):
-            for j in range(n0):
-                tmp[j * stride + i] = x[ordery[i] * n0 + j]
-    else:
-        for i in range(stride):
-            for j in range(n0):
-                tmp[j * stride + i] = x[i * n0 + j]
-    x[:n] = tmp
+        rows = rows[_ORDERY[stride - 2:2 * stride - 2]]
+    x[:n] = rows.T.reshape(n)
 
 
 def special_hybrid_folding(norm: np.ndarray, norm2: Optional[np.ndarray],
@@ -225,11 +227,10 @@ def stereo_merge(x: np.ndarray, y: np.ndarray, mid: float,
         return
     lgain = 1.0 / math.sqrt(el)
     rgain = 1.0 / math.sqrt(er)
-    for j in range(n):
-        l = mid * x[j]
-        r = y[j]
-        x[j] = lgain * (l - r)
-        y[j] = rgain * (l + r)
+    l = mid * x[:n]
+    r = y[:n].copy()
+    x[:n] = lgain * (l - r)
+    y[:n] = rgain * (l + r)
 
 
 def _compute_qn(n: int, b: int, offset: int, pulse_cap: int,

@@ -46,33 +46,42 @@ def pvq_v(n: int, k: int) -> int:
 
 
 def cwrsi(n: int, k: int, i: int) -> List[int]:
-    """Index -> signed pulse vector (cwrs.c cwrsi)."""
+    """Index -> signed pulse vector (cwrs.c cwrsi).
+
+    Reads the U table directly (U[a][b] with a <= b; pvq_u's swap and
+    zero-edges are already encoded in the table) — the tight search
+    loops here account for most pvq_u calls and the call overhead
+    dominated the decode profile."""
+    hi = max(n, k + 1)
+    if len(_U) <= min(n, hi) or len(_U[0]) <= hi:
+        pvq_u(n, k + 1)               # grow the table once
+    U = _U
     y: List[int] = []
     while n > 2:
         if k >= n:
-            p = pvq_u(n, k + 1)
+            p = U[n][k + 1]
             s = -1 if i >= p else 0
             if s:
                 i -= p
             k0 = k
-            q = pvq_u(n, n)
+            q = U[n][n]
             if q > i:
                 k = n
                 while True:
                     k -= 1
-                    p = pvq_u(k, n)
+                    p = U[k][n]
                     if p <= i:
                         break
             else:
-                p = pvq_u(n, k)
+                p = U[n][k]
                 while p > i:
                     k -= 1
-                    p = pvq_u(n, k)
+                    p = U[n][k] if n <= k else U[k][n]
             i -= p
             y.append((k0 - k + s) ^ s)
         else:
-            p = pvq_u(k, n)
-            q = pvq_u(k + 1, n)
+            p = U[k][n]
+            q = U[k + 1][n]
             if p <= i < q:
                 i -= p
                 y.append(0)
@@ -83,7 +92,7 @@ def cwrsi(n: int, k: int, i: int) -> List[int]:
                 k0 = k
                 while True:
                     k -= 1
-                    p = pvq_u(k, n)
+                    p = U[k][n]
                     if p <= i:
                         break
                 i -= p
