@@ -122,7 +122,8 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, kvmask_ref,
         preferred_element_type=jnp.float32)           # [L, KB]
 
     # Relative bias. In-band (-left <= m-l <= right): the rolled table
-    # (whole-table read; KB == W makes every step's slice offset 0).
+    # tiled KB//W times (KB and W both multiples of 128 keep every
+    # step's slice offset at 0 — no dynamic lane slicing).
     # Out of band the clip saturates to the per-row boundary columns
     # (read as aligned [L, 128] tiles, duplicated across the KB lanes).
     d_grid = d_scr[...] + ki * KB                     # m - l
@@ -236,9 +237,11 @@ def _kernel_onepass(q_ref, k_ref, v_ref, e_ref, kvmask_ref, o_ref, *,
 
 
 def _onepass_q_tile(L: int) -> int:
-    """Largest power-of-two q tile keeping the fp32 score tile <=4 MB
-    (peak VMEM stays well under budget with the bf16 prob copy and
-    Mosaic's input double-buffering on top)."""
+    """Largest q tile of the form L/2^k keeping the fp32 score tile
+    <=4 MB (peak VMEM stays well under budget with the bf16 prob copy
+    and Mosaic's input double-buffering on top). Halving from L keeps
+    qb a divisor of L; every bucket this pipeline uses (multiples of
+    256 up to 1280) yields a sublane-aligned row count."""
     qb = L
     while qb > 128 and qb * L * 4 > (4 << 20):
         qb //= 2

@@ -280,10 +280,9 @@ def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
     # dequantize bit-identical to uploading the f32 values.
     # int16_wire: None = engage iff exact (default); False = never.
     if int16_wire is None or int16_wire:
-        q = x * 32768.0
-        qr = np.rint(q)
-        if bool(np.all((qr == q) & (np.abs(qr) <= 32767.0))):
-            x = qr.astype(np.int16)
+        from audio_processor_tpu.io.wire import maybe_int16_wire
+
+        x = maybe_int16_wire(x)
     windows = np.lib.stride_tricks.as_strided(
         x, shape=(n_win, W), strides=(x.itemsize * S, x.itemsize))
 

@@ -405,11 +405,10 @@ class ASREngine:
         # int16 wire when every sample is int16-exact (PCM16-decoded
         # sources): half the upload bytes, device dequantize is
         # bit-identical to uploading the f32 values.
-        if self.int16_transfers and rows.dtype == np.float32:
-            q = rows * 32768.0
-            qr = np.rint(q)
-            if bool(np.all((qr == q) & (np.abs(qr) <= 32767.0))):
-                rows = qr.astype(np.int16)
+        if self.int16_transfers:
+            from audio_processor_tpu.io.wire import maybe_int16_wire
+
+            rows = maybe_int16_wire(rows)
         pending = []
         for i in range(0, n, B):
             sl_rows = rows[i:i + B]

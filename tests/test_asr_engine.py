@@ -166,9 +166,12 @@ def test_mono_rows_int16_wire_bit_identical(engine, rng):
     (half the upload bytes) with BIT-IDENTICAL transcripts; non-exact
     (e.g. resampled) audio falls back to the f32 wire."""
     pcm = rng.integers(-12000, 12000, (3, int(1.7 * 16000)))
+    pcm[0, 0] = -32768   # full-scale-negative clipping must not
+    pcm[1, 1] = 32767    # disqualify the wire (both are int16-exact)
     waves = [(p.astype(np.float32) / 32768.0) for p in pcm]
 
     seen = []
+    outs = []
     orig = engine._device_fn
 
     def spy(bucket_len):
@@ -176,7 +179,9 @@ def test_mono_rows_int16_wire_bit_identical(engine, rng):
 
         def wrapped(params, audio, lengths):
             seen.append(np.asarray(audio).dtype)
-            return fn(params, audio, lengths)
+            out = fn(params, audio, lengths)
+            outs.append(out)
+            return out
         return wrapped
 
     engine._device_fn = spy
@@ -190,6 +195,13 @@ def test_mono_rows_int16_wire_bit_identical(engine, rng):
 
     assert seen[0] == np.int16 and seen[-1] == np.float32
     assert texts16 == texts32
+    # BIT-identical on the raw device outputs, not just the decoded
+    # transcripts (greedy argmax can mask logit drift).
+    ids16, mask16 = outs[0]
+    ids32, mask32 = outs[-1]
+    np.testing.assert_array_equal(np.asarray(ids16), np.asarray(ids32))
+    np.testing.assert_array_equal(np.asarray(mask16),
+                                  np.asarray(mask32))
 
     # Non-exact input: wire must not engage even with the flag on.
     seen.clear()

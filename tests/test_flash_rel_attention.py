@@ -76,7 +76,7 @@ def test_kernel_respects_kv_mask(rng, variant):
 
 @pytest.mark.parametrize("variant", ["stream", "onepass"])
 def test_kernel_matches_dense_production_length(rng, variant):
-    """L=1280 (25 s bucket): the rolled table wraps mod W=256 many
+    """L=1280 (25 s bucket): the rolled table wraps mod W=128 many
     times; every saturation regime and both slice offsets occur. The
     onepass variant q-tiles here (qb=640 < L) so the global-row
     offsets in the roll amount and distance grid are exercised."""

@@ -212,12 +212,10 @@ def test_opus_payload(server):
     without ffmpeg (reference shells out: audio_processor.py:76-86)."""
     from tests.opus_encoder import encode_ogg_opus, encoder_available
 
-    from audio_processor_tpu.io import opus as opus_mod
-
-    if not (encoder_available() or opus_mod.available()):
+    if not encoder_available():   # body construction needs the encoder
         import pytest as _pytest
 
-        _pytest.skip("no opus encoder available in image")
+        _pytest.skip("libopus encoder unavailable in image")
     t = np.arange(int(1.2 * 48000)) / 48000.0
     pcm = np.stack([0.25 * np.sin(2 * np.pi * 220 * t),
                     0.25 * np.sin(2 * np.pi * 330 * t)], axis=1)
