@@ -308,3 +308,27 @@ def test_scanner_accepts_opus_extension(tmp_path):
     assert [f.name for f in found] == ["call.opus"]
     audio, sr = load_audio(path)
     assert sr == 48000 and audio.shape[0] == 2
+
+
+def test_maybe_int16_wire():
+    """Wire engages only on int16-exact float32 (incl. full-scale
+    -32768), never changes values, and rejects NaN/inf/out-of-range."""
+    from audio_processor_tpu.io.wire import maybe_int16_wire
+
+    k = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    x = k.astype(np.float32) / 32768.0
+    w = maybe_int16_wire(x)
+    assert w.dtype == np.int16
+    np.testing.assert_array_equal(w, k)
+    # round-trip: dequantize matches the f32 values bit-for-bit
+    np.testing.assert_array_equal(w.astype(np.float32) / 32768.0, x)
+
+    for bad in (x + np.float32(1e-6),                  # non-exact
+                np.array([1.5], np.float32),           # out of range
+                np.array([np.nan], np.float32),
+                np.array([np.inf], np.float32)):
+        out = maybe_int16_wire(bad)
+        assert out.dtype == np.float32 and out is bad
+    # non-f32 input passes through untouched
+    d = np.zeros(4, np.float64)
+    assert maybe_int16_wire(d) is d
