@@ -16,7 +16,7 @@ from audio_processor_tpu.io.opusdec import _tables as T
 from audio_processor_tpu.io.opusdec.fixp import (
     add_sat32, div32_16, div32_varQ, inverse32_varQ, log2lin,
     lshift_sat32, rshift_round, sat16, silk_rand, smlabb, smlawb,
-    smulbb, smulwb, smulww, wrap32)
+    smulbb, smulwb, smulww, to_i16, wrap32)
 from audio_processor_tpu.io.opusdec.rangedec import RangeDecoder
 from audio_processor_tpu.io.opusdec.silk_plc import (CNGState, PLCState,
                                                      cng, glue_frames,
@@ -418,17 +418,29 @@ class ChannelState:
                             gain_adj_q16,
                             sltp_q15[sltp_buf_idx - i - 1])
 
+            # The LTP/LPC synthesis loops below inline smlawb
+            # (pred += (s>>16)*b16 + ((s&0xFFFF)*b16 >> 16)) with the
+            # int16 coefficients precomputed once per subframe: these
+            # two loops account for most of the fallback decoder's
+            # time and the helper-call overhead dominated it. The
+            # integer arithmetic is identical op for op.
             if signal_type == TYPE_VOICED:
                 pres_q14 = [0] * self.subfr_length
                 pred_lag = sltp_buf_idx - lag + LTP_ORDER // 2
-                b0, b1, b2, b3, b4 = b_q14
+                bt = [to_i16(b) for b in b_q14]
+                b0, b1, b2, b3, b4 = bt
                 for i in range(self.subfr_length):
-                    p = 2
-                    p = smlawb(p, sltp_q15[pred_lag + i], b0)
-                    p = smlawb(p, sltp_q15[pred_lag + i - 1], b1)
-                    p = smlawb(p, sltp_q15[pred_lag + i - 2], b2)
-                    p = smlawb(p, sltp_q15[pred_lag + i - 3], b3)
-                    p = smlawb(p, sltp_q15[pred_lag + i - 4], b4)
+                    s0 = sltp_q15[pred_lag + i]
+                    s1 = sltp_q15[pred_lag + i - 1]
+                    s2 = sltp_q15[pred_lag + i - 2]
+                    s3 = sltp_q15[pred_lag + i - 3]
+                    s4 = sltp_q15[pred_lag + i - 4]
+                    p = (2
+                         + (s0 >> 16) * b0 + (((s0 & 0xFFFF) * b0) >> 16)
+                         + (s1 >> 16) * b1 + (((s1 & 0xFFFF) * b1) >> 16)
+                         + (s2 >> 16) * b2 + (((s2 & 0xFFFF) * b2) >> 16)
+                         + (s3 >> 16) * b3 + (((s3 & 0xFFFF) * b3) >> 16)
+                         + (s4 >> 16) * b4 + (((s4 & 0xFFFF) * b4) >> 16))
                     # silk_ADD_LSHIFT32 / silk_LSHIFT: wrapping int32
                     pres_q14[i] = wrap32(exc_q14[pexc_base + i]
                                          + (p << 1))
@@ -439,12 +451,15 @@ class ChannelState:
                                    pexc_base + self.subfr_length]
 
             order = self.lpc_order
+            a16 = [to_i16(a) for a in a_q12[:order]]
+            rng_j = range(order)
             for i in range(self.subfr_length):
                 pred = order >> 1
                 st = MAX_LPC_ORDER + i
-                for j in range(order):
-                    pred = smlawb(pred, slpc[st - 1 - j],
-                                  a_q12[j])
+                for j in rng_j:
+                    s_ = slpc[st - 1 - j]
+                    bj = a16[j]
+                    pred += (s_ >> 16) * bj + (((s_ & 0xFFFF) * bj) >> 16)
                 v = add_sat32(pres_q14[i], lshift_sat32(pred, 4))
                 slpc[st] = v
                 xq[k * self.subfr_length + i] = sat16(
