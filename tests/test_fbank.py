@@ -85,5 +85,10 @@ def test_masked_stats_ignore_padding(rng):
     f2, m2 = fbank.log_mel_frontend(padded, np.array([16000], np.int32))
     n = np.asarray(m1).sum()
     assert np.asarray(m2).sum() == n
+    # The padded batch is a different XLA program (different shape),
+    # so the per-utterance mean/var reductions may associate
+    # differently; a few 1e-5-scale fp32 wobbles on O(1) normalized
+    # features are expected and machine-dependent (observed max
+    # 1.01e-5 on a 1-core host, under 1e-5 elsewhere).
     np.testing.assert_allclose(np.asarray(f2)[0, :f1.shape[1]],
-                               np.asarray(f1)[0], atol=1e-5)
+                               np.asarray(f1)[0], atol=5e-5)

@@ -239,3 +239,44 @@ def test_range_decode_matches_full_slice():
     # A seek from 0 decodes from the first packet: bit-exact.
     pcm0, _ = opus_mod.decode_opus_range(data, 0, 1000)
     np.testing.assert_array_equal(pcm0, full[:, :1000])
+
+
+def test_multistream_mapping_family255(monkeypatch):
+    """Family 255 ("no defined meaning", RFC 7845 section 5.1.1.3)
+    parses and decodes like family 1 through BOTH the libopus path
+    and the first-party fallback; a 255 mapping entry yields a
+    silent output channel."""
+    from tests.vorbis_encoder import ogg_page
+
+    pcm = _sine_pcm(SR // 2, 2)
+    data = encode_ogg_opus(pcm, 2)
+    ref, _ = opus_mod.decode_opus(data)
+
+    # Same audio packets under a 3-channel family-255 head:
+    # out ch0/ch1 <- the coupled pair, ch2 <- silence.
+    pkts = list(opus_mod._ogg_opus_packets(data))
+    head0 = opus_mod.OpusHead(pkts[0][0])
+    fam255_head = (b"OpusHead" + bytes([1, 3])
+                   + struct.pack("<HIh", head0.pre_skip, SR, 0)
+                   + bytes([255, 1, 1, 0, 1, 255]))
+    serial = 98
+    pages = [ogg_page([fam255_head], serial, 0, 0, 0x2),
+             ogg_page([opus_tags()], serial, 1, 0, 0x0)]
+    audio = pkts[2:]
+    granule = max(g for _, g in audio if g is not None)
+    pages.append(ogg_page([p for p, _ in audio], serial, 2, granule,
+                          0x4))
+    stream = b"".join(pages)
+
+    out, rate = opus_mod.decode_opus(stream)
+    assert rate == SR
+    assert out.shape[0] == 3
+    np.testing.assert_allclose(out[:2], ref, atol=1e-6)
+    assert not out[2].any()
+
+    # Fallback (first-party decoder) sees the same stream.
+    monkeypatch.setattr(opus_mod, "_load", lambda: None)
+    out_fb, rate_fb = opus_mod.decode_opus(stream)
+    assert rate_fb == SR and out_fb.shape == out.shape
+    np.testing.assert_allclose(out_fb[:2], ref, atol=2e-4)
+    assert not out_fb[2].any()

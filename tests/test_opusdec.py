@@ -581,3 +581,72 @@ def test_mid_stream_channel_switching(mode, tol):
     lib.opus_encoder_destroy(ctypes.c_void_p(enc.value))
     assert len({parse_packet(p).stereo for p in pkts}) == 2
     _assert_stream_close(pkts, 2, tol=tol)
+
+
+def test_multistream_family255_parity():
+    """Family-255-style layout (RFC 7845 §5.1.1.3: no defined channel
+    meaning — wire format identical to family 1): permuted mapping
+    plus a 255 silence slot. 4 output channels from 2 streams
+    (1 coupled): out ch0 <- mono stream, ch1/ch2 <- coupled pair,
+    ch3 <- silence. First-party OpusMSDecoder vs libopus."""
+    from audio_processor_tpu.io.opusdec.decoder import OpusMSDecoder
+
+    lib = _lib()
+    lib.opus_multistream_encoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_encoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_encode_float.restype = ctypes.c_int32
+    lib.opus_multistream_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int32]
+    lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_decoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.opus_multistream_decode.restype = ctypes.c_int
+    lib.opus_multistream_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int]
+
+    channels, streams, coupled = 4, 2, 1
+    mapping = bytes([2, 0, 1, 255])
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(lib.opus_multistream_encoder_create(
+        _SR, channels, streams, coupled, mapping,
+        OPUS_APPLICATION_VOIP, ctypes.byref(err)))
+    assert err.value == 0
+    lib.opus_multistream_encoder_ctl(
+        enc, ctypes.c_int(OPUS_SET_BITRATE), ctypes.c_int32(128000))
+
+    pcm = _speechy(_SR, channels)
+    out = ctypes.create_string_buffer(8000)
+    pkts = []
+    for i in range(len(pcm) // 960):
+        fr = np.ascontiguousarray(pcm[i * 960:(i + 1) * 960])
+        nb = lib.opus_multistream_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            960, out, len(out))
+        assert nb > 0
+        pkts.append(out.raw[:nb])
+    lib.opus_multistream_encoder_destroy(ctypes.c_void_p(enc.value))
+
+    dec = ctypes.c_void_p(lib.opus_multistream_decoder_create(
+        _SR, channels, streams, coupled, mapping, ctypes.byref(err)))
+    assert err.value == 0
+    buf = np.empty(5760 * channels, np.int16)
+    mine = OpusMSDecoder(channels, streams, coupled, list(mapping))
+    for i, p in enumerate(pkts):
+        n = lib.opus_multistream_decode(
+            dec, p, len(p),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            5760, 0)
+        assert n > 0
+        ref = buf[:n * channels].reshape(n, channels).copy()
+        got = mine.decode_int16(p)
+        assert got.shape == ref.shape
+        d = int(np.abs(got.astype(np.int32)
+                       - ref.astype(np.int32)).max())
+        assert d <= 1, f"packet {i}: max diff {d}"
+        assert not got[:, 3].any(), "silence slot must stay zero"
+    lib.opus_multistream_decoder_destroy(ctypes.c_void_p(dec.value))
