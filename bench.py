@@ -311,11 +311,44 @@ def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
     return min(timings), float(np.percentile(timings, 50))
 
 
+def probe_device(timeout_s=300.0):
+    """Fail fast when the TPU tunnel is down.
+
+    Backend init (`jax.devices()`) through a dead tunnel hangs for
+    tens of minutes with no output; bound it so a broken transport
+    yields a clear non-zero exit instead of a silent stall. The
+    probe runs in a daemon thread because a hung PJRT client call
+    cannot be interrupted — on timeout the process hard-exits.
+    """
+    import threading
+
+    devs = []
+
+    def _probe():
+        import jax
+
+        devs.append(jax.devices())
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not devs:
+        log(f"FATAL: jax.devices() did not return within "
+            f"{timeout_s:.0f}s — TPU tunnel down/unreachable; "
+            f"no measurement possible")
+        import os
+
+        os._exit(3)
+    log(f"devices: {devs[0]}")
+
+
 def main():
     from audio_processor_tpu.config import PipelineConfig
     from audio_processor_tpu.pipeline.asr_engine import ASREngine
     from audio_processor_tpu.pipeline.sentiment import SentimentAnalyzer
     from audio_processor_tpu.utils.system import enable_compilation_cache
+
+    probe_device()
 
     # Compiles through this image's tunnel are ~10x slower than cached
     # reloads; persist them so repeat benches spend time measuring,
