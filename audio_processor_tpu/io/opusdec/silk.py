@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
+
 from audio_processor_tpu.io.opusdec import _tables as T
 from audio_processor_tpu.io.opusdec.fixp import (
     add_sat32, div32_16, div32_varQ, inverse32_varQ, log2lin,
@@ -480,12 +482,22 @@ class ChannelState:
         d = self.lpc_order
         src = self.out_buf
         base = start_idx + in_offset
-        for ix in range(d, length):
-            acc = 0
-            for j in range(d):
-                acc += smulbb(src[base + ix - 1 - j], a_q12[j])
-            v = wrap32((src[base + ix] << 12) - acc)
-            out[start_idx + ix] = sat16(rshift_round(v, 12))
+        # Pure FIR over int16 history: acc (<= 16 int16xint16 terms)
+        # is exact in int64, the single wrap32 lands only on the final
+        # (src<<12) - acc, and rshift_round(v, 12) is
+        # ((v>>11)+1)>>1 with arithmetic shifts — identical op for op
+        # to the scalar helpers it replaces.
+        if length > d:
+            s = np.asarray(src[base:base + length], np.int64)
+            a = np.array([to_i16(c) for c in a_q12[:d]], np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(
+                s[:length - 1], d)
+            acc = win @ a[::-1]
+            v = (s[d:] << 12) - acc
+            v = (v & 0xFFFFFFFF)
+            v -= (v >> 31) << 32          # wrap32, vectorized
+            vals = np.clip(((v >> 11) + 1) >> 1, -32768, 32767)
+            out[start_idx + d:start_idx + length] = vals.tolist()
         for ix in range(d):
             out[start_idx + ix] = 0
 

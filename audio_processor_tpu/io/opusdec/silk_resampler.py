@@ -7,10 +7,11 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
+
 from audio_processor_tpu.io.opusdec import _tables as T
 from audio_processor_tpu.io.opusdec.fixp import (rshift_round, sat16,
-                                                 smulbb, smulwb,
-                                                 smulww)
+                                                 smulwb, smulww)
 
 ORDER_FIR_12 = 8
 # delay_matrix_dec rows NB/MB/WB -> column for 48 kHz output
@@ -19,6 +20,10 @@ _INPUT_DELAY_48 = {8: 0, 12: 4, 16: 7}
 _HQ0 = [int(v) for v in T.SILK_UP2_HQ_0]
 _HQ1 = [int(v) for v in T.SILK_UP2_HQ_1]
 _FIR = [[int(v) for v in row] for row in T.SILK_RESAMPLER_FRAC_FIR_12]
+# Row t of the full 8-tap kernel: FIR[t][0..3] ++ reversed(FIR[11-t]).
+# Precomputed so the interpolation loop is one [n, 8] x [8] product.
+_FIR_FULL = np.array(
+    [_FIR[t] + _FIR[11 - t][::-1] for t in range(12)], np.int64)
 
 
 def _up2_hq(S: List[int], x_in: List[int]) -> List[int]:
@@ -88,18 +93,25 @@ class SilkResampler:
             up = _up2_hq(self.s_iir, x_in[pos:pos + n])
             buf = buf[:ORDER_FIR_12] + up
             max_index_q16 = n << 17
-            index_q16 = 0
-            while index_q16 < max_index_q16:
-                table_index = smulwb(index_q16 & 0xFFFF, 12)
-                base = index_q16 >> 16
-                c = _FIR[table_index]
-                cr = _FIR[11 - table_index]
-                res = (buf[base] * c[0] + buf[base + 1] * c[1]
-                       + buf[base + 2] * c[2] + buf[base + 3] * c[3]
-                       + buf[base + 4] * cr[3] + buf[base + 5] * cr[2]
-                       + buf[base + 6] * cr[1] + buf[base + 7] * cr[0])
-                out.append(sat16(rshift_round(res, 15)))
-                index_q16 += self.inv_ratio_q16
+            # Vectorized interpolation: for sample j, index_q16 =
+            # j*inv_ratio_q16, table_index = smulwb(frac, 12) =
+            # (frac*12)>>16, and the 8-tap dot is exact in int64
+            # (int16 history x int16 taps, 8 terms). rshift_round for
+            # shift 15 is ((res>>14)+1)>>1 with arithmetic shifts —
+            # identical op for op to the scalar helpers.
+            count = (max_index_q16 + self.inv_ratio_q16
+                     - 1) // self.inv_ratio_q16
+            if count:
+                idx = np.arange(count, dtype=np.int64) \
+                    * self.inv_ratio_q16
+                ti = ((idx & 0xFFFF) * 12) >> 16
+                base = (idx >> 16).astype(np.intp)
+                buf_np = np.asarray(buf, np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    buf_np, ORDER_FIR_12)[base]
+                res = (win * _FIR_FULL[ti]).sum(axis=1)
+                vals = np.clip(((res >> 14) + 1) >> 1, -32768, 32767)
+                out.extend(vals.tolist())
             pos += n
             remaining -= n
             tail = buf[n << 1:(n << 1) + ORDER_FIR_12]
