@@ -10,15 +10,16 @@ from typing import List
 import numpy as np
 
 from audio_processor_tpu.io.opusdec import _tables as T
-from audio_processor_tpu.io.opusdec.fixp import (rshift_round, sat16,
-                                                 smulwb, smulww)
+from audio_processor_tpu.io.opusdec.fixp import smulww, to_i16
 
 ORDER_FIR_12 = 8
 # delay_matrix_dec rows NB/MB/WB -> column for 48 kHz output
 _INPUT_DELAY_48 = {8: 0, 12: 4, 16: 7}
 
-_HQ0 = [int(v) for v in T.SILK_UP2_HQ_0]
-_HQ1 = [int(v) for v in T.SILK_UP2_HQ_1]
+# to_i16 at load so the inlined (Y*c)>>16 sees the same int16
+# coefficient smulwb would have truncated to.
+_HQ0 = [to_i16(int(v)) for v in T.SILK_UP2_HQ_0]
+_HQ1 = [to_i16(int(v)) for v in T.SILK_UP2_HQ_1]
 _FIR = [[int(v) for v in row] for row in T.SILK_RESAMPLER_FRAC_FIR_12]
 # Row t of the full 8-tap kernel: FIR[t][0..3] ++ reversed(FIR[11-t]).
 # Precomputed so the interpolation loop is one [n, 8] x [8] product.
@@ -27,39 +28,48 @@ _FIR_FULL = np.array(
 
 
 def _up2_hq(S: List[int], x_in: List[int]) -> List[int]:
-    """silk_resampler_private_up2_HQ: 2x upsample, Q10 state S[6]."""
+    """silk_resampler_private_up2_HQ: 2x upsample, Q10 state S[6].
+
+    smlawb is inlined as (Y*c)>>16, which equals
+    (Y>>16)*c + ((Y&0xFFFF)*c)>>16 for every int Y and int16 c
+    ((h*2^16 + l)*c >> 16 splits exactly because h*c*2^16 is an
+    exact multiple of the divisor) — this sample-serial allpass
+    chain is the decoder's remaining scalar hot loop.
+    """
     out = [0] * (2 * len(x_in))
     s0, s1, s2, s3, s4, s5 = S
+    c00, c01, c02 = _HQ0
+    c10, c11, c12 = _HQ1
     for k, v in enumerate(x_in):
         in32 = v << 10
         # even sample: three all-pass sections
-        Y = in32 - s0
-        X = smulwb(Y, _HQ0[0])
+        X = ((in32 - s0) * c00) >> 16
         out1 = s0 + X
         s0 = in32 + X
-        Y = out1 - s1
-        X = smulwb(Y, _HQ0[1])
+        X = ((out1 - s1) * c01) >> 16
         out2 = s1 + X
         s1 = out1 + X
         Y = out2 - s2
-        X = Y + smulwb(Y, _HQ0[2])
+        X = Y + ((Y * c02) >> 16)
         out1 = s2 + X
         s2 = out2 + X
-        out[2 * k] = sat16(rshift_round(out1, 10))
+        o = (out1 >> 9) + 1 >> 1
+        out[2 * k] = 32767 if o > 32767 else (-32768 if o < -32768
+                                              else o)
         # odd sample
-        Y = in32 - s3
-        X = smulwb(Y, _HQ1[0])
+        X = ((in32 - s3) * c10) >> 16
         out1 = s3 + X
         s3 = in32 + X
-        Y = out1 - s4
-        X = smulwb(Y, _HQ1[1])
+        X = ((out1 - s4) * c11) >> 16
         out2 = s4 + X
         s4 = out1 + X
         Y = out2 - s5
-        X = Y + smulwb(Y, _HQ1[2])
+        X = Y + ((Y * c12) >> 16)
         out1 = s5 + X
         s5 = out2 + X
-        out[2 * k + 1] = sat16(rshift_round(out1, 10))
+        o = (out1 >> 9) + 1 >> 1
+        out[2 * k + 1] = 32767 if o > 32767 else (-32768 if o < -32768
+                                                  else o)
     S[:] = [s0, s1, s2, s3, s4, s5]
     return out
 
