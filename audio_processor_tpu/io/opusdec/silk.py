@@ -420,33 +420,34 @@ class ChannelState:
                             gain_adj_q16,
                             sltp_q15[sltp_buf_idx - i - 1])
 
-            # The LTP/LPC synthesis loops below inline smlawb
-            # (pred += (s>>16)*b16 + ((s&0xFFFF)*b16 >> 16)) with the
-            # int16 coefficients precomputed once per subframe: these
-            # two loops account for most of the fallback decoder's
-            # time and the helper-call overhead dominated it. The
-            # integer arithmetic is identical op for op.
+            # The LTP/LPC synthesis loops below inline smlawb as
+            # pred += (s*b16)>>16, exactly equal to the reference's
+            # (s>>16)*b16 + ((s&0xFFFF)*b16)>>16 for every int s and
+            # int16 b16 ((h*2^16+l)*b >> 16 splits exactly because
+            # h*b*2^16 is a multiple of the divisor). Saturation /
+            # wrapping epilogues are inlined too: these two
+            # sample-serial recurrences are the fallback decoder's
+            # hottest loops and helper-call overhead dominated them.
             if signal_type == TYPE_VOICED:
                 pres_q14 = [0] * self.subfr_length
                 pred_lag = sltp_buf_idx - lag + LTP_ORDER // 2
-                bt = [to_i16(b) for b in b_q14]
-                b0, b1, b2, b3, b4 = bt
+                b0, b1, b2, b3, b4 = [to_i16(b) for b in b_q14]
                 for i in range(self.subfr_length):
-                    s0 = sltp_q15[pred_lag + i]
-                    s1 = sltp_q15[pred_lag + i - 1]
-                    s2 = sltp_q15[pred_lag + i - 2]
-                    s3 = sltp_q15[pred_lag + i - 3]
-                    s4 = sltp_q15[pred_lag + i - 4]
+                    pl = pred_lag + i
                     p = (2
-                         + (s0 >> 16) * b0 + (((s0 & 0xFFFF) * b0) >> 16)
-                         + (s1 >> 16) * b1 + (((s1 & 0xFFFF) * b1) >> 16)
-                         + (s2 >> 16) * b2 + (((s2 & 0xFFFF) * b2) >> 16)
-                         + (s3 >> 16) * b3 + (((s3 & 0xFFFF) * b3) >> 16)
-                         + (s4 >> 16) * b4 + (((s4 & 0xFFFF) * b4) >> 16))
+                         + ((sltp_q15[pl] * b0) >> 16)
+                         + ((sltp_q15[pl - 1] * b1) >> 16)
+                         + ((sltp_q15[pl - 2] * b2) >> 16)
+                         + ((sltp_q15[pl - 3] * b3) >> 16)
+                         + ((sltp_q15[pl - 4] * b4) >> 16))
                     # silk_ADD_LSHIFT32 / silk_LSHIFT: wrapping int32
-                    pres_q14[i] = wrap32(exc_q14[pexc_base + i]
-                                         + (p << 1))
-                    sltp_q15[sltp_buf_idx] = wrap32(pres_q14[i] << 1)
+                    w = (exc_q14[pexc_base + i]
+                         + (p << 1)) & 0xFFFFFFFF
+                    w = w - 0x100000000 if w >= 0x80000000 else w
+                    pres_q14[i] = w
+                    w = (w << 1) & 0xFFFFFFFF
+                    sltp_q15[sltp_buf_idx] = \
+                        w - 0x100000000 if w >= 0x80000000 else w
                     sltp_buf_idx += 1
             else:
                 pres_q14 = exc_q14[pexc_base:
@@ -455,17 +456,31 @@ class ChannelState:
             order = self.lpc_order
             a16 = [to_i16(a) for a in a_q12[:order]]
             rng_j = range(order)
+            # smulww(v, gain_q10) = ((v*g16)>>16) + v*gh with both
+            # gain parts constant per subframe.
+            g16 = to_i16(gain_q10)
+            gh = rshift_round(gain_q10, 16)
+            xq_base = k * self.subfr_length
             for i in range(self.subfr_length):
                 pred = order >> 1
                 st = MAX_LPC_ORDER + i
                 for j in rng_j:
-                    s_ = slpc[st - 1 - j]
-                    bj = a16[j]
-                    pred += (s_ >> 16) * bj + (((s_ & 0xFFFF) * bj) >> 16)
-                v = add_sat32(pres_q14[i], lshift_sat32(pred, 4))
+                    pred += (slpc[st - 1 - j] * a16[j]) >> 16
+                # add_sat32(pres, lshift_sat32(pred, 4)), inline
+                if pred > 0x07FFFFFF:
+                    pred = 0x07FFFFFF
+                elif pred < -0x08000000:
+                    pred = -0x08000000
+                v = pres_q14[i] + (pred << 4)
+                if v > 0x7FFFFFFF:
+                    v = 0x7FFFFFFF
+                elif v < -0x80000000:
+                    v = -0x80000000
                 slpc[st] = v
-                xq[k * self.subfr_length + i] = sat16(
-                    rshift_round(smulww(v, gain_q10), 8))
+                # sat16(rshift_round(smulww(v, gain_q10), 8))
+                o = (((((v * g16) >> 16) + v * gh) >> 7) + 1) >> 1
+                xq[xq_base + i] = 32767 if o > 32767 else \
+                    (-32768 if o < -32768 else o)
             slpc[:MAX_LPC_ORDER] = slpc[self.subfr_length:
                                         self.subfr_length
                                         + MAX_LPC_ORDER]
