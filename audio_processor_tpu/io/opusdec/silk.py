@@ -355,18 +355,26 @@ class ChannelState:
         nlsf_interp_flag = ind["interp_q2"] < 4
         rand_seed = ind["seed"]
         exc_q14 = [0] * L
+        adj = QUANT_LEVEL_ADJUST_Q10 << 4
+        off = offset_q10 << 4
+        # silk_rand + wrap32 inlined (RAND(seed) = 907633515 +
+        # seed*196314165 mod 2^32, sign read from the wrapped value).
         for i in range(L):
-            rand_seed = silk_rand(rand_seed)
-            v = pulses[i] << 14
+            p = pulses[i]
+            rand_seed = (907633515
+                         + rand_seed * 196314165) & 0xFFFFFFFF
+            v = p << 14
             if v > 0:
-                v -= QUANT_LEVEL_ADJUST_Q10 << 4
+                v -= adj
             elif v < 0:
-                v += QUANT_LEVEL_ADJUST_Q10 << 4
-            v += offset_q10 << 4
-            if rand_seed < 0:
+                v += adj
+            v += off
+            if rand_seed >= 0x80000000:
                 v = -v
             exc_q14[i] = v
-            rand_seed = wrap32(rand_seed + pulses[i])
+            # mod-2^32 arithmetic is representation-independent: the
+            # next wrap re-masks, so no signed conversion is needed.
+            rand_seed = (rand_seed + p) & 0xFFFFFFFF
         self.exc_q14 = exc_q14
 
         xq = [0] * L
@@ -603,25 +611,33 @@ class StereoState:
         delta1 = rshift_round(
             smulbb(pred_q13[1] - self.pred_prev_q13[1], denom), 16)
         interp_len = STEREO_INTERP_LEN_MS * fs_khz
-        for n in range(interp_len):
-            pred0 += delta0
-            pred1 += delta1
-            s = ((x1[n] + x1[n + 2] + (x1[n + 1] << 1)) << 9)
-            s = smlawb(x2[n + 1] << 8, s, pred0)
-            s = smlawb(s, x1[n + 1] << 11, pred1)
-            x2[n + 1] = sat16(rshift_round(s, 8))
-        pred0, pred1 = pred_q13
-        for n in range(interp_len, frame_length):
-            s = ((x1[n] + x1[n + 2] + (x1[n + 1] << 1)) << 9)
-            s = smlawb(x2[n + 1] << 8, s, pred0)
-            s = smlawb(s, x1[n + 1] << 11, pred1)
-            x2[n + 1] = sat16(rshift_round(s, 8))
+        # No feedback anywhere (x2[n+1] is read only at its own n,
+        # x1 only after both prediction loops), so the whole unmix
+        # vectorizes: per-sample predictors are pred_prev + (n+1)*
+        # delta during the interp phase and the target weights after;
+        # smlawb(a, b, c) = a + (b*to_i16(c))>>16 exactly, sums fit
+        # int64, and the rounding/saturation epilogues apply
+        # elementwise.
+        x1a = np.asarray(x1[:frame_length + 2], np.int64)
+        mid = x1a[1:-1]
+        mid3 = (x1a[:-2] + x1a[2:] + (mid << 1)) << 9
+        x2a = np.asarray(x2[1:frame_length + 1], np.int64)
+        p0 = np.full(frame_length, pred_q13[0], np.int64)
+        p1 = np.full(frame_length, pred_q13[1], np.int64)
+        if interp_len:
+            steps = np.arange(1, interp_len + 1, dtype=np.int64)
+            p0[:interp_len] = pred0 + steps * delta0
+            p1[:interp_len] = pred1 + steps * delta1
+        p0 = ((p0 & 0xFFFF) ^ 0x8000) - 0x8000   # to_i16
+        p1 = ((p1 & 0xFFFF) ^ 0x8000) - 0x8000
+        s = (x2a << 8) + ((mid3 * p0) >> 16) \
+            + (((mid << 11) * p1) >> 16)
+        side = np.clip(((s >> 7) + 1) >> 1, -32768, 32767)
         self.pred_prev_q13 = list(pred_q13)
-        for n in range(frame_length):
-            ssum = x1[n + 1] + x2[n + 1]
-            sdiff = x1[n + 1] - x2[n + 1]
-            x1[n + 1] = sat16(ssum)
-            x2[n + 1] = sat16(sdiff)
+        x1[1:frame_length + 1] = np.clip(
+            mid + side, -32768, 32767).tolist()
+        x2[1:frame_length + 1] = np.clip(
+            mid - side, -32768, 32767).tolist()
 
 
 # --------------------------------------------------------------------
