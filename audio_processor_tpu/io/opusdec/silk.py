@@ -16,8 +16,8 @@ import numpy as np
 
 from audio_processor_tpu.io.opusdec import _tables as T
 from audio_processor_tpu.io.opusdec.fixp import (
-    add_sat32, div32_16, div32_varQ, inverse32_varQ, log2lin,
-    lshift_sat32, rshift_round, sat16, silk_rand, smlabb, smlawb,
+    div32_16, div32_varQ, inverse32_varQ, log2lin,
+    rshift_round, smlabb, smlawb,
     smulbb, smulwb, smulww, to_i16, wrap32)
 from audio_processor_tpu.io.opusdec.rangedec import RangeDecoder
 from audio_processor_tpu.io.opusdec.silk_plc import (CNGState, PLCState,
