@@ -150,9 +150,15 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
                 return _decode_via_ffmpeg(p)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
-            out = nat.decode_vorbis(p)
-            if out is not None:
-                return np.clip(out[0], -1.0, 1.0), out[1]
+            # The C++ fast path decodes one logical stream; chained
+            # files (RFC 3533 §3 concatenation) go to the Python
+            # decoder, which appends the chains like ffmpeg does.
+            from audio_processor_tpu.io.ogg import chain_segments
+            if len(chain_segments(Path(p).read_bytes(),
+                                  b"\x01vorbis")) == 1:
+                out = nat.decode_vorbis(p)
+                if out is not None:
+                    return np.clip(out[0], -1.0, 1.0), out[1]
         try:
             from audio_processor_tpu.io.vorbis import decode_vorbis
 

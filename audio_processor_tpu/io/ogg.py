@@ -31,6 +31,46 @@ def _first_packet(data: bytes) -> Optional[bytes]:
     return data[start:start + payload_len]
 
 
+def chain_segments(data: bytes, bos_magic: bytes) -> list:
+    """Split a possibly-chained Ogg byte stream (RFC 3533 §3:
+    complete logical streams concatenated end to end) into one byte
+    segment per chain of the codec identified by ``bos_magic``
+    (b"OpusHead" / b"\\x01vorbis").
+
+    A chain boundary is a BOS page whose first packet carries the
+    magic, arriving after the current chain has produced at least one
+    data page — BOS pages seen before any data page are *grouped*
+    (concurrent) streams, which per-segment parsers skip by serial.
+    ffmpeg (the reference's decode mechanism,
+    services/audio_processor.py:76-86) plays chains seamlessly."""
+    bounds = []
+    pos, n = 0, len(data)
+    seen_data = False
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != _CAPTURE:
+            pos += 1
+            continue
+        header_type = data[pos + 5]
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + n_segs]
+        body = pos + 27 + n_segs
+        first = data[body:body + (seg_table[0] if n_segs else 0)]
+        if (header_type & 0x2) and first.startswith(bos_magic):
+            if seen_data:
+                bounds.append(pos)
+                seen_data = False
+        elif not (header_type & 0x2):
+            seen_data = True
+        pos = body + sum(seg_table)
+    segs = []
+    prev = 0
+    for b in bounds:
+        segs.append(data[prev:b])
+        prev = b
+    segs.append(data[prev:])
+    return segs
+
+
 def _last_granule(data: bytes) -> Optional[int]:
     """Granule position of the last OGG page in the buffer."""
     idx = data.rfind(_CAPTURE)

@@ -305,19 +305,33 @@ def _finish(pcm: np.ndarray, head: OpusHead) -> np.ndarray:
     return np.ascontiguousarray(np.clip(pcm.T, -1.0, 1.0))
 
 
-def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
-    """Decode an Ogg/Opus file or byte buffer.
+def _chain_segments(data: bytes) -> List[bytes]:
+    """One byte segment per Opus chain (RFC 7845 §4); see
+    io/ogg.py chain_segments for the boundary rule."""
+    from audio_processor_tpu.io.ogg import chain_segments
+    return chain_segments(data, b"OpusHead")
 
-    Returns ([channels, frames] float32 in [-1, 1], 48000), with
-    RFC 7845 pre-skip dropped, the tail trimmed to the final page's
-    granule position, and the header output gain applied.
-    """
-    if isinstance(path_or_bytes, (str, Path)):
-        data = Path(path_or_bytes).read_bytes()
-    else:
-        data = bytes(path_or_bytes)
+
+def _conform_channels(pcm: np.ndarray, ch: int) -> np.ndarray:
+    """Match a later chain's [C, N] output to the first chain's
+    channel count: duplicate mono up, average down."""
+    c = pcm.shape[0]
+    if c == ch:
+        return pcm
+    if c == 1:
+        return np.repeat(pcm, ch, axis=0)
+    if ch == 1:
+        return np.ascontiguousarray(
+            pcm.mean(axis=0, keepdims=True).astype(pcm.dtype))
+    if c > ch:
+        return np.ascontiguousarray(pcm[:ch])
+    return np.concatenate(
+        [pcm, np.repeat(pcm[-1:], ch - c, axis=0)], axis=0)
+
+
+def _decode_chain(data: bytes) -> np.ndarray:
+    """One logical Opus stream -> [C, N] float32 (trimmed, gained)."""
     head, packets = _parse_stream(data)
-
     dec = _make_decoder(head)
     try:
         parts: List[np.ndarray] = []
@@ -338,7 +352,30 @@ def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
     end = pcm.shape[0]
     if last_granule is not None:
         end = min(end, last_granule)
-    return _finish(pcm[start:end], head), _SR
+    return _finish(pcm[start:end], head)
+
+
+def decode_opus(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """Decode an Ogg/Opus file or byte buffer.
+
+    Returns ([channels, frames] float32 in [-1, 1], 48000), with
+    RFC 7845 pre-skip dropped, the tail trimmed to the final page's
+    granule position, and the header output gain applied. Chained
+    streams decode end to end (each chain applies its own pre-skip/
+    granule trim and gain; later chains are channel-conformed to the
+    first)."""
+    if isinstance(path_or_bytes, (str, Path)):
+        data = Path(path_or_bytes).read_bytes()
+    else:
+        data = bytes(path_or_bytes)
+    segs = _chain_segments(data)
+    out = _decode_chain(segs[0])
+    if len(segs) == 1:
+        return out, _SR
+    chained = [out] + [
+        _conform_channels(_decode_chain(s), out.shape[0])
+        for s in segs[1:]]
+    return np.ascontiguousarray(np.concatenate(chained, axis=1)), _SR
 
 
 def decode_opus_stream(path_or_bytes):
@@ -347,18 +384,22 @@ def decode_opus_stream(path_or_bytes):
     Concatenating the blocks equals decode_opus exactly; peak memory
     is one packet's PCM. Pre-skip / end-granule trims are applied per
     block in raw-sample coordinates (granules come from a header-only
-    page scan before any decode)."""
+    page scan before any decode). Chained streams yield each chain's
+    blocks in sequence, channel-conformed to the first chain."""
     if isinstance(path_or_bytes, (str, Path)):
         data = Path(path_or_bytes).read_bytes()
     else:
         data = bytes(path_or_bytes)
-    head, packets = _parse_stream(data)
-    last_granule = None
-    for _, g in packets:
-        if g is not None and g >= 0:
-            last_granule = g
+    segs = _chain_segments(data)
+    first_head, _ = _parse_stream(segs[0])
+    out_ch = first_head.channels
 
-    def gen():
+    def chain_gen(seg):
+        head, packets = _parse_stream(seg)
+        last_granule = None
+        for _, g in packets:
+            if g is not None and g >= 0:
+                last_granule = g
         dec = _make_decoder(head)
         try:
             pos = 0                      # raw samples decoded so far
@@ -370,9 +411,14 @@ def decode_opus_stream(path_or_bytes):
                     hi = min(hi, max(0, last_granule - pos))
                 pos += pcm.shape[0]
                 if lo < hi:
-                    yield _finish(pcm[lo:hi], head)
+                    yield _conform_channels(
+                        _finish(pcm[lo:hi], head), out_ch)
         finally:
             dec.close()
+
+    def gen():
+        for seg in segs:
+            yield from chain_gen(seg)
 
     return _SR, gen()
 
@@ -397,6 +443,16 @@ def decode_opus_range(path_or_bytes, start_sample: int,
         data = Path(path_or_bytes).read_bytes()
     else:
         data = bytes(path_or_bytes)
+    segs = _chain_segments(data)
+    if len(segs) > 1:
+        # Chained file: TOC-index seeking assumes one contiguous
+        # packet timeline, so fall back to a full decode + slice
+        # (correct, linear cost; chained seeks are an exotic case).
+        full, _ = decode_opus(data)
+        stop = full.shape[1] if num_samples is None \
+            else min(full.shape[1], max(0, start_sample) + num_samples)
+        lo = min(max(0, start_sample), stop)
+        return np.ascontiguousarray(full[:, lo:stop]), _SR
     head, packets = _parse_stream(data)
     lib = _load()
 

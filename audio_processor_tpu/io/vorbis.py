@@ -895,13 +895,54 @@ def _last_granule_position(data: bytes) -> Optional[int]:
     return None
 
 
+def _chain_segments(data: bytes) -> list:
+    """One byte segment per Vorbis chain (RFC 3533 §3 concatenation);
+    see io/ogg.py chain_segments for the boundary rule."""
+    from audio_processor_tpu.io.ogg import chain_segments
+    return chain_segments(data, b"\x01vorbis")
+
+
+def _conform_channels(pcm: np.ndarray, ch: int) -> np.ndarray:
+    """Match a later chain's [C, N] block to the first chain's
+    channel count: duplicate mono up, average down."""
+    c = pcm.shape[0]
+    if c == ch:
+        return pcm
+    if c == 1:
+        return np.repeat(pcm, ch, axis=0)
+    if ch == 1:
+        return np.ascontiguousarray(
+            pcm.mean(axis=0, keepdims=True).astype(pcm.dtype))
+    if c > ch:
+        return np.ascontiguousarray(pcm[:ch])
+    return np.concatenate(
+        [pcm, np.repeat(pcm[-1:], ch - c, axis=0)], axis=0)
+
+
 def decode_vorbis(path_or_bytes) -> Tuple[np.ndarray, int]:
-    """Decode an Ogg/Vorbis file -> ([C, T] float32 in [-1, 1], rate)."""
+    """Decode an Ogg/Vorbis file -> ([C, T] float32 in [-1, 1], rate).
+
+    Chained streams decode end to end at the first chain's sample
+    rate (a rate change mid-chain raises — the pipeline's resampler
+    keys on one rate per file); later chains are channel-conformed
+    to the first."""
     if isinstance(path_or_bytes, (str, Path)):
         data = Path(path_or_bytes).read_bytes()
     else:
         data = bytes(path_or_bytes)
-    return VorbisDecoder(data).decode()
+    segs = _chain_segments(data)
+    out, rate = VorbisDecoder(segs[0]).decode()
+    if len(segs) == 1:
+        return out, rate
+    parts = [out]
+    for seg in segs[1:]:
+        nxt, r2 = VorbisDecoder(seg).decode()
+        if r2 != rate:
+            raise ValueError(
+                f"chained Vorbis sample-rate change {rate} -> {r2} "
+                f"not supported")
+        parts.append(_conform_channels(nxt, out.shape[0]))
+    return np.ascontiguousarray(np.concatenate(parts, axis=1)), rate
 
 
 def decode_vorbis_stream(path_or_bytes, start_sample: int = 0,
@@ -914,8 +955,37 @@ def decode_vorbis_stream(path_or_bytes, start_sample: int = 0,
         data = Path(path_or_bytes).read_bytes()
     else:
         data = bytes(path_or_bytes)
-    dec = VorbisDecoder(data)
-    return dec.setup.sample_rate, dec.stream(start_sample, end_sample)
+    segs = _chain_segments(data)
+    if len(segs) == 1:
+        dec = VorbisDecoder(data)
+        return dec.setup.sample_rate, dec.stream(start_sample,
+                                                 end_sample)
+    first = VorbisDecoder(segs[0])
+    rate, ch = first.setup.sample_rate, first.setup.channels
+    if start_sample == 0 and end_sample is None:
+        def gen():
+            for i, seg in enumerate(segs):
+                dec = first if i == 0 else VorbisDecoder(seg)
+                if dec.setup.sample_rate != rate:
+                    raise ValueError(
+                        "chained Vorbis sample-rate change "
+                        f"{rate} -> {dec.setup.sample_rate} "
+                        "not supported")
+                for block in dec.stream(0, None):
+                    yield _conform_channels(block, ch)
+        return rate, gen()
+    # Seek into a chained file: granule indexing is per chain, so
+    # fall back to a full decode + slice in one block (correct,
+    # linear cost; chained seeks are an exotic case).
+    full, _ = decode_vorbis(data)
+    stop = full.shape[1] if end_sample is None \
+        else min(full.shape[1], end_sample)
+    lo = min(max(0, start_sample), stop)
+
+    def one():
+        if stop > lo:
+            yield np.ascontiguousarray(full[:, lo:stop])
+    return rate, one()
 
 
 def decode_vorbis_range(path_or_bytes, start_sample: int,
@@ -932,10 +1002,10 @@ def decode_vorbis_range(path_or_bytes, start_sample: int,
         data = Path(path_or_bytes).read_bytes()
     else:
         data = bytes(path_or_bytes)
-    dec = VorbisDecoder(data)
     end = None if num_samples is None else start_sample + num_samples
-    out = list(dec.stream(start_sample, end))
+    rate, blocks = decode_vorbis_stream(data, start_sample, end)
+    out = list(blocks)
     if not out:
-        return (np.zeros((dec.setup.channels, 0), np.float32),
-                dec.setup.sample_rate)
-    return np.concatenate(out, axis=1), dec.setup.sample_rate
+        ch = VorbisDecoder(_chain_segments(data)[0]).setup.channels
+        return np.zeros((ch, 0), np.float32), rate
+    return np.concatenate(out, axis=1), rate

@@ -280,3 +280,50 @@ def test_multistream_mapping_family255(monkeypatch):
     assert rate_fb == SR and out_fb.shape == out.shape
     np.testing.assert_allclose(out_fb[:2], ref, atol=2e-4)
     assert not out_fb[2].any()
+
+
+def test_chained_streams_decode_end_to_end():
+    """RFC 7845 section 4 chains (concatenated logical streams — the
+    reference's ffmpeg mechanism plays these seamlessly): decode_opus
+    appends the chains, each with its own pre-skip/granule trim."""
+    pcm1 = _sine_pcm(SR // 2, 2)
+    pcm2 = _sine_pcm(SR // 4, 2, freqs=(880.0, 660.0))
+    a = encode_ogg_opus(pcm1, 2)
+    b = encode_ogg_opus(pcm2, 2)
+    ref_a, _ = opus_mod.decode_opus(a)
+    ref_b, _ = opus_mod.decode_opus(b)
+
+    out, rate = opus_mod.decode_opus(a + b)
+    assert rate == SR
+    assert out.shape == (2, ref_a.shape[1] + ref_b.shape[1])
+    np.testing.assert_array_equal(out[:, :ref_a.shape[1]], ref_a)
+    np.testing.assert_array_equal(out[:, ref_a.shape[1]:], ref_b)
+
+    # Streaming path yields the identical concatenation.
+    rate2, blocks = opus_mod.decode_opus_stream(a + b)
+    streamed = np.concatenate(list(blocks), axis=1)
+    np.testing.assert_array_equal(streamed, out)
+
+    # Range decode on a chained file: full-decode fallback slice.
+    lo = ref_a.shape[1] - 100
+    piece, _ = opus_mod.decode_opus_range(a + b, lo, 200)
+    np.testing.assert_array_equal(piece, out[:, lo:lo + 200])
+
+
+def test_chained_streams_channel_conform():
+    """A mono chain after a stereo chain duplicates up to stereo;
+    grouped (concurrent) BOS pages are NOT treated as chains."""
+    st = encode_ogg_opus(_sine_pcm(SR // 4, 2), 2)
+    mo = encode_ogg_opus(_sine_pcm(SR // 4, 1), 1)
+    ref_st, _ = opus_mod.decode_opus(st)
+    ref_mo, _ = opus_mod.decode_opus(mo)
+
+    out, _ = opus_mod.decode_opus(st + mo)
+    assert out.shape[0] == 2
+    tail = out[:, ref_st.shape[1]:]
+    np.testing.assert_array_equal(tail[0], ref_mo[0])
+    np.testing.assert_array_equal(tail[1], ref_mo[0])
+
+    # Single stream must still decode identically (1 segment).
+    again, _ = opus_mod.decode_opus(st)
+    np.testing.assert_array_equal(again, ref_st)

@@ -622,3 +622,48 @@ def test_granule_trim_across_multiple_blocks(tmp_path):
         assert sr_c == sr
         assert pcm_c.shape == pcm.shape
         np.testing.assert_array_equal(pcm_c, pcm)
+
+
+def test_chained_vorbis_streams():
+    """RFC 3533 section 3 chains (complete logical streams
+    concatenated — the reference's ffmpeg mechanism plays these
+    seamlessly): decode_vorbis appends the chains; the streaming and
+    range paths agree; same- and different-serial chains both work."""
+    from audio_processor_tpu.io.vorbis import (decode_vorbis,
+                                               decode_vorbis_range,
+                                               decode_vorbis_stream)
+    from tests.vorbis_encoder import make_stereo_stream
+
+    s1 = make_stereo_stream(n_packets=12, seed=11)
+    s2 = make_stereo_stream(n_packets=10, seed=22)          # same serial
+    s3 = make_stereo_stream(n_packets=8, seed=33, serial=0x99)
+
+    ref = [decode_vorbis(s)[0] for s in (s1, s2, s3)]
+    data = s1 + s2 + s3
+    out, rate = decode_vorbis(data)
+    expected = np.concatenate(ref, axis=1)
+    assert out.shape == expected.shape
+    np.testing.assert_array_equal(out, expected)
+
+    rate2, blocks = decode_vorbis_stream(data)
+    assert rate2 == rate
+    np.testing.assert_array_equal(np.concatenate(list(blocks), axis=1),
+                                  out)
+
+    lo = ref[0].shape[1] - 50
+    piece, _ = decode_vorbis_range(data, lo, 120)
+    np.testing.assert_array_equal(piece, out[:, lo:lo + 120])
+
+    # load_audio_bytes-level dispatch must also append chains (the
+    # native fast path is single-chain and must be bypassed).
+    import tempfile, os
+    from audio_processor_tpu.io.decode import load_audio
+    with tempfile.NamedTemporaryFile(suffix=".ogg", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        pcm, r = load_audio(path)
+        assert r == rate
+        assert pcm.shape[1] == out.shape[1]
+    finally:
+        os.unlink(path)
