@@ -86,6 +86,11 @@ def _last_granule(data: bytes) -> Optional[int]:
 
 
 def probe_ogg(path: str | Path) -> Optional[AudioInfo]:
+    """Cheap probe: 64 KiB head + 64 KiB tail only. For chained
+    files, num_frames reflects the LAST chain's granule (an
+    undercount) — deliberate: scan validation needs channels and
+    non-emptiness, not exact duration, and a chain-aware count would
+    read the whole file. decode paths handle chains fully."""
     p = Path(path)
     size = p.stat().st_size
     with open(p, "rb") as f:
