@@ -20,7 +20,31 @@ import numpy as np
 
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _g711_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 expansion LUTs for ITU-T G.711 (the telephony
+    companding used by call recorders; torchaudio/sox decode these
+    WAVs via the same tables — parity-tested against audioop)."""
+    codes = np.arange(256, dtype=np.int32)
+    # mu-law (Sun/CCITT reference decoder)
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law
+    a = codes ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return alaw, ulaw
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
 
 @dataclass(frozen=True)
@@ -29,7 +53,7 @@ class AudioInfo:
     num_frames: int
     num_channels: int
     bits_per_sample: int
-    encoding: str  # "pcm_int" | "pcm_float"
+    encoding: str  # "pcm_int" | "pcm_float" | "pcm_alaw" | "pcm_ulaw"
 
 
 class WavError(ValueError):
@@ -85,6 +109,11 @@ def _parse_header(data: bytes,
         if bits not in (32, 64):
             raise WavError(f"unsupported float bit depth {bits}")
         enc = "pcm_float"
+    elif audio_format in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
+        if bits != 8:
+            raise WavError(f"G.711 WAV must be 8-bit, got {bits}")
+        enc = "pcm_alaw" if audio_format == WAVE_FORMAT_ALAW \
+            else "pcm_ulaw"
     else:
         raise WavError(f"unsupported format tag 0x{audio_format:04x}")
     bytes_per_frame = num_channels * (bits // 8)
@@ -121,7 +150,12 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
     """Raw sample bytes -> [channels, num_frames] normalized array
     (torchaudio.load conventions)."""
     n = num_frames * ai.num_channels
-    if ai.encoding == "pcm_float":
+    if ai.encoding in ("pcm_alaw", "pcm_ulaw"):
+        table = _ALAW_TABLE if ai.encoding == "pcm_alaw" \
+            else _ULAW_TABLE
+        codes = np.frombuffer(raw, dtype=np.uint8, count=n)
+        x = table[codes].astype(dtype) / 32768.0
+    elif ai.encoding == "pcm_float":
         dt = np.float32 if ai.bits_per_sample == 32 else np.float64
         x = np.frombuffer(raw, dtype="<" + np.dtype(dt).char, count=n) \
             .astype(dtype)

@@ -332,3 +332,44 @@ def test_maybe_int16_wire():
     # non-f32 input passes through untouched
     d = np.zeros(4, np.float64)
     assert maybe_int16_wire(d) is d
+
+
+@pytest.mark.parametrize("law", ["alaw", "ulaw"])
+def test_wav_g711_matches_audioop(tmp_path, law):
+    """G.711 A-law/mu-law WAVs (telephony recorders; torchaudio/sox
+    decode them via the same ITU expansion) — oracle: audioop."""
+    import struct as _struct
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 256, size=2 * 400, dtype=np.uint8)
+    payload = codes.tobytes()
+    tag = 0x0006 if law == "alaw" else 0x0007
+    p = tmp_path / f"{law}.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + _struct.pack("<I", 36 + len(payload))
+                + b"WAVE")
+        f.write(b"fmt " + _struct.pack("<IHHIIHH", 16, tag, 2, 8000,
+                                       16000, 2, 8))
+        f.write(b"data" + _struct.pack("<I", len(payload)) + payload)
+
+    x, sr = wav.read(p)
+    assert sr == 8000 and x.shape == (2, 400)
+    ai = wav.info(p)
+    assert ai.encoding == f"pcm_{law}" and ai.num_frames == 400
+
+    fn = audioop.alaw2lin if law == "alaw" else audioop.ulaw2lin
+    ref = np.frombuffer(fn(payload, 2), dtype="<i2").astype(np.float32)
+    ref = ref.reshape(400, 2).T / 32768.0
+    np.testing.assert_array_equal(x, ref)
+
+    # read_range agrees bit-exactly with a full-read slice.
+    piece, _ = wav.read_range(p, 100, 50)
+    np.testing.assert_array_equal(piece, x[:, 100:150])
+
+    # The native fast path must decline (not mis-read) G.711.
+    if native.available():
+        assert native.read_wav(p) is None
