@@ -22,7 +22,22 @@ WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# IMA/DVI ADPCM tables (IMA ADPCM reference; audioop and sox use the
+# same bit-test expansion, parity-tested against audioop).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], np.int32)
+_IMA_INDEX_ADJ = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32)
 
 
 def _g711_tables() -> Tuple[np.ndarray, np.ndarray]:
@@ -53,7 +68,8 @@ class AudioInfo:
     num_frames: int
     num_channels: int
     bits_per_sample: int
-    encoding: str  # "pcm_int" | "pcm_float" | "pcm_alaw" | "pcm_ulaw"
+    encoding: str  # pcm_int|pcm_float|pcm_alaw|pcm_ulaw|adpcm_ima|...
+    block_align: int = 0  # container block size (ADPCM framing)
 
 
 class WavError(ValueError):
@@ -81,6 +97,7 @@ def _parse_header(data: bytes,
         raise WavError("not a RIFF/WAVE file")
     fmt = None
     data_off = data_size = None
+    fact_frames = None
     for cid, off, size in _iter_chunks(data):
         if cid == b"fmt " and size >= 16:
             (audio_format, num_channels, sample_rate, _byte_rate,
@@ -89,6 +106,9 @@ def _parse_header(data: bytes,
                 # sub-format GUID: first 2 bytes are the real format tag
                 (audio_format,) = struct.unpack_from("<H", data, off + 24)
             fmt = (audio_format, num_channels, sample_rate, block_align, bits)
+        elif cid == b"fact" and size >= 4:
+            # dwSampleLength: per-channel frame count (compressed fmts)
+            (fact_frames,) = struct.unpack_from("<I", data, off)
         elif cid == b"data":
             bound = (file_size if file_size is not None else len(data)) - off
             data_off, data_size = off, min(size, max(0, bound))
@@ -114,11 +134,31 @@ def _parse_header(data: bytes,
             raise WavError(f"G.711 WAV must be 8-bit, got {bits}")
         enc = "pcm_alaw" if audio_format == WAVE_FORMAT_ALAW \
             else "pcm_ulaw"
+    elif audio_format == WAVE_FORMAT_IMA_ADPCM:
+        if bits != 4:
+            raise WavError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        if block_align < 4 * num_channels + num_channels * 4 or \
+                block_align % (4 * num_channels):
+            raise WavError(f"bad IMA ADPCM block align {block_align}")
+        spb = (block_align - 4 * num_channels) * 2 // num_channels + 1
+        n_blocks = data_size // block_align
+        num_frames = n_blocks * spb
+        rem = data_size - n_blocks * block_align
+        if rem >= 4 * num_channels + 4 * num_channels:
+            # trailing partial block: header + whole 4-byte groups
+            num_frames += ((rem - 4 * num_channels)
+                           // (4 * num_channels)) * 8 + 1
+        if fact_frames is not None:
+            num_frames = min(num_frames, fact_frames)
+        return (AudioInfo(sample_rate, num_frames, num_channels, bits,
+                          "adpcm_ima", block_align),
+                data_off, data_size)
     else:
         raise WavError(f"unsupported format tag 0x{audio_format:04x}")
     bytes_per_frame = num_channels * (bits // 8)
     num_frames = data_size // bytes_per_frame if bytes_per_frame else 0
-    return (AudioInfo(sample_rate, num_frames, num_channels, bits, enc),
+    return (AudioInfo(sample_rate, num_frames, num_channels, bits, enc,
+                      block_align),
             data_off, num_frames * bytes_per_frame)
 
 
@@ -149,6 +189,8 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
                     dtype) -> np.ndarray:
     """Raw sample bytes -> [channels, num_frames] normalized array
     (torchaudio.load conventions)."""
+    if ai.encoding == "adpcm_ima":
+        return _decode_ima_adpcm(raw, ai, num_frames, dtype)
     n = num_frames * ai.num_channels
     if ai.encoding in ("pcm_alaw", "pcm_ulaw"):
         table = _ALAW_TABLE if ai.encoding == "pcm_alaw" \
@@ -178,6 +220,60 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
     return np.ascontiguousarray(x)
 
 
+def _decode_ima_adpcm(raw: bytes, ai: AudioInfo, num_frames: int,
+                      dtype) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV tag 0x0011) -> [C, num_frames] normalized.
+
+    Blocks are independent (each carries its own predictor/index
+    header), so the per-sample recurrence runs serial in t but
+    vectorized across ALL blocks at once. Expansion matches audioop's
+    adpcm2lin bit-test formula exactly (old step for the magnitude,
+    then index update, both clamped) — parity-tested."""
+    ch, ba = ai.num_channels, ai.block_align
+    spb = (ba - 4 * ch) * 2 // ch + 1
+    buf = np.frombuffer(raw, np.uint8)
+    n_whole = len(buf) // ba
+    rem = buf[n_whole * ba:]
+    blk = buf[:n_whole * ba].reshape(n_whole, ba)
+    if len(rem) >= 8 * ch:
+        # pad the trailing partial block; num_frames trims the excess
+        keep = 4 * ch + ((len(rem) - 4 * ch) // (4 * ch)) * (4 * ch)
+        pad = np.zeros(ba, np.uint8)
+        pad[:keep] = rem[:keep]
+        blk = np.concatenate([blk, pad[None]], axis=0)
+    B = blk.shape[0]
+    if B == 0 or num_frames == 0:
+        return np.zeros((ch, 0), dtype)
+
+    out = np.empty((ch, B, spb), np.int16)
+    hdr = blk[:, :4 * ch].reshape(B, ch, 4).astype(np.int32)
+    pred = hdr[:, :, 0] | (hdr[:, :, 1] << 8)          # [B, ch]
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    idx = np.clip(hdr[:, :, 2], 0, 88)
+    out[:, :, 0] = pred.T
+    groups = blk[:, 4 * ch:].reshape(B, -1, ch, 4)     # 4-byte words
+    lo = groups & 0x0F
+    hi = groups >> 4
+    nibs = np.stack([lo, hi], axis=-1).reshape(B, -1, ch, 8)
+    # [ch, B, spb-1] nibble streams, time-major per channel
+    nibs = nibs.transpose(2, 0, 1, 3).reshape(ch, B, -1)[:, :, :spb - 1]
+    pred = pred.T.astype(np.int32).copy()              # [ch, B]
+    idx = idx.T.astype(np.int32).copy()
+    for t in range(spb - 1):
+        n = nibs[:, :, t].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = ((step >> 3)
+                + np.where(n & 4, step, 0)
+                + np.where(n & 2, step >> 1, 0)
+                + np.where(n & 1, step >> 2, 0))
+        pred = np.clip(pred + np.where(n & 8, -diff, diff),
+                       -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJ[n & 0x0F], 0, 88)
+        out[:, :, t + 1] = pred
+    x = out.reshape(ch, B * spb)[:, :num_frames].astype(dtype) / 32768.0
+    return np.ascontiguousarray(x)
+
+
 def read_range(path: str | Path, start_frame: int,
                num_frames: Optional[int] = None,
                dtype=np.float32) -> Tuple[np.ndarray, int]:
@@ -188,11 +284,28 @@ def read_range(path: str | Path, start_frame: int,
     with open(path, "rb") as f:
         head = f.read(64 * 1024)
         ai, off, _size = _parse_header(head, file_size=file_size)
-        bpf = ai.num_channels * (ai.bits_per_sample // 8)
         start = max(0, min(start_frame, ai.num_frames))
         stop = ai.num_frames if num_frames is None \
             else min(ai.num_frames, start + max(0, num_frames))
         count = max(0, stop - start)
+        if ai.encoding == "adpcm_ima":
+            # Blocks are self-contained: fetch only the blocks
+            # covering the range and slice locally.
+            ch, ba = ai.num_channels, ai.block_align
+            spb = (ba - 4 * ch) * 2 // ch + 1
+            if count == 0:
+                return np.zeros((ch, 0), dtype), ai.sample_rate
+            b0 = start // spb
+            b1 = (stop - 1) // spb
+            f.seek(off + b0 * ba)
+            raw = f.read((b1 - b0 + 1) * ba)
+            local_total = min((b1 - b0 + 1) * spb,
+                              ai.num_frames - b0 * spb)
+            x = _convert_frames(raw, ai, local_total, dtype)
+            lo = start - b0 * spb
+            return (np.ascontiguousarray(x[:, lo:lo + count]),
+                    ai.sample_rate)
+        bpf = ai.num_channels * (ai.bits_per_sample // 8)
         f.seek(off + start * bpf)
         raw = f.read(count * bpf)
     return _convert_frames(raw, ai, count, dtype), ai.sample_rate

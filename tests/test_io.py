@@ -373,3 +373,72 @@ def test_wav_g711_matches_audioop(tmp_path, law):
     # The native fast path must decline (not mis-read) G.711.
     if native.available():
         assert native.read_wav(p) is None
+
+
+@pytest.mark.parametrize("channels,block_align", [(1, 256), (2, 512)])
+def test_wav_ima_adpcm_matches_audioop(tmp_path, channels, block_align):
+    """IMA/DVI ADPCM WAV (tag 0x0011) vs audioop.adpcm2lin driven
+    block by block with each block's header state. audioop consumes
+    nibbles HIGH-first while WAV stores LOW-first, so the oracle
+    repacks; expansion formulas are identical."""
+    import struct as _struct
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(7)
+    ch, ba = channels, block_align
+    spb = (ba - 4 * ch) * 2 // ch + 1
+    n_blocks = 5
+    blocks = []
+    for _ in range(n_blocks):
+        blk = bytearray()
+        for c in range(ch):
+            pred = int(rng.integers(-32768, 32768))
+            idx = int(rng.integers(0, 89))
+            blk += _struct.pack("<hBB", pred, idx, 0)
+        blk += bytes(rng.integers(0, 256, size=ba - 4 * ch,
+                                  dtype=np.uint8))
+        blocks.append(bytes(blk))
+    payload = b"".join(blocks)
+    total = n_blocks * spb - 3          # fact trims a few frames
+    p = tmp_path / f"ima_{ch}.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + _struct.pack("<I", 52 + len(payload))
+                + b"WAVE")
+        f.write(b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x0011, ch,
+                                       8000, 8000 * ba // (spb * ch),
+                                       ba, 4, 2, spb))
+        f.write(b"fact" + _struct.pack("<II", 4, total))
+        f.write(b"data" + _struct.pack("<I", len(payload)) + payload)
+
+    x, sr = wav.read(p)
+    assert sr == 8000 and x.shape == (ch, total)
+    ai = wav.info(p)
+    assert ai.encoding == "adpcm_ima" and ai.num_frames == total
+
+    # Oracle: per block, per channel.
+    got = np.round(x * 32768.0).astype(np.int32)
+    for b, blk in enumerate(blocks):
+        for c in range(ch):
+            pred, idx, _ = _struct.unpack_from("<hBB", blk, 4 * c)
+            data = np.frombuffer(blk[4 * ch:], np.uint8) \
+                .reshape(-1, ch, 4)[:, c].reshape(-1)
+            lo, hi = data & 0x0F, data >> 4
+            nibs = np.stack([lo, hi], -1).reshape(-1)
+            repacked = ((nibs[0::2] << 4) | nibs[1::2]) \
+                .astype(np.uint8).tobytes()
+            dec, _state = audioop.adpcm2lin(repacked, 2, (pred, idx))
+            ref = np.concatenate([
+                [pred], np.frombuffer(dec, "<i2")])[:spb]
+            start = b * spb
+            want = ref[:max(0, min(spb, total - start))]
+            np.testing.assert_array_equal(
+                got[c, start:start + len(want)], want,
+                err_msg=f"block {b} ch {c}")
+
+    piece, _ = wav.read_range(p, spb - 2, 7)
+    np.testing.assert_array_equal(piece, x[:, spb - 2:spb + 5])
+    if native.available():
+        assert native.read_wav(p) is None
