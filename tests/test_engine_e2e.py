@@ -695,3 +695,47 @@ def test_message_path_batch_failure_isolated(workspace, monkeypatch):
     orders = [m["order_message"] for m in msgs]
     assert orders == sorted(orders)
     db.close()
+
+
+def test_g711_call_flows_through_pipeline(tmp_path):
+    """A stereo A-law call at 8 kHz (telephony wire format) scans,
+    decodes and resamples through the full engine — proving the
+    companded-WAV dispatch end to end, not just the reader."""
+    import struct as _struct
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    input_dir = tmp_path / "input"
+    output_dir = tmp_path / "output"
+    input_dir.mkdir()
+    pcm = make_stereo_call(dur=4.0)          # [2, T] float at 16 kHz
+    pcm8k = pcm[:, ::2]                      # naive 8 kHz fixture
+    inter = np.clip(np.round(pcm8k.T.reshape(-1) * 32768.0),
+                    -32768, 32767).astype("<i2")
+    payload = audioop.lin2alaw(inter.tobytes(), 2)
+    p = input_dir / "call-alaw.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + _struct.pack("<I", 36 + len(payload))
+                + b"WAVE")
+        f.write(b"fmt " + _struct.pack("<IHHIIHH", 16, 0x0006, 2,
+                                       8000, 16000, 2, 8))
+        f.write(b"data" + _struct.pack("<I", len(payload)) + payload)
+
+    cfg = PipelineConfig(
+        input_folder=str(input_dir), output_folder=str(output_dir),
+        logs_folder=str(tmp_path / "logs"),
+        database_type="sqlite", db_path=str(tmp_path / "db.sqlite"),
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        save_csv_results=True, file_batch_size=2,
+    )
+    db = DatabaseManager(cfg)
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    n = proc.run()
+    assert n == 1
+    chunks = db.get_chunks_by_id_enregistrement("call-alaw")
+    assert chunks, "no chunk rows for the A-law call"
