@@ -442,3 +442,58 @@ def test_wav_ima_adpcm_matches_audioop(tmp_path, channels, block_align):
     np.testing.assert_array_equal(piece, x[:, spb - 2:spb + 5])
     if native.available():
         assert native.read_wav(p) is None
+
+
+def test_wav_header_corruption_fuzz(tmp_path):
+    """Random header/payload corruption across every format branch
+    (PCM 8/16/24/32, float, G.711, IMA ADPCM): read() must decode or
+    raise a clean error — never crash, hang, or return NaN/inf."""
+    import struct as _struct
+
+    rng = np.random.default_rng(99)
+    fixtures = []
+    pcm = (0.5 * rng.standard_normal((2, 300))).astype(np.float64)
+    for bits, fmt in [(8, "int"), (16, "int"), (24, "int"),
+                      (32, "int"), (32, "float")]:
+        p = tmp_path / f"f_{bits}_{fmt}.wav"
+        _write_wav_custom(p, pcm, 8000, bits, fmt)
+        fixtures.append(p.read_bytes())
+    for tag in (0x0006, 0x0007):
+        payload = rng.integers(0, 256, 600, dtype=np.uint8).tobytes()
+        fixtures.append(
+            b"RIFF" + _struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, tag, 2, 8000,
+                                     16000, 2, 8)
+            + b"data" + _struct.pack("<I", len(payload)) + payload)
+    blk = (_struct.pack("<hBBhBB", 100, 30, 0, -100, 60, 0)
+           + rng.integers(0, 256, 504, dtype=np.uint8).tobytes())
+    fixtures.append(
+        b"RIFF" + _struct.pack("<I", 36 + len(blk)) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x0011, 2, 8000,
+                                 4000, 512, 4, 2, 505)
+        + b"data" + _struct.pack("<I", len(blk)) + blk)
+
+    ran = 0
+    for trial in range(400):
+        base = bytearray(fixtures[trial % len(fixtures)])
+        kind = trial % 4
+        if kind == 0:    # flip bytes in the header region
+            for _ in range(rng.integers(1, 6)):
+                base[int(rng.integers(0, min(64, len(base))))] = \
+                    int(rng.integers(0, 256))
+        elif kind == 1:  # flip bytes anywhere
+            for _ in range(rng.integers(1, 9)):
+                base[int(rng.integers(0, len(base)))] = \
+                    int(rng.integers(0, 256))
+        elif kind == 2:  # truncate
+            base = base[:int(rng.integers(0, len(base)))]
+        else:            # extend with junk
+            base += bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        try:
+            x, sr = wav.read_bytes(bytes(base))
+            assert np.isfinite(x).all()
+            assert sr > 0
+        except (wav.WavError, ValueError, EOFError):
+            pass
+        ran += 1
+    assert ran == 400
