@@ -43,6 +43,13 @@ def chain_segments(data: bytes, bos_magic: bytes) -> list:
     (concurrent) streams, which per-segment parsers skip by serial.
     ffmpeg (the reference's decode mechanism,
     services/audio_processor.py:76-86) plays chains seamlessly."""
+    # Fast path: a chain needs a second BOS magic somewhere — one
+    # C-speed find rejects the overwhelmingly common single-chain
+    # case without walking pages (false positives in payload bytes
+    # just fall through to the exact walk).
+    first = data.find(bos_magic)
+    if first < 0 or data.find(bos_magic, first + 1) < 0:
+        return [data]
     bounds = []
     pos, n = 0, len(data)
     seen_data = False
