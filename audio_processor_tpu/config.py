@@ -116,6 +116,16 @@ class PipelineConfig:
     # Tuning (config.yaml:79-81)
     max_auto_batch_size: int = 64
     enable_length_bucketing: bool = True
+    # Consult the advisory tuners (PerformanceMonitor.optimize_batch_
+    # size / optimize_worker_count) at sweep end and surface their
+    # recommendation in the log + run summary. Advisory ONLY: device
+    # batch shapes are static length buckets and the file batch size
+    # is chosen for padding geometry (8 PCM16 calls pack the 25 s
+    # bucket into zero-pad sub-batches), so auto-applying a
+    # wall-time-targeted halving/doubling would regress throughput.
+    # The reference's tuner is never called at all
+    # (performance_monitor.py:272-304).
+    enable_auto_batch_size: bool = False
 
     # Monitoring (config.yaml:83-87)
     enable_performance_monitoring: bool = True

@@ -1,8 +1,11 @@
 """SILK decoder (RFC 6716 §4.2): indices, excitation, LTP/LPC
 synthesis, stereo unmixing and packet-level framing.  Fixed-point,
-bit-exact with the reference decoder's normal (no-loss) path; PLC and
-CNG are not implemented (file decode never loses packets — the glue
-in opusdec/__init__ raises on missing data instead of concealing).
+bit-exact with the reference decoder's normal (no-loss) path.  Packet
+loss concealment and comfort-noise generation live in silk_plc.py
+(ported from libopus 1.3.1 semantics) and are invoked from
+decode_frame below for lost/DTX frames — concealed frames are
+bit-exact vs libopus (test_opusdec: DTX/PLC/CNG cases); the first good
+frames *after* a gap carry a small decaying residual (see PARITY.md).
 
 Layout mirrors the spec's decoder stages, not any particular source:
 ChannelState == one silk_decoder_state, SilkDecoder == dec_API level.

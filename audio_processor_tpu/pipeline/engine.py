@@ -100,6 +100,7 @@ class DataProcessor:
         self._file_statuses: List[Dict[str, Any]] = []
         self._file_latencies: List[float] = []
         self.failed_files: List[Dict[str, Any]] = []
+        self._tuning_advice: Optional[Dict[str, Any]] = None
         self._all_results: List[Dict[str, Any]] = []
         self._queue_depths = {"decode_queue": 0, "device_queue": 0,
                               "result_queue": 0}
@@ -646,7 +647,45 @@ class DataProcessor:
             # batches land there) — it is NOT shut down per sweep.
             prefetcher.shutdown(wait=False, cancel_futures=True)
             device_pool.shutdown(wait=False, cancel_futures=True)
+        self._consult_tuners()
         return total_success
+
+    def _consult_tuners(self) -> None:
+        """Consult the advisory tuners at sweep end when
+        ``enable_auto_batch_size`` is set.
+
+        Advisory ONLY (logged + surfaced in the run summary as
+        ``tuning_advice``), never auto-applied: device batch shapes are
+        static length buckets and the file batch size is chosen for
+        padding geometry (see config.enable_auto_batch_size), so a
+        wall-time-targeted halving/doubling would regress throughput.
+        The reference never calls its tuner at all
+        (performance_monitor.py:272-304).
+        """
+        self._tuning_advice = None
+        if not self.config.get("enable_auto_batch_size", False) or \
+                self.monitor is None:
+            return
+        cur_files = int(self.config.get("file_batch_size", 8))
+        cur_workers = int(self.config.get("io_workers", 32))
+        advice = {
+            "file_batch_size": {
+                "current": cur_files,
+                "recommended": self.monitor.optimize_batch_size(cur_files),
+            },
+            "io_workers": {
+                "current": cur_workers,
+                "recommended":
+                    self.monitor.optimize_worker_count(cur_workers),
+            },
+        }
+        self._tuning_advice = advice
+        for key, a in advice.items():
+            if a["recommended"] != a["current"]:
+                logger.info(
+                    "Tuner advice: %s %d -> %d (advisory only; static "
+                    "TPU shapes — not auto-applied)", key, a["current"],
+                    a["recommended"])
 
     # ------------------------------------------------------------------
     def _save_intermediate_transcriptions(self, batch_id: int,
@@ -736,6 +775,9 @@ class DataProcessor:
                 "max_workers": self.config.get("max_workers", 32),
                 "io_workers": self.config.get("io_workers", 32),
             },
+            # Advisory tuner output (enable_auto_batch_size); see
+            # _consult_tuners for why it is never auto-applied.
+            "tuning_advice": self._tuning_advice,
         }
         paths["summary"] = self.output_dir / f"run_summary_{run_id}.json"
         paths["summary"].write_text(json.dumps(summary, indent=2))

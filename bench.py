@@ -312,32 +312,43 @@ def run_e2e_bench(engine, analyzer, make_cfg, input_dir: Path,
 
 
 def probe_device(timeout_s=300.0):
-    """Fail fast when the TPU tunnel is down.
+    """Fail fast when the TPU tunnel is down (exit code 3 = retryable).
 
     Backend init (`jax.devices()`) through a dead tunnel hangs for
     tens of minutes with no output; bound it so a broken transport
     yields a clear non-zero exit instead of a silent stall. The
     probe runs in a daemon thread because a hung PJRT client call
-    cannot be interrupted — on timeout the process hard-exits.
+    cannot be interrupted — on timeout the process hard-exits. A
+    backend-init *error* (e.g. "UNAVAILABLE: TPU backend setup
+    error", seen during the round-3 outage) exits 3 as well — both
+    shapes are transient tunnel failures the parent retry loop in
+    __main__ recovers from.
     """
     import threading
 
-    devs = []
+    devs, errs = [], []
 
     def _probe():
         import jax
 
-        devs.append(jax.devices())
+        try:
+            devs.append(jax.devices())
+        except Exception as e:  # backend init failed outright
+            errs.append(e)
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
     th.join(timeout_s)
+    import os
+
+    if errs:
+        log(f"FATAL: jax backend init failed: {errs[0]!r} — "
+            f"TPU tunnel down/unreachable (retryable)")
+        os._exit(3)
     if not devs:
         log(f"FATAL: jax.devices() did not return within "
             f"{timeout_s:.0f}s — TPU tunnel down/unreachable; "
-            f"no measurement possible")
-        import os
-
+            f"no measurement possible (retryable)")
         os._exit(3)
     log(f"devices: {devs[0]}")
 
@@ -440,5 +451,44 @@ def main():
     }))
 
 
+def run_with_retries(attempts=3, backoff_s=(120.0, 300.0)):
+    """Re-exec the bench in fresh child processes until one survives
+    device init.
+
+    The driver runs `python bench.py` exactly once per round; in round
+    3 a transient tunnel outage at snapshot time turned the whole
+    round's scoreboard into `rc=3, parsed=null` (BENCH_r03.json). A
+    dead-tunnel probe (exit code 3) is the ONLY retryable failure —
+    assertion failures, crashes, and interrupts propagate immediately.
+    Fresh subprocesses are required because a failed PJRT backend init
+    poisons the process (JAX caches the dead backend). Worst case
+    ~3x300 s probes + ~7 min backoff ≈ 22 min before giving up.
+
+    The child's stdout (the ONE JSON line) passes through unmodified;
+    all bench logging is on stderr.
+    """
+    import os
+    import subprocess
+
+    env = dict(os.environ, BENCH_CHILD="1")
+    rc = 3
+    for attempt in range(attempts):
+        if attempt:
+            wait = backoff_s[min(attempt - 1, len(backoff_s) - 1)]
+            log(f"tunnel down on attempt {attempt}/{attempts}; "
+                f"retrying in {wait:.0f}s")
+            time.sleep(wait)
+        rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env).returncode
+        if rc != 3:
+            return rc
+    log(f"FATAL: TPU tunnel unreachable across {attempts} attempts")
+    return rc
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    import os
+
+    if os.environ.get("BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(run_with_retries())

@@ -204,6 +204,41 @@ def test_batching_rules(tmp_path):
     assert sum(len(b) for b in batches) == 5
 
 
+def test_tuning_advice_in_summary_when_enabled(workspace):
+    """enable_auto_batch_size consults the advisory tuners at sweep
+    end and surfaces them in the run summary — advisory only, never
+    auto-applied (static TPU shapes; see engine._consult_tuners)."""
+    from dataclasses import replace
+
+    from audio_processor_tpu.obs.monitor import PerformanceMonitor
+
+    cfg, input_dir, output_dir = workspace
+    cfg = replace(cfg, enable_auto_batch_size=True)
+    mon = PerformanceMonitor(cfg)
+    proc = DataProcessor(cfg, asr_engine=tiny_engine(cfg), monitor=mon)
+    proc.setup_models()
+    proc.run()
+    summary = json.loads(
+        sorted(output_dir.glob("run_summary_*.json"))[-1].read_text())
+    advice = summary["tuning_advice"]
+    assert advice["file_batch_size"]["current"] == cfg.file_batch_size
+    assert advice["file_batch_size"]["recommended"] >= 1
+    assert advice["io_workers"]["recommended"] >= 1
+    # config knob stays untouched — advisory only
+    assert cfg.file_batch_size == 2
+
+    # Disabled (default): summary records null, tuners not consulted.
+    cfg2 = replace(cfg, enable_auto_batch_size=False,
+                   output_folder=str(output_dir / "o2"))
+    proc2 = DataProcessor(cfg2, asr_engine=proc.asr_engine)
+    proc2.setup_models()
+    proc2.run()
+    out2 = output_dir / "o2"
+    summary2 = json.loads(
+        sorted(out2.glob("run_summary_*.json"))[-1].read_text())
+    assert summary2["tuning_advice"] is None
+
+
 def test_run_summary_latency_percentiles(workspace):
     import json
 
