@@ -20,6 +20,7 @@ produce (start, end) second timelines.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -235,6 +236,105 @@ def pyannet_num_frames(cfg: PyanNetConfig, samples: int) -> int:
 _pyannet_jit = jax.jit(pyannet_forward, static_argnames=("cfg",))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "batch_rows", "step", "win"))
+def _pyannet_span_forward(params: Dict[str, Any], cfg: PyanNetConfig,
+                          x: jnp.ndarray, base: jnp.ndarray,
+                          batch_rows: int, step: int, win: int
+                          ) -> jnp.ndarray:
+    """One sub-batch of ``batch_rows`` sliding windows, formed ON
+    DEVICE from the resident channel buffer ``x``.
+
+    ``base`` (dynamic) is the first window's sample offset; the
+    windows inside the span sit at STATIC offsets ``j*step``, so the
+    extraction is a dynamic_slice plus ``batch_rows`` static slices —
+    no gathers, and one compiled program serves every sub-batch of a
+    given buffer length. Uploading ``x`` once instead of the
+    overlapped window rows halves H2D bytes (the 5 s / 2.5 s sliding
+    regime duplicates ~2x the audio)."""
+    span = jax.lax.dynamic_slice(x, (base,),
+                                 ((batch_rows - 1) * step + win,))
+    rows = jnp.stack([jax.lax.slice(span, (j * step,), (j * step + win,))
+                      for j in range(batch_rows)])
+    return pyannet_forward(params, cfg, rows)
+
+
+def pyannet_windowed_dispatch(params: Dict[str, Any], cfg: PyanNetConfig,
+                              mono: np.ndarray,
+                              window_sec: float = 5.0,
+                              step_sec: float = 2.5,
+                              batch_rows: int = 16,
+                              int16_wire: bool = None):
+    """Upload one channel and dispatch its sliding-window VAD
+    sub-batches WITHOUT fetching. Returns an opaque pending handle for
+    :func:`pyannet_windowed_fetch`.
+
+    Splitting dispatch from fetch lets callers overlay the device
+    work + transfers of many channels (segmenter.get_speech_segments_
+    multi dispatches every channel of a file batch before fetching
+    any), hiding this image's ~25 ms-per-round-trip tunnel latency.
+    """
+    sr = cfg.sample_rate
+    hop = pyannet_frame_hop_samples(cfg)
+    W = int(window_sec * sr)
+    S = max(hop, int(step_sec * sr) // hop * hop)
+    x = np.asarray(mono, np.float32).reshape(-1)
+    T = x.shape[0]
+    n_win = max(1, -(-(max(T - W, 0)) // S) + 1)
+    n_batches = -(-n_win // batch_rows)
+    # The buffer is padded so every sub-batch's span (including padded
+    # tail rows) is in bounds: zero rows beyond n_win are cropped at
+    # fetch, identical to the previous host-side row padding. One
+    # compile per distinct buffer length, i.e. per batch_rows*step
+    # (~40 s) of call length.
+    L = (n_batches * batch_rows - 1) * S + W
+    if L > T:
+        x = np.concatenate([x, np.zeros(L - T, np.float32)])
+    # int16 wire: halve upload bytes whenever the samples are
+    # int16-exact (every PCM16-decoded file); device dequantize by an
+    # exact 2^-15 scale is bit-identical to uploading f32.
+    # int16_wire: None = engage iff exact (default); False = never.
+    if int16_wire is None or int16_wire:
+        from audio_processor_tpu.io.wire import maybe_int16_wire
+
+        x = maybe_int16_wire(x)
+    x_dev = jax.device_put(x)
+    outs = [_pyannet_span_forward(params, cfg, x_dev,
+                                  np.int32(g * batch_rows * S),
+                                  batch_rows=batch_rows, step=S, win=W)
+            for g in range(n_batches)]
+    return outs, {"cfg": cfg, "n_win": n_win, "T": T, "S": S,
+                  "W": W, "hop": hop}
+
+
+def pyannet_windowed_fetch(pending) -> np.ndarray:
+    """Fetch + overlap-average a :func:`pyannet_windowed_dispatch`
+    handle into [frames] speech probabilities."""
+    outs, m = pending
+    cfg, n_win, T, S, W, hop = (m["cfg"], m["n_win"], m["T"], m["S"],
+                                m["W"], m["hop"])
+    F_w = pyannet_num_frames(cfg, W)
+    probs = np.concatenate([np.asarray(o)[:, :F_w] for o in outs])[:n_win]
+
+    # Overlap-average onto the absolute frame grid (window w's frame
+    # f sits at absolute frame w*(S//hop) + f).
+    step_frames = S // hop
+    padded_len = (n_win - 1) * S + W
+    n_total = pyannet_num_frames(cfg, padded_len)
+    sums = np.zeros(n_total, np.float64)
+    counts = np.zeros(n_total, np.float64)
+    for w in range(n_win):
+        lo = w * step_frames
+        hi = min(lo + F_w, n_total)
+        sums[lo:hi] += probs[w, :hi - lo]
+        counts[lo:hi] += 1.0
+    agg = (sums / np.maximum(counts, 1.0)).astype(np.float32)
+    # Trim frames whose hop position lies entirely in the zero tail
+    # (the pyannote pipeline crops its timeline to the file duration).
+    n_keep = max(1, min(agg.shape[0], -(-T // hop)))
+    return agg[:n_keep]
+
+
 def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
                            mono: np.ndarray,
                            window_sec: float = 5.0,
@@ -251,71 +351,23 @@ def pyannet_probs_windowed(params: Dict[str, Any], cfg: PyanNetConfig,
     services/speech_segment.py:175-187). A whole-call forward would
     recompile per call length, run the InstanceNorms over a length
     regime the published checkpoints never saw, and serialize one
-    giant BiLSTM scan; windows give two static shapes total
-    ([batch_rows, W] + the tail batch), short scans, and MXU-friendly
-    batching.
+    giant BiLSTM scan; fixed windows give short scans and MXU-friendly
+    batching, and the window rows are formed ON DEVICE from a single
+    per-channel upload (see _pyannet_span_forward) — 1x audio bytes on
+    the wire instead of the 2x that overlapped host-formed rows cost.
 
     The step is snapped DOWN to the model's output frame hop (270
     samples) so every window's frame grid aligns with the absolute
     frame grid; the tail window is zero-padded (pyannote pads short
     chunks the same way). Overlapping frames are averaged.
 
-    ``int16_wire``: None (default) uploads int16 windows when every
-    sample is int16-exact — bit-identical results at half the H2D
-    bytes; False forces the f32 wire (tests).
+    ``int16_wire``: None (default) uploads int16 when every sample is
+    int16-exact — bit-identical results at half the H2D bytes; False
+    forces the f32 wire (tests).
     """
-    sr = cfg.sample_rate
-    hop = pyannet_frame_hop_samples(cfg)
-    W = int(window_sec * sr)
-    S = max(hop, int(step_sec * sr) // hop * hop)
-    x = np.asarray(mono, np.float32).reshape(-1)
-    T = x.shape[0]
-    n_win = max(1, -(-(max(T - W, 0)) // S) + 1)
-    padded_len = (n_win - 1) * S + W
-    if padded_len > T:
-        x = np.concatenate([x, np.zeros(padded_len - T, np.float32)])
-    # int16 wire: the sliding windows overlap ~2x, so the upload is
-    # ~2x the audio bytes — halve it whenever the samples are
-    # int16-exact (every PCM16-decoded file), which makes the device
-    # dequantize bit-identical to uploading the f32 values.
-    # int16_wire: None = engage iff exact (default); False = never.
-    if int16_wire is None or int16_wire:
-        from audio_processor_tpu.io.wire import maybe_int16_wire
-
-        x = maybe_int16_wire(x)
-    windows = np.lib.stride_tricks.as_strided(
-        x, shape=(n_win, W), strides=(x.itemsize * S, x.itemsize))
-
-    F_w = pyannet_num_frames(cfg, W)
-    probs = np.empty((n_win, F_w), np.float32)
-    pending = []
-    for i in range(0, n_win, batch_rows):
-        rows = windows[i:i + batch_rows]
-        n = rows.shape[0]
-        if n < batch_rows:   # static tail shape: pad rows with zeros
-            rows = np.concatenate(
-                [rows, np.zeros((batch_rows - n, W), x.dtype)])
-        # async dispatch: uploads/compute of sub-batch k+1 overlap k
-        pending.append((i, n, _pyannet_jit(params, cfg, rows)))
-    for i, n, out in pending:
-        probs[i:i + n] = np.asarray(out)[:n, :F_w]
-
-    # Overlap-average onto the absolute frame grid (window w's frame
-    # f sits at absolute frame w*(S//hop) + f).
-    step_frames = S // hop
-    n_total = pyannet_num_frames(cfg, padded_len)
-    sums = np.zeros(n_total, np.float64)
-    counts = np.zeros(n_total, np.float64)
-    for w in range(n_win):
-        lo = w * step_frames
-        hi = min(lo + F_w, n_total)
-        sums[lo:hi] += probs[w, :hi - lo]
-        counts[lo:hi] += 1.0
-    agg = (sums / np.maximum(counts, 1.0)).astype(np.float32)
-    # Trim frames whose hop position lies entirely in the zero tail
-    # (the pyannote pipeline crops its timeline to the file duration).
-    n_keep = max(1, min(agg.shape[0], -(-T // hop)))
-    return agg[:n_keep]
+    return pyannet_windowed_fetch(pyannet_windowed_dispatch(
+        params, cfg, mono, window_sec=window_sec, step_sec=step_sec,
+        batch_rows=batch_rows, int16_wire=int16_wire))
 
 
 def convert_pyannet(state_dict: Dict[str, Any],

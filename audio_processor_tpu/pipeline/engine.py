@@ -440,8 +440,13 @@ class DataProcessor:
         segmenter = self._transcriber.segmenter
         sr = int(self.config.get("target_sample_rate", 16000))
 
-        all_segments: List[Dict] = []
-        spans: List[tuple] = []          # (file_stem, start, count)
+        # Collect every channel of the batch first, then segment them
+        # through ONE multi-channel call: the VAD device programs of
+        # all channels dispatch before any fetch, so uploads/compute
+        # pipeline across channels instead of paying the tunnel's
+        # round-trip latency 2x-per-file serially.
+        channels: List[tuple] = []       # (waveform, label)
+        chan_files: List[str] = []       # parallel: owning file stem
         for d in decoded:
             if d.get("waveform") is None or not d["chunks"]:
                 continue
@@ -450,16 +455,19 @@ class DataProcessor:
                 wf = wf[None]
             agent = wf[0]
             client = wf[1] if wf.shape[0] > 1 else wf[0]
-            try:
-                segs = segmenter.get_speech_segments(agent, sr, "agent")
-                segs += segmenter.get_speech_segments(client, sr,
-                                                      "client")
-            except Exception as e:
-                logger.error("Segmentation failed for %s: %s",
-                             d["file"].stem, e)
-                continue
-            spans.append((d["file"].stem, len(all_segments), len(segs)))
-            all_segments.extend(segs)
+            channels.extend([(agent, "agent"), (client, "client")])
+            chan_files.extend([d["file"].stem, d["file"].stem])
+
+        all_segments: List[Dict] = []
+        spans: List[tuple] = []          # (file_stem, start, count)
+        if channels:
+            per_channel = segmenter.get_speech_segments_multi(
+                channels, sr)
+            for i in range(0, len(per_channel), 2):
+                segs = per_channel[i] + per_channel[i + 1]
+                spans.append((chan_files[i], len(all_segments),
+                              len(segs)))
+                all_segments.extend(segs)
 
         if not all_segments:
             return

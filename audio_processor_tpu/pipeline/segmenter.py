@@ -103,6 +103,30 @@ class SpeechSegment:
         logger.info("Using energy VAD (no PyanNet checkpoint configured)")
 
     # ------------------------------------------------------------------
+    def _vad_dispatch(self, flat: np.ndarray, sample_rate: int):
+        """Dispatch one channel's VAD to the device without fetching.
+        Returns an opaque pending handle for :meth:`_vad_fetch`."""
+        if self._vad_params is not None:
+            return ("pyannet", vad_mod.pyannet_windowed_dispatch(
+                self._vad_params, self._vad_cfg, flat,
+                window_sec=float(
+                    self.config.get("vad_infer_window_sec", 5.0)),
+                step_sec=float(
+                    self.config.get("vad_infer_step_sec", 2.5)),
+                batch_rows=int(
+                    self.config.get("vad_infer_batch_rows", 16))))
+        return ("energy", (vad_mod.energy_vad_probs(
+            flat[None, :], np.array([flat.shape[0]], np.int32)),
+            sample_rate))
+
+    def _vad_fetch(self, pending) -> Tuple[np.ndarray, float]:
+        kind, payload = pending
+        if kind == "pyannet":
+            return (vad_mod.pyannet_windowed_fetch(payload),
+                    vad_mod.pyannet_frame_hop_sec(self._vad_cfg))
+        (probs, _mask), sample_rate = payload
+        return np.asarray(probs)[0], vad_mod.HOP / sample_rate
+
     def vad_probs(self, waveform: np.ndarray, sample_rate: int
                   ) -> Tuple[np.ndarray, float]:
         """Mono waveform -> (frame speech probs, frame hop seconds).
@@ -113,68 +137,109 @@ class SpeechSegment:
         as the reference's pyannote pipeline (sliding 5 s duration,
         speech_segment.py:175-187)."""
         mono = np.asarray(waveform, np.float32).reshape(-1)
-        if self._vad_params is not None:
-            probs = vad_mod.pyannet_probs_windowed(
-                self._vad_params, self._vad_cfg, mono,
-                window_sec=float(
-                    self.config.get("vad_infer_window_sec", 5.0)),
-                step_sec=float(
-                    self.config.get("vad_infer_step_sec", 2.5)),
-                batch_rows=int(
-                    self.config.get("vad_infer_batch_rows", 16)))
-            return probs, vad_mod.pyannet_frame_hop_sec(self._vad_cfg)
-        probs, mask = vad_mod.energy_vad_probs(
-            mono[None, :], np.array([mono.shape[0]], np.int32))
-        return np.asarray(probs)[0], vad_mod.HOP / sample_rate
+        return self._vad_fetch(self._vad_dispatch(mono, sample_rate))
+
+    def _segments_from_probs(self, probs: np.ndarray, hop_sec: float,
+                             mono: np.ndarray, sample_rate: int,
+                             speaker_label: str) -> List[Dict[str, Any]]:
+        """binarize -> merge -> pad/window -> segment dicts (host)."""
+        timeline = vad_mod.binarize(
+            probs, hop_sec,
+            onset=float(self.config.get("vad_onset", 0.5)),
+            offset=float(self.config.get("vad_offset", 0.5)),
+            min_duration_on=float(
+                self.config.get("vad_min_duration_on", 0.0)),
+            min_duration_off=float(
+                self.config.get("vad_min_duration_off", 0.0)))
+        if not timeline:
+            logger.warning("No speech segments found for %s",
+                           speaker_label)
+            return []
+        merged = merge_segments(
+            timeline, float(self.config.get("vad_gap_threshold", 0.8)))
+        total_duration = mono.shape[1] / sample_rate
+        windows = extract_windows(
+            total_duration, merged,
+            padding=float(self.config.get("vad_padding", 0.5)),
+            max_len_sec=float(
+                self.config.get("vad_max_segment_sec", 25.0)),
+            overlap=float(
+                self.config.get("vad_window_overlap_sec", 0.5)))
+        out = []
+        for start, end in windows:
+            s = int(start * sample_rate)
+            e = int(end * sample_rate)
+            out.append({
+                "segment_waveform": mono[:, s:e],
+                "start": start,
+                "end": end,
+                "speaker": speaker_label,
+            })
+        return out
+
+    @staticmethod
+    def _as_mono2d(waveform: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        mono = np.asarray(waveform, np.float32)
+        if mono.ndim == 2:
+            return mono, mono[0]
+        return mono[None, :], mono
 
     def get_speech_segments(self, waveform: np.ndarray, sample_rate: int,
                             speaker_label: str) -> List[Dict[str, Any]]:
         """VAD -> merge -> pad/window -> extracted segment dicts
         (reference contract: speech_segment.py:292-418)."""
         try:
-            mono = np.asarray(waveform, np.float32)
-            if mono.ndim == 2:
-                flat = mono[0]
-            else:
-                flat = mono
-                mono = mono[None, :]
-            probs, hop_sec = self.vad_probs(flat, sample_rate)
-            timeline = vad_mod.binarize(
-                probs, hop_sec,
-                onset=float(self.config.get("vad_onset", 0.5)),
-                offset=float(self.config.get("vad_offset", 0.5)),
-                min_duration_on=float(
-                    self.config.get("vad_min_duration_on", 0.0)),
-                min_duration_off=float(
-                    self.config.get("vad_min_duration_off", 0.0)))
-            if not timeline:
-                logger.warning("No speech segments found for %s",
-                               speaker_label)
-                return []
-            merged = merge_segments(
-                timeline, float(self.config.get("vad_gap_threshold", 0.8)))
-            total_duration = mono.shape[1] / sample_rate
-            windows = extract_windows(
-                total_duration, merged,
-                padding=float(self.config.get("vad_padding", 0.5)),
-                max_len_sec=float(
-                    self.config.get("vad_max_segment_sec", 25.0)),
-                overlap=float(
-                    self.config.get("vad_window_overlap_sec", 0.5)))
-            out = []
-            for start, end in windows:
-                s = int(start * sample_rate)
-                e = int(end * sample_rate)
-                out.append({
-                    "segment_waveform": mono[:, s:e],
-                    "start": start,
-                    "end": end,
-                    "speaker": speaker_label,
-                })
-            return out
+            mono, flat = self._as_mono2d(waveform)
+            probs, hop_sec = self._vad_fetch(
+                self._vad_dispatch(flat, sample_rate))
+            return self._segments_from_probs(probs, hop_sec, mono,
+                                             sample_rate, speaker_label)
         except Exception as e:
             logger.error("Error in speech segmentation: %s", e)
             return []
+
+    def get_speech_segments_multi(
+            self, channels: List[Tuple[np.ndarray, str]],
+            sample_rate: int) -> List[List[Dict[str, Any]]]:
+        """Segment MANY channels with overlapped device work: every
+        channel's VAD is dispatched to the device before any result is
+        fetched, so uploads/compute/fetches pipeline across channels
+        instead of paying the tunnel's per-round-trip latency
+        serially (the reference runs pyannote per channel,
+        speech_segment.py:292-326).
+
+        ``channels``: [(waveform, speaker_label), ...]. Returns one
+        segment list per channel, [] for a channel whose segmentation
+        failed (per-channel isolation, same contract as
+        get_speech_segments).
+        """
+        pendings = []
+        monos = []
+        for waveform, label in channels:
+            try:
+                mono, flat = self._as_mono2d(waveform)
+                monos.append(mono)
+                pendings.append(self._vad_dispatch(flat, sample_rate))
+            except Exception as e:
+                logger.error("Error dispatching VAD for %s: %s",
+                             label, e)
+                monos.append(None)
+                pendings.append(None)
+        out: List[List[Dict[str, Any]]] = []
+        for (waveform, label), mono, pending in zip(channels, monos,
+                                                    pendings):
+            if pending is None:
+                out.append([])
+                continue
+            try:
+                probs, hop_sec = self._vad_fetch(pending)
+                out.append(self._segments_from_probs(
+                    probs, hop_sec, mono, sample_rate, label))
+            except Exception as e:
+                logger.error("Error in speech segmentation for %s: %s",
+                             label, e)
+                out.append([])
+        return out
 
     def transcribe_segments_batched(self, segments: List[Dict[str, Any]],
                                     sample_rate: int

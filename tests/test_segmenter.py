@@ -121,6 +121,46 @@ def test_speech_segment_end_to_end(tmp_path):
     assert abs(m["start"] - 0.5) < 0.15
 
 
+def test_get_speech_segments_multi_matches_sequential():
+    """The batched multi-channel entry point (engine regime: dispatch
+    every channel's VAD before fetching any) returns exactly the
+    per-channel results of sequential get_speech_segments, for both
+    the PyanNet and the energy detector."""
+    import jax
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    chans = []
+    for i in range(4):
+        x = np.zeros(sr * (6 + i), np.float32)
+        t = np.arange(sr * 2) / sr
+        s = sr * (1 + i % 2)
+        x[s:s + sr * 2] = (0.4 * np.sin(2 * np.pi * (200 + 40 * i) * t)
+                           + 0.01 * rng.standard_normal(sr * 2)
+                           ).astype(np.float32)
+        chans.append((x, "agent" if i % 2 == 0 else "client"))
+
+    def check(seg):
+        multi = seg.get_speech_segments_multi(chans, sr)
+        for (wav, label), got in zip(chans, multi):
+            want = seg.get_speech_segments(wav, sr, label)
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert (g["start"], g["end"], g["speaker"]) == \
+                    (w["start"], w["end"], w["speaker"])
+                np.testing.assert_array_equal(
+                    g["segment_waveform"], w["segment_waveform"])
+
+    seg = SpeechSegment(PipelineConfig())      # energy fallback
+    check(seg)
+    vcfg = vad_mod.PyanNetConfig(sinc_filters=8, conv_channels=6,
+                                 lstm_hidden=8, linear_hidden=8,
+                                 lstm_layers=1, linear_layers=1)
+    seg._vad_cfg = vcfg
+    seg._vad_params = vad_mod.init_pyannet(jax.random.PRNGKey(0), vcfg)
+    check(seg)
+
+
 def test_darija_converter_with_xlsx(tmp_path):
     """Build a real xlsx via a minimal writer and round-trip through
     the first-party reader + converter."""

@@ -323,13 +323,13 @@ def test_int16_wire_bit_identical(oracle, rng):
     wav = pcm.astype(np.float32) / 32768.0
 
     seen = []
-    real = vad_mod._pyannet_jit
+    real = vad_mod._pyannet_span_forward
 
-    def spy(p, c, rows):
-        seen.append(np.asarray(rows).dtype)
-        return real(p, c, rows)
+    def spy(p, c, x, base, **kw):
+        seen.append(np.dtype(x.dtype))   # wire dtype of the resident buffer
+        return real(p, c, x, base, **kw)
 
-    vad_mod._pyannet_jit = spy
+    vad_mod._pyannet_span_forward = spy
     try:
         got16 = vad_mod.pyannet_probs_windowed(params, cfg, wav,
                                                batch_rows=4)
@@ -340,7 +340,7 @@ def test_int16_wire_bit_identical(oracle, rng):
         vad_mod.pyannet_probs_windowed(
             params, cfg, wav + np.float32(1e-6), batch_rows=4)
     finally:
-        vad_mod._pyannet_jit = real
+        vad_mod._pyannet_span_forward = real
 
     assert seen[0] == np.int16          # wire engaged on exact input
     assert seen[n16 - 1] == np.float32  # forced f32

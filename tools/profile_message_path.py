@@ -101,13 +101,12 @@ def main():
     phases = {"vad+window": 0.0, "asr": 0.0}
     n_segments = 0
     t_all = time.perf_counter()
-    batch_segments = []
-    for wav in calls:
-        for ch, label in ((0, "agent"), (1, "client")):
-            t0 = time.perf_counter()
-            segments = seg.get_speech_segments(wav[ch], SR, label)
-            phases["vad+window"] += time.perf_counter() - t0
-            batch_segments.extend(segments)
+    channels = [(wav[ch], label) for wav in calls
+                for ch, label in ((0, "agent"), (1, "client"))]
+    t0 = time.perf_counter()
+    per_channel = seg.get_speech_segments_multi(channels, SR)
+    phases["vad+window"] += time.perf_counter() - t0
+    batch_segments = [s for segs in per_channel for s in segs]
     t0 = time.perf_counter()
     out = seg.transcribe_segments_batched(batch_segments, SR)
     phases["asr"] += time.perf_counter() - t0
