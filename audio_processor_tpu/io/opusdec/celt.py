@@ -124,6 +124,15 @@ class CeltDecoder:
         self.postfilter_period_old = 0
         self.postfilter_gain_old = 0.0
         self.postfilter_tapset_old = 0
+        # PLC state (celt_decoder.c DECODER_RESET_START region +
+        # backgroundLogE, which lives in the zero-cleared _decode_mem
+        # blob): loss counters, last pitch, per-channel PLC LPC, and
+        # the tracked background noise floor.
+        self.loss_count = 0
+        self.skip_plc = False
+        self.last_pitch_index = 0
+        self.plc_lpc = np.zeros((cc, 24))
+        self.background_log_e = np.zeros((2, NB_BANDS))
 
     # ----------------------------------------------------------------
     def decode(self, data_len: int, rd: RangeDecoder, frame_size: int,
@@ -137,6 +146,9 @@ class CeltDecoder:
         lm = {SHORT_MDCT_SIZE: 0, 2 * SHORT_MDCT_SIZE: 1,
               4 * SHORT_MDCT_SIZE: 2, 8 * SHORT_MDCT_SIZE: 3}[n]
         m = 1 << lm
+        # Pitch-based PLC needs two consecutive good frames first
+        # (celt_decoder.c: skip_plc = loss_count != 0).
+        self.skip_plc = self.loss_count != 0
         start, end = self.start, self.end
         eff_end = end
         if C == 1:
@@ -275,6 +287,13 @@ class CeltDecoder:
         if not is_transient:
             self.old_log_e2[:] = self.old_log_e
             self.old_log_e[:] = self.old_e
+            # Background noise floor: rises <= 2.4 dB/s normally, up
+            # to 6 dB per update when recovering from a long loss run
+            # (celt_decode_with_ec's backgroundLogE tracker; the
+            # loss_count here is the pre-reset value).
+            inc = m * 0.001 if self.loss_count < 10 else 1.0
+            self.background_log_e = np.minimum(
+                self.background_log_e + inc, self.old_log_e)
         else:
             self.old_log_e = np.minimum(self.old_log_e, self.old_e)
         for ch in range(2):
@@ -285,7 +304,23 @@ class CeltDecoder:
             self.old_log_e[ch, end:] = -28.0
             self.old_log_e2[ch, end:] = -28.0
         self.rng = rd.rng & 0xFFFFFFFF
+        self.loss_count = 0
         return pcm
+
+    def decode_lost(self, frame_size: int) -> np.ndarray:
+        """celt_decode_with_ec's data==NULL branch: conceal one lost
+        frame (celt_plc.celt_decode_lost) then deemphasize.
+        -> [CC, frame_size] float in [-1, 1]."""
+        from audio_processor_tpu.io.opusdec.celt_plc import \
+            celt_decode_lost
+
+        n = frame_size
+        lm = {SHORT_MDCT_SIZE: 0, 2 * SHORT_MDCT_SIZE: 1,
+              4 * SHORT_MDCT_SIZE: 2, 8 * SHORT_MDCT_SIZE: 3}[n]
+        celt_decode_lost(self, n, lm)
+        out_syn = [self.decode_mem[ch, DECODE_BUFFER_SIZE - n:]
+                   for ch in range(self.cc)]
+        return self._deemphasis(out_syn, n)
 
     # ----------------------------------------------------------------
     def _synthesis(self, x_full: np.ndarray, n: int, C: int,

@@ -100,6 +100,7 @@ class OpusDecoder:
         self.prev_mode: Optional[str] = None
         self.prev_bandwidth: Optional[str] = None
         self.prev_redundancy = False
+        self.prev_frame_size = 960
         self._softclip_mem = np.zeros(channels)
 
     # ----------------------------------------------------------------
@@ -161,12 +162,24 @@ class OpusDecoder:
         PLC-based smoothing for redundancy-free mode transitions (the
         libopus encoder sends redundancy on transitions whenever the
         rate allows)."""
-        if not frame:
-            raise OpusPacketError("empty frame (PLC not supported)")
         rd = RangeDecoder(frame)
         mode = info.mode
         C = 2 if info.stereo else 1
-        F2_5 = 120
+        F2_5, F5 = 120, 240
+
+        # Redundancy-free mode transitions are smoothed with 5 ms of
+        # the OLD mode's PLC, crossfaded into the new frame
+        # (opus_decode_frame's `transition` machinery). The silk->celt
+        # direction must conceal BEFORE the new frame decodes (the
+        # celt decode resets state); celt->silk/hybrid conceals after
+        # the redundancy flags are known and is cancelled by them.
+        transition = self.prev_mode is not None and (
+            (mode == "celt" and self.prev_mode != "celt"
+             and not self.prev_redundancy)
+            or (mode != "celt" and self.prev_mode == "celt"))
+        pcm_transition = None
+        if transition and mode == "celt":
+            pcm_transition = self._plc_samples(min(F5, info.frame_size))
 
         silk_out = None
         redundancy = 0
@@ -199,6 +212,14 @@ class OpusDecoder:
                     else:
                         # keep the raw-bit reader off the tail
                         rd.storage -= red_bytes
+
+        if redundancy:
+            # the redundant CELT frame does the transition smoothing
+            transition = False
+        if transition and mode != "celt":
+            # celt -> silk/hybrid without redundancy: conceal 5 ms of
+            # the old CELT before this frame's celt ops reset/evolve it
+            pcm_transition = self._plc_samples(min(F5, info.frame_size))
 
         red_audio = None
         if redundancy and celt_to_silk:
@@ -247,59 +268,79 @@ class OpusDecoder:
             out[F2_5:2 * F2_5] = self._smooth_fade(
                 red_audio[F2_5:2 * F2_5], out[F2_5:2 * F2_5])
 
+        if transition:
+            out = out.copy()
+            if info.frame_size >= F5:
+                out[:F2_5] = pcm_transition[:F2_5]
+                out[F2_5:2 * F2_5] = self._smooth_fade(
+                    pcm_transition[F2_5:2 * F2_5], out[F2_5:2 * F2_5])
+            else:
+                # 2.5 ms frame: "not enough time for a clean
+                # transition, but we do it anyway"
+                out[:F2_5] = self._smooth_fade(pcm_transition[:F2_5],
+                                               out[:F2_5])
+
         if rd.error:
             raise OpusDecodeError("range decoder error")
         self.prev_mode = mode
         self.prev_bandwidth = info.bandwidth
         self.prev_redundancy = bool(redundancy and not celt_to_silk)
+        self.prev_frame_size = info.frame_size
         return out
 
-    def _conceal_frame(self, info: PacketInfo) -> np.ndarray:
-        """DTX / zero-length frame: approximate concealment.
-
-        libopus runs full PLC/CNG here (LPC extrapolation + comfort
-        noise) using the PREVIOUS frame's mode (a zero-length frame
-        has no usable TOC, opus_decode_native's data==NULL path).
-        This fallback decodes a CELT silence frame instead — which
-        reproduces the MDCT fade-out and keeps the CELT energy state
-        evolving like the reference — and treats the SILK
-        contribution as silence.  Every packet's first SILK/CELT
-        frame is entropy-independent, so subsequent real packets stay
-        bit-synced.  The concealed audio differs from libopus, and
-        because SILK filter/LTP/resampler state is frozen here while
-        libopus' PLC keeps evolving it, the first packets after a
-        long gap can diverge audibly before the states reconverge
-        (up to ~1 s on voiced content; test_dtx_stream measures a
-        silence-exit case).  Exact parity needs silk_PLC/silk_CNG."""
-        C = 2 if info.stereo else 1
-        n = info.frame_size
-        mode = self.prev_mode or info.mode
-        bandwidth = self.prev_bandwidth or info.bandwidth
-        silk_part = None
+    def _conceal_chunk(self, n: int) -> np.ndarray:
+        """Conceal one <=20 ms chunk using the PREVIOUS frame's mode
+        (opus_decode_frame's data==NULL body): SILK PLC/CNG
+        (silk_plc.py, bit-exact) for silk/hybrid, CELT PLC
+        (celt_plc.py: pitch-extrapolation or noise fill) for celt and
+        the hybrid high bands."""
+        mode = self.prev_mode
+        bandwidth = self.prev_bandwidth
+        out = np.zeros((n, self.channels))
         if mode in ("silk", "hybrid"):
-            chans = self.silk.conceal(n, self.channels)
-            silk_part = np.zeros((n, self.channels))
+            # "The SILK PLC cannot produce frames of less than 10 ms"
+            # (opus_decoder.c): payloadSize_ms = max(10, chunk ms), so
+            # a 5 ms transition chunk conceals one 10 ms SILK frame
+            # and keeps the first n samples.
+            payload_ms = max(10, n * 1000 // 48000)
+            chans = self.silk.conceal(max(n, 480), self.channels,
+                                      payload_ms=payload_ms)
             for c in range(self.channels):
                 col = chans[c if c < len(chans) else 0]
-                silk_part[:, c] = np.asarray(col, np.float64) / 32768.0
+                out[:, c] = np.asarray(col[:n], np.float64) / 32768.0
         if mode == "silk":
-            return silk_part
+            return out
         self.celt.start = 0 if mode == "celt" else 17
         self.celt.end = END_BAND[bandwidth]
         if self.celt.end <= self.celt.start:
-            # hybrid conceal with an NB/WB history can't run CELT
-            return silk_part if silk_part is not None \
-                else np.zeros((n, self.channels))
-        out = np.zeros((n, self.channels))
-        pos = 0
-        while pos < n:
-            blk = min(n - pos, 960)
-            srd = RangeDecoder(b"\xff\xff")
-            out[pos:pos + blk] = self.celt.decode(2, srd, blk, C).T
-            pos += blk
-        if silk_part is not None:
-            out = out + silk_part
+            # hybrid conceal with a corrupt NB/MB history: no CELT part
+            return out
+        out += self.celt.decode_lost(n).T
         return out
+
+    def _plc_samples(self, n_total: int) -> np.ndarray:
+        """PLC for ``n_total`` samples, chunked like opus_decode_frame
+        (<=F20 pieces; sub-F20 sizes clamp to F10/F5 and iterate)."""
+        out = np.zeros((n_total, self.channels))
+        pos = 0
+        while pos < n_total:
+            size = min(n_total - pos, 960)
+            if size < 960:
+                if size > 480:
+                    size = 480
+                elif self.prev_mode != "silk" and 240 < size < 480:
+                    size = 240
+            out[pos:pos + size] = self._conceal_chunk(size)
+            pos += size
+        return out
+
+    def _conceal_frame(self, info: PacketInfo) -> np.ndarray:
+        """Lost / DTX / zero-length frame (opus_decode_native's
+        data==NULL path): full PLC in the previous frame's mode.
+        Before any packet has decoded, libopus returns zeros."""
+        if self.prev_mode is None:
+            return np.zeros((info.frame_size, self.channels))
+        return self._plc_samples(info.frame_size)
 
     def decode_info_float(self, info: PacketInfo) -> np.ndarray:
         """Decode an already-parsed packet (multistream sub-packets
@@ -319,6 +360,28 @@ class OpusDecoder:
     def decode_float(self, packet: bytes) -> np.ndarray:
         """Decode one packet -> float64 [N, channels] at 48 kHz."""
         return self.decode_info_float(parse_packet(packet))
+
+    def decode_lost_float(self, frame_size: int = None) -> np.ndarray:
+        """opus_decode(dec, NULL, 0, pcm, frame_size, 0): conceal one
+        LOST packet. Concealment is capped at the last real packet's
+        duration ("don't conceal more than what the ToC says") and
+        runs the full PLC in the previous mode; zeros before any
+        packet has decoded."""
+        n = self.prev_frame_size if frame_size is None \
+            else min(frame_size, self.prev_frame_size)
+        if self.prev_mode is None:
+            return np.zeros((n, self.channels))
+        out = self._plc_samples(n)
+        self.prev_redundancy = False
+        return out
+
+    def decode_lost_int16(self, frame_size: int = None) -> np.ndarray:
+        """Lost-packet concealment with opus_decode()'s int16-API
+        semantics (soft clip + FLOAT2INT16)."""
+        pcm = self.decode_lost_float(frame_size)
+        pcm_soft_clip(pcm, self._softclip_mem)
+        pcm = pcm * 32768.0
+        return np.rint(np.clip(pcm, -32768.0, 32767.0)).astype(np.int16)
 
     def decode_int16(self, packet: bytes) -> np.ndarray:
         """Decode one packet -> int16 [N, channels] at 48 kHz

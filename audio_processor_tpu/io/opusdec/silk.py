@@ -378,7 +378,10 @@ class ChannelState:
             # mod-2^32 arithmetic is representation-independent: the
             # next wrap re-masks, so no signed conversion is needed.
             rand_seed = (rand_seed + p) & 0xFFFFFFFF
-        self.exc_q14 = exc_q14
+        # exc_Q14 is a FIXED MAX_FRAME_LENGTH (320) buffer in libopus:
+        # a shorter frame leaves the tail from previous frames, and
+        # the PLC's rand_buf window indexes into that fixed buffer.
+        self.exc_q14[:L] = exc_q14
 
         xq = [0] * L
         sltp = [0] * self.ltp_mem_length
@@ -387,6 +390,7 @@ class ChannelState:
         slpc = list(self.slpc_q14) + [0] * self.subfr_length
         pexc_base = 0
         for k in range(self.nb_subfr):
+            st_k = signal_type      # per-subframe local (see below)
             a_q12 = ctrl["pred_coef_q12"][k >> 1]
             b_q14 = ctrl["ltp_coef_q14"][k * LTP_ORDER:
                                          (k + 1) * LTP_ORDER]
@@ -401,7 +405,25 @@ class ChannelState:
                 gain_adj_q16 = 1 << 16
             self.prev_gain_q16 = ctrl["gains_q16"][k]
 
-            if signal_type == TYPE_VOICED:
+            # "Avoid abrupt transition from voiced PLC to unvoiced
+            # normal decoding" (decode_core.c): on the first good
+            # frame after a loss whose concealment was voiced, the
+            # first half of the subframes keep a weak (0.1) LTP tap
+            # at the concealment's pitch lag so the extrapolated
+            # waveform fades instead of cutting off. loss_cnt is
+            # still nonzero here — decode_frame resets it after
+            # decode_core, like libopus.
+            if self.loss_cnt and \
+                    self.prev_signal_type == TYPE_VOICED and \
+                    self.ind["signal_type"] != TYPE_VOICED and \
+                    k < MAX_NB_SUBFR // 2:
+                b_q14 = [0] * LTP_ORDER
+                b_q14[LTP_ORDER // 2] = 4096  # 0.25 in Q14 (libopus
+                # 1.3.1 disassembly: movw $0x1000 into B[2])
+                st_k = TYPE_VOICED
+                ctrl["pitch_l"][k] = self.lag_prev
+
+            if st_k == TYPE_VOICED:
                 lag = ctrl["pitch_l"][k]
                 if k == 0 or (k == 2 and nlsf_interp_flag):
                     start_idx = self.ltp_mem_length - lag \
@@ -439,7 +461,7 @@ class ChannelState:
             # wrapping epilogues are inlined too: these two
             # sample-serial recurrences are the fallback decoder's
             # hottest loops and helper-call overhead dominated them.
-            if signal_type == TYPE_VOICED:
+            if st_k == TYPE_VOICED:
                 pres_q14 = [0] * self.subfr_length
                 pred_lag = sltp_buf_idx - lag + LTP_ORDER // 2
                 b0, b1, b2, b3, b4 = [to_i16(b) for b in b_q14]
@@ -657,18 +679,28 @@ class SilkDecoder:
         self.prev_decode_only_middle = 0
         self.capture_xq = None  # debug: list to collect 16 kHz frames
 
-    def conceal(self, n_samples_48k: int, api_channels: int
-                ) -> List[List[int]]:
+    def conceal(self, n_samples_48k: int, api_channels: int,
+                payload_ms: int = 0) -> List[List[int]]:
         """silk_Decode with FLAG_PACKET_LOST: extrapolate enough
-        internal frames (at the last-configured rate/duration) to
-        cover ``n_samples_48k`` output samples; same channel-count
-        adaptation as decode()."""
+        internal frames to cover ``n_samples_48k`` output samples;
+        same channel-count adaptation as decode().
+
+        ``payload_ms`` (10 or 20) reconfigures the concealed frame
+        duration like dec_API.c's payloadSize_ms: a 10 ms PLC request
+        on a 20 ms-configured state conceals ONE 2-subframe frame, not
+        half of a 4-subframe frame (opus_decode_frame passes
+        max(10, audiosize_ms), so 5 ms transition PLC runs at 10 ms).
+        0 keeps the last-configured duration."""
         n_channels = max(1, self.n_channels_internal)
         ch0 = self.channels[0]
         if ch0.fs_khz == 0:
             # never decoded anything: true silence
             return [[0] * n_samples_48k
                     for _ in range(min(api_channels, 2))]
+        if payload_ms in (10, 20):
+            for ch in self.channels[:n_channels]:
+                if ch.fs_khz:
+                    ch.set_fs(ch.fs_khz, payload_ms // 5)
         frame_length = ch0.frame_length
         fs_khz = ch0.fs_khz
         api_mono = api_channels == 1 and n_channels == 2

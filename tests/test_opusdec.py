@@ -650,3 +650,147 @@ def test_multistream_family255_parity():
         assert d <= 1, f"packet {i}: max diff {d}"
         assert not got[:, 3].any(), "silence slot must stay zero"
     lib.opus_multistream_decoder_destroy(ctypes.c_void_p(dec.value))
+
+
+# ----------------------------------------------------------------------
+# Packet-loss concealment (celt_plc.py / silk_plc.py / decoder glue)
+# ----------------------------------------------------------------------
+
+_MODE_ALL = {"silk": 1000, "hybrid": 1001, "celt": 1002}
+_BW_ALL = {"NB": 1101, "MB": 1102, "WB": 1103, "SWB": 1104, "FB": 1105}
+
+
+def _encode_forced(pcm, channels, mode, bw, bitrate, frame_ms,
+                   app=2049):
+    lib = _lib()
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(lib.opus_encoder_create(
+        _SR, channels, app, ctypes.byref(err)))
+    assert err.value == 0
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BITRATE),
+                         ctypes.c_int32(bitrate))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_BANDWIDTH),
+                         ctypes.c_int32(_BW_ALL[bw]))
+    lib.opus_encoder_ctl(enc, ctypes.c_int(OPUS_SET_FORCE_MODE),
+                         ctypes.c_int32(_MODE_ALL[mode]))
+    frame = _SR * frame_ms // 1000
+    pcm = np.asarray(pcm, np.float32).reshape(-1, channels)
+    out = ctypes.create_string_buffer(8000)
+    pkts = []
+    for i in range(len(pcm) // frame):
+        fr = np.ascontiguousarray(pcm[i * frame:(i + 1) * frame])
+        nb = lib.opus_encode_float(
+            enc, fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frame, out, len(out))
+        assert nb > 0
+        pkts.append(out.raw[:nb])
+    lib.opus_encoder_destroy(ctypes.c_void_p(enc.value))
+    return pkts
+
+
+def _float_lib():
+    lib = _lib()
+    lib.opus_decode_float.restype = ctypes.c_int
+    lib.opus_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def _compare_with_losses(pkts, channels, losses, frame):
+    """Decode both ways with the loss mask (float APIs); returns the
+    list of per-packet max abs float diffs."""
+    lib = _float_lib()
+    err = ctypes.c_int(0)
+    dec = ctypes.c_void_p(lib.opus_decoder_create(
+        _SR, channels, ctypes.byref(err)))
+    fbuf = np.empty(5760 * channels, np.float32)
+    fptr = fbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    mine = OpusDecoder(channels)
+    diffs = []
+    for i, p in enumerate(pkts):
+        if losses[i]:
+            n = lib.opus_decode_float(dec, None, 0, fptr, frame, 0)
+            got = mine.decode_lost_float(frame)
+        else:
+            n = lib.opus_decode_float(dec, p, len(p), fptr, 5760, 0)
+            got = mine.decode_float(p)
+        assert n > 0
+        ref = fbuf[:n * channels].reshape(n, channels).astype(np.float64)
+        assert got.shape == ref.shape
+        diffs.append(float(np.abs(got - ref).max()))
+    lib.opus_decoder_destroy(ctypes.c_void_p(dec.value))
+    return diffs
+
+
+def test_celt_plc_pitch_and_noise_vs_libopus():
+    """CELT packet-loss concealment (celt_plc.py): a single loss runs
+    the pitch-based extrapolation, a 7-long burst crosses into the
+    noise-based regime (loss_count >= 5); every concealed frame must
+    track libopus' celt_decode_lost within a float tolerance and the
+    stream must reconverge after each gap."""
+    pcm = _speechy(int(1.2 * _SR), 1, seed=11)
+    pkts = _encode_forced(pcm, 1, "celt", "FB", 96000, 20)
+    losses = np.zeros(len(pkts), bool)
+    losses[12] = True          # isolated: pitch PLC
+    losses[30:37] = True       # burst: pitch -> noise PLC
+    diffs = _compare_with_losses(pkts, 1, losses, 960)
+    for i, d in enumerate(diffs):
+        if losses[i]:
+            assert d < 1e-3, f"concealed pkt{i}: {d}"
+    # reconvergence: the last 5 good packets are clean
+    assert max(diffs[-5:]) < 1e-3, diffs[-5:]
+
+
+def test_silk_loss_concealment_bit_exact_fresh():
+    """A loss on clean SILK state conceals BIT-EXACTLY (silk_plc.py),
+    for 10/20/40 ms frames, mono and stereo. (The first good frames
+    AFTER the gap carry the known decaying post-loss divergence —
+    see PARITY.md — so only the concealed packets are asserted.)"""
+    for ch, frame_ms in ((1, 20), (2, 20), (1, 10), (2, 40)):
+        frame = _SR * frame_ms // 1000
+        pcm = _speechy(int(1.0 * _SR), ch, seed=3 + ch)
+        pkts = _encode_forced(pcm, ch, "silk", "WB", 24000 * ch,
+                              frame_ms, app=2048)
+        losses = np.zeros(len(pkts), bool)
+        losses[len(pkts) // 2] = True
+        diffs = _compare_with_losses(pkts, ch, losses, frame)
+        i = len(pkts) // 2
+        assert diffs[i] == 0.0, \
+            f"ch={ch} ms={frame_ms} concealed pkt{i}: {diffs[i]}"
+
+
+def test_mode_transition_plc_smoothing_vs_libopus():
+    """Redundancy-free mode transitions (packets butt-spliced from two
+    forced encoders) engage the decoder-side 5 ms PLC crossfade
+    (opus_decode_frame's `transition` machinery) — all four
+    directions must match libopus."""
+    for m1, m2 in (("hybrid", "celt"), ("silk", "celt"),
+                   ("celt", "silk"), ("celt", "hybrid")):
+        ch, frame = 1, 960
+        pcm = _speechy(int(1.0 * _SR), ch, seed=42)
+        bw1 = "FB" if m1 in ("celt", "hybrid") else "WB"
+        bw2 = "FB" if m2 in ("celt", "hybrid") else "WB"
+        e1 = _encode_forced(pcm[:len(pcm) // 2], ch, m1, bw1, 24000, 20,
+                            app=2048 if m1 != "celt" else 2049)
+        e2 = _encode_forced(pcm[len(pcm) // 2:], ch, m2, bw2, 24000, 20,
+                            app=2048 if m2 != "celt" else 2049)
+        pkts = e1 + e2
+        losses = np.zeros(len(pkts), bool)
+        diffs = _compare_with_losses(pkts, ch, losses, frame)
+        assert max(diffs) < 5e-4, (m1, m2, max(diffs),
+                                   int(np.argmax(diffs)))
+
+
+def test_hybrid_loss_noise_plc_vs_libopus():
+    """Hybrid-mode losses conceal with SILK PLC + CELT noise-based
+    PLC (start band 17): concealed packets on fresh state match
+    libopus, and the stream reconverges."""
+    pcm = _speechy(int(1.0 * _SR), 2, seed=9)
+    pkts = _encode_forced(pcm, 2, "hybrid", "FB", 64000, 20, app=2048)
+    losses = np.zeros(len(pkts), bool)
+    losses[10] = True
+    losses[25:27] = True
+    diffs = _compare_with_losses(pkts, 2, losses, 960)
+    assert diffs[10] < 1e-3, diffs[10]
+    assert max(diffs[-3:]) < 1e-2, diffs[-3:]
