@@ -98,3 +98,33 @@ def test_bad_payload_maps_to_invalid_argument(client):
 def test_stats(client):
     s = client.stats()
     assert s["requests"] >= 1 and s["batches"] >= 1
+
+
+def test_backpressure_maps_to_resource_exhausted(grpc_server, client):
+    """A full pending queue aborts the RPC with RESOURCE_EXHAUSTED —
+    the gRPC equivalent of the HTTP 503 + Retry-After path (the chip
+    load test, tools/load_test_serving.py, proves the same live)."""
+    import grpc
+
+    service = grpc_server.service
+    old_cap = service.max_pending_chunks
+    service.max_pending_chunks = 1
+    try:
+        wav = _wav_bytes(dur=8.0)   # 3 chunks at the 4s/1s geometry
+        codes = []
+
+        def hit():
+            try:
+                client.transcribe(wav, timeout=60.0)
+                codes.append("OK")
+            except grpc.RpcError as e:
+                codes.append(e.code().name)
+
+        threads = [threading.Thread(target=hit) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert "RESOURCE_EXHAUSTED" in codes, codes
+    finally:
+        service.max_pending_chunks = old_cap

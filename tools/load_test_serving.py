@@ -163,6 +163,57 @@ def main():
     assert got_503 >= 1, "backpressure never tripped"
     server.service.max_pending_chunks = 32 * 16
 
+    # ---- gRPC arm: sanity + RESOURCE_EXHAUSTED backpressure ----------
+    print("\ngRPC arm: starting gRPC front-end on the same engine...",
+          flush=True)
+    try:
+        import grpc
+
+        from audio_processor_tpu.grpc_serving import (GrpcClient,
+                                                      GrpcInferenceServer)
+
+        gsrv = GrpcInferenceServer(server.service, PORT + 1)
+        gsrv.start()
+        client_g = GrpcClient(f"127.0.0.1:{gsrv.bound_port}")
+        t0 = time.perf_counter()
+        g_ok, g_audio = 0, 0.0
+        for i in range(4):
+            resp = client_g.transcribe(payloads[i % n_clients])
+            g_ok += 1
+            g_audio += resp.duration_seconds
+        g_wall = time.perf_counter() - t0
+        print(f"gRPC sanity: {g_ok} requests, {g_audio:.0f} audio-s in "
+              f"{g_wall:.1f}s -> RTFx {g_audio / g_wall:.1f}")
+
+        print("gRPC backpressure: shrinking queue cap + burst...",
+              flush=True)
+        server.service.max_pending_chunks = 2
+        g_results = []
+
+        def g_burst():
+            try:
+                client_g.transcribe(payloads[0])
+                g_results.append("OK")
+            except grpc.RpcError as e:
+                g_results.append(e.code().name)
+
+        g_threads = [threading.Thread(target=g_burst, daemon=True)
+                     for _ in range(6)]
+        for th in g_threads:
+            th.start()
+        for th in g_threads:
+            th.join(timeout=120)
+        n_exhausted = sum(1 for s in g_results
+                          if s == "RESOURCE_EXHAUSTED")
+        print(f"gRPC burst of 6 x {audio_sec:.0f}s against cap=2 "
+              f"chunks: {n_exhausted} x RESOURCE_EXHAUSTED, "
+              f"{sum(1 for s in g_results if s == 'OK')} x OK")
+        assert n_exhausted >= 1, "gRPC backpressure never tripped"
+        server.service.max_pending_chunks = 32 * 16
+        gsrv.stop()
+    except ImportError:
+        print("grpcio not importable here; gRPC arm skipped")
+
     # ---- drain under load --------------------------------------------
     print("\ndrain under load (SIGTERM semantics)...", flush=True)
     inflight_result = {}
