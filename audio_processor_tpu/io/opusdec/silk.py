@@ -19,7 +19,7 @@ import numpy as np
 
 from audio_processor_tpu.io.opusdec import _tables as T
 from audio_processor_tpu.io.opusdec.fixp import (
-    div32_16, div32_varQ, inverse32_varQ, log2lin,
+    bwexpander, div32_16, div32_varQ, inverse32_varQ, log2lin,
     rshift_round, smlabb, smlawb,
     smulbb, smulwb, smulww, to_i16, wrap32)
 from audio_processor_tpu.io.opusdec.rangedec import RangeDecoder
@@ -331,6 +331,18 @@ class ChannelState:
             pred0 = list(pred1)
         ctrl["pred_coef_q12"] = [pred0, pred1]
         self.prev_nlsf_q15[:self.lpc_order] = nlsf_q15
+        if self.loss_cnt:
+            # "After a packet loss do BWE of LPC coefs"
+            # (decode_parameters.c): both coefficient halves are
+            # bandwidth-expanded by BWE_AFTER_LOSS_Q16 = 63570 (0.97)
+            # on the FIRST good frame after any loss, flattening the
+            # LPC spectrum against post-loss resonance. This was the
+            # round-3 "unidentified post-loss state nuance": found by
+            # poking a live libopus decoder's state (lossCnt=0 before
+            # the first good frame reproduced our output exactly) and
+            # reading the 0xf852 bwexpander call in the disassembly.
+            bwexpander(pred0, self.lpc_order, 63570)
+            bwexpander(pred1, self.lpc_order, 63570)
         if ind["signal_type"] == TYPE_VOICED:
             ctrl["pitch_l"] = decode_pitch(
                 ind["lag_index"], ind["contour_index"], self.fs_khz,

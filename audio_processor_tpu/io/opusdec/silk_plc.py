@@ -284,6 +284,11 @@ def _plc_conceal(ch, ctrl: dict, frame: List[int]) -> None:
     plc.rand_seed = rand_seed
     plc.rand_scale_q14 = rand_scale_q14
     ctrl["pitch_l"] = [lag] * MAX_NB_SUBFR
+    # libopus resets the gain-index predictor during concealment
+    # (observed directly in a live 1.3.1 decoder's state: LastGainIndex
+    # == 10 after every concealed frame); the next good frame's
+    # absolute gain decode floors at prev_ind - 16.
+    ch.last_gain_index = 10
 
 
 def cng(ch, ctrl: dict, frame: List[int]) -> None:

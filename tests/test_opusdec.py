@@ -420,11 +420,12 @@ def test_multistream_family1_parity():
 
 def test_dtx_stream_decodes_and_reconverges():
     """DTX streams (1-2 byte packets during silence): the fallback
-    runs the ported silk_PLC/silk_CNG, so concealed SILK frames are
-    BIT-EXACT with libopus through the gap (comfort noise included).
-    The first good frames after a gap retain one small, decaying
-    divergence (an as-yet-unidentified post-loss state interaction in
-    libopus; bounded, gone within ~0.5 s) — asserted to reconverge."""
+    runs the ported silk_PLC/silk_CNG, so the ENTIRE stream is
+    BIT-EXACT with libopus — concealed frames (comfort noise
+    included) AND the first good frames after each gap, which apply
+    BWE_AFTER_LOSS_Q16 LPC bandwidth expansion + the concealment's
+    LastGainIndex reset (the formerly 'unidentified post-loss state
+    nuance', solved in r4 by live-poking a libopus decoder's state)."""
     lib = _lib()
     err = ctypes.c_int(0)
     enc = ctypes.c_void_p(lib.opus_encoder_create(
@@ -461,13 +462,12 @@ def test_dtx_stream_decodes_and_reconverges():
         assert m.shape == r.shape
         diffs.append(int(np.abs(m.astype(np.int32)
                                 - r.astype(np.int32)).max()))
-    assert max(diffs[:dtx[0]]) <= 1          # pre-gap: exact
-    in_gap = [diffs[i] for i in dtx]
-    # concealment itself is bit-exact; the <=2 headroom covers gaps
-    # that contain CNG-refresh packets (their post-loss residual
-    # carries into the following concealed frames)
-    assert max(in_gap) <= 2
-    assert max(diffs[-10:]) <= 1             # re-converged by the end
+    # Exact end to end — before, inside and after every DTX gap — up
+    # to the int16 API's soft-clip rounding edge (float64 vs libopus
+    # float32 can flip round-half-even by 1 LSB on near-full-scale
+    # samples; the float APIs compare to 0.0 in
+    # test_silk_loss_concealment_bit_exact_fresh).
+    assert max(diffs) <= 1, (max(diffs), int(np.argmax(diffs)))
 
 
 def test_fuzz_corrupt_packets_never_hang_or_crash():
@@ -755,9 +755,11 @@ def test_silk_loss_concealment_bit_exact_fresh():
         losses = np.zeros(len(pkts), bool)
         losses[len(pkts) // 2] = True
         diffs = _compare_with_losses(pkts, ch, losses, frame)
-        i = len(pkts) // 2
-        assert diffs[i] == 0.0, \
-            f"ch={ch} ms={frame_ms} concealed pkt{i}: {diffs[i]}"
+        # SILK loss paths are bit-exact END TO END: the concealed
+        # frame AND every post-loss frame (BWE_AFTER_LOSS LPC
+        # expansion + LastGainIndex reset, r4).
+        assert max(diffs) == 0.0, \
+            (ch, frame_ms, max(diffs), int(np.argmax(diffs)))
 
 
 def test_mode_transition_plc_smoothing_vs_libopus():
@@ -793,7 +795,7 @@ def test_hybrid_loss_noise_plc_vs_libopus():
     losses[25:27] = True
     diffs = _compare_with_losses(pkts, 2, losses, 960)
     assert diffs[10] < 1e-3, diffs[10]
-    assert max(diffs[-3:]) < 1e-2, diffs[-3:]
+    assert max(diffs[-3:]) < 1e-3, diffs[-3:]
 
 
 def test_encoder_settings_matrix_vs_libopus():
@@ -875,10 +877,10 @@ def test_encoder_settings_matrix_vs_libopus():
             assert got.shape == ref.shape, (desc, i)
             d = float(np.abs(got - ref).max())
             if len(p) <= 2:           # DTX/concealment packet
-                budget = 3e-3 if since_gap >= 50 else 0.5
+                budget = 3e-3 if since_gap >= 50 else 0.05
                 since_gap = 0
             else:
                 since_gap += 1
-                budget = 0.5 if since_gap <= 15 else 5e-3
+                budget = 0.05 if since_gap <= 15 else 5e-3
             assert d <= budget, (desc, i, len(p), d, budget)
         lib.opus_decoder_destroy(ctypes.c_void_p(dec.value))

@@ -132,10 +132,11 @@ def run_stream(lib, pkts, losses, ch, frame, desc, budgets,
     so on concealed audio that exceeds full scale it amplifies a
     ~1e-4 float drift into thousands of int16 LSB (measured pkt-level:
     float diff 4e-6, int16 diff 4210). Budgets (fractions of full
-    scale): concealed frames must track closely (SILK PLC is
-    bit-exact, CELT PLC float-exact); the first good frames after a
-    loss carry the documented post-loss divergence (PARITY.md);
-    steady-state good frames must reconverge."""
+    scale): SILK loss paths are bit-exact (incl. the post-loss
+    BWE_AFTER_LOSS LPC expansion and LastGainIndex reset); CELT PLC is
+    float-exact per frame but long concealment chains accumulate
+    float64-vs-float32 drift (measured <=0.05 worst over an 89-drop
+    2.5 ms stream), hence the wider in-window budget."""
     from audio_processor_tpu.io.opusdec.decoder import OpusDecoder
 
     err = ctypes.c_int(0)
@@ -237,8 +238,8 @@ def run(n_trials=40, seed=0):
             desc = (f"t{trial} loss ch={ch} mode={mode} bw={bw} "
                     f"ms={frame_ms} br={bitrate} cx={complexity} "
                     f"sig={kind} drops={int(losses.sum())}")
-            budgets = {"concealed": 3e-3, "window": 1.5,
-                       "good": 0.02}
+            budgets = {"concealed": 1e-3, "window": 0.15,
+                       "good": 5e-3}
             if not run_stream(lib, pkts, losses, ch, frame, desc,
                               budgets):
                 failures += 1
@@ -271,8 +272,8 @@ def run(n_trials=40, seed=0):
             desc = (f"t{trial} transition ch={ch} {m1}->{m2} "
                     f"ms={frame_ms} br={br} cx={complexity} sig={kind} "
                     f"drops={int(losses.sum())}")
-            budgets = {"concealed": 3e-3, "window": 1.5,
-                       "good": 0.02}
+            budgets = {"concealed": 1e-3, "window": 0.15,
+                       "good": 5e-3}
             if not run_stream(lib, pkts, losses, ch, frame, desc,
                               budgets):
                 failures += 1
