@@ -184,7 +184,11 @@ class DataProcessor:
     # ------------------------------------------------------------------
     def _decode_one(self, file_path: Path, preloaded=None):
         """Decode + resample + chunk one call, with retries
-        (reference: audio_processor.py:369-403)."""
+        (reference: audio_processor.py:369-403). Stamps ``t_start``
+        so per-file latency can be measured from the moment this
+        file's decode began (prefetch included), not from its batch's
+        device-stage start."""
+        t_start = time.perf_counter()
         last_error: Optional[Exception] = None
         for attempt in range(1, self.max_retries + 1):
             try:
@@ -210,7 +214,8 @@ class DataProcessor:
                     raise RuntimeError("no_chunks")
                 duration = waveform.shape[-1] / sr
                 return {"file": file_path, "chunks": chunks,
-                        "duration": duration, "waveform": waveform}
+                        "duration": duration, "waveform": waveform,
+                        "t_start": t_start}
             except Exception as e:
                 last_error = e
                 logger.warning("Attempt %d/%d failed for %s: %s",
@@ -219,7 +224,8 @@ class DataProcessor:
         logger.error("All %d attempts failed for %s: %s",
                      self.max_retries, file_path, last_error)
         return {"file": file_path, "chunks": [], "duration": 0.0,
-                "error": str(last_error), "waveform": None}
+                "error": str(last_error), "waveform": None,
+                "t_start": t_start}
 
     def _decode_batch(self, files: Sequence[Path]) -> List[Dict]:
         """Decode a file batch. WAVs go through the native C++ batch
@@ -400,18 +406,26 @@ class DataProcessor:
 
             if self.config.get("save_csv_results", False):
                 self._append_csv_rows(results)
-            batch_seconds = time.perf_counter() - ctx["batch_t0"]
-            # Per-call latency (batch residency is the per-file upper
-            # bound in this batched design).
-            self._file_latencies.extend([batch_seconds] * len(files))
+            t_done = time.perf_counter()
+            batch_seconds = t_done - ctx["batch_t0"]
+            # Per-call latency: decode start (prefetch included) to
+            # analysis completion for THAT file — files entering the
+            # prefetcher at different times get different latencies,
+            # so p50/p95 over them are meaningful (files without a
+            # decode stamp fall back to batch residency).
+            latencies = [t_done - d.get("t_start", ctx["batch_t0"])
+                         for d in decoded]
+            self._file_latencies.extend(
+                latencies if latencies
+                else [batch_seconds] * len(files))
             if self.monitor is not None:
                 self.monitor.record_batch(
                     batch_id, num_files=len(files),
                     num_chunks=len(results),
                     seconds=batch_seconds,
                     audio_seconds=sum(d["duration"] for d in decoded))
-                for d in decoded:
-                    self.monitor.record_file(d["file"].name, batch_seconds)
+                for d, lat in zip(decoded, latencies):
+                    self.monitor.record_file(d["file"].name, lat)
             return len(files) - len(batch_failed)
         except Exception as e:
             logger.exception("Error in analysis for batch %d: %s",

@@ -451,7 +451,7 @@ def main():
     }))
 
 
-def run_with_retries(attempts=3, backoff_s=(120.0, 300.0)):
+def run_with_retries(attempts=5, backoff_s=(120.0, 300.0, 600.0)):
     """Re-exec the bench in fresh child processes until one survives
     device init.
 
@@ -462,7 +462,10 @@ def run_with_retries(attempts=3, backoff_s=(120.0, 300.0)):
     assertion failures, crashes, and interrupts propagate immediately.
     Fresh subprocesses are required because a failed PJRT backend init
     poisons the process (JAX caches the dead backend). Worst case
-    ~3x300 s probes + ~7 min backoff ≈ 22 min before giving up.
+    ~5x300 s probes + ~27 min backoff ≈ 52 min before giving up
+    (the round-3 outage that nulled the scoreboard lasted hours —
+    a wider window costs nothing when the tunnel is healthy, since
+    a live probe returns in seconds).
 
     The child's stdout (the ONE JSON line) passes through unmodified;
     all bench logging is on stderr.

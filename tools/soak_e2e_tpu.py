@@ -6,7 +6,14 @@ engagement, complete CSV/DB rows, and reporting sustained
 files/hour + RSS growth (the axon tunnel leaks ~1 B/B transferred —
 CLAUDE.md — so RSS is reported, not asserted).
 
-Usage: python tools/soak_e2e_tpu.py [n_calls=96]
+With ``message_path=1`` the soak additionally enables the VAD message
+path (off by default, matching the reference's shipped config,
+audio_processor.py:354-358) so the combined chunk+message pipeline —
+VAD, windowed mono transcription, message rows, sentiment, CSV, DB —
+is exercised end to end under sustained load, and asserts message
+rows landed for every call.
+
+Usage: python tools/soak_e2e_tpu.py [n_calls=96] [message_path=0]
 """
 
 import os
@@ -27,6 +34,7 @@ def rss_mb() -> float:
 
 def main():
     n_calls = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    message_path = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     import tempfile
 
     import numpy as np
@@ -70,7 +78,8 @@ def main():
             agent_acoustic_model_path=str(models / "forest_model.joblib"),
             agent_acoustic_scaler_path=str(
                 models / "forest_scaler.joblib"),
-            save_csv_results=True)
+            save_csv_results=True,
+            extras={"enable_message_path": message_path})
         print("loading engine + analyzer", flush=True)
         engine = ASREngine(cfg)
         analyzer = bench.EngagedSentimentAnalyzer(SentimentAnalyzer(cfg))
@@ -118,6 +127,15 @@ def main():
         n_db = db._execute("SELECT COUNT(*) AS c FROM chunk",
                            fetch="one")["c"]
         assert n_db == rows, (n_db, rows)
+        n_msgs = 0
+        if message_path:
+            n_msgs = db._execute("SELECT COUNT(*) AS c FROM message",
+                                 fetch="one")["c"]
+            calls_with_msgs = db._execute(
+                "SELECT COUNT(DISTINCT id_enregistrement) AS c "
+                "FROM message", fetch="one")["c"]
+            assert calls_with_msgs == n_calls, \
+                (calls_with_msgs, n_calls)
         proc.close()
         db.close()
 
@@ -129,6 +147,9 @@ def main():
         print(f"  chunks {proc.stats['chunks_processed']}, CSV rows "
               f"{rows}, DB rows {n_db}, engagement text "
               f"{text_rate:.2f} fusion {fusion_rate:.2f}")
+        if message_path:
+            print(f"  message path ON: {n_msgs} message rows across "
+                  f"{n_calls} calls")
         print(f"  RSS {rss0:.0f} -> {rss1:.0f} MB "
               f"(+{rss1-rss0:.0f}; tunnel leaks ~1 B/B transferred)")
 
