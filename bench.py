@@ -489,9 +489,41 @@ def run_with_retries(attempts=5, backoff_s=(120.0, 300.0, 600.0)):
     return rc
 
 
+_TRANSPORT_MARKERS = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED", "stream terminated",
+    "Socket closed", "failed to connect", "Connection reset",
+    "connection closed", "transport", "tunnel",
+)
+
+
+def _child_main() -> int:
+    """Run the bench; map mid-run tunnel deaths to the retryable exit
+    code.
+
+    probe_device() only guards *init* — the tunnel can also die
+    mid-measurement (hours-long outages observed on this infra), which
+    would otherwise surface as a non-retryable crash and null the
+    round's scoreboard. Genuine bugs (AssertionError, non-transport
+    exceptions) still propagate as ordinary failures.
+    """
+    import os
+
+    try:
+        return main() or 0
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        msg = f"{type(e).__name__}: {e}"
+        if any(m.lower() in msg.lower() for m in _TRANSPORT_MARKERS):
+            log(f"FATAL: device transport error mid-run (retryable): "
+                f"{msg[:500]}")
+            os._exit(3)
+        raise
+
+
 if __name__ == "__main__":
     import os
 
     if os.environ.get("BENCH_CHILD"):
-        sys.exit(main())
+        sys.exit(_child_main())
     sys.exit(run_with_retries())
