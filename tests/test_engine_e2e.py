@@ -251,6 +251,12 @@ def test_run_summary_latency_percentiles(workspace):
     assert summary["p50_call_latency_seconds"] > 0
     assert summary["p95_call_latency_seconds"] >= \
         summary["p50_call_latency_seconds"]
+    # Latency is per FILE (decode start -> analysis done), not one
+    # shared batch-residency value: 3 files over 2 batches must yield
+    # 3 samples that are not all identical (files prefetched while an
+    # earlier batch occupies the device accrue queueing time).
+    assert len(proc._file_latencies) == 3
+    assert len({round(x, 9) for x in proc._file_latencies}) > 1
 
 
 class _FakeOkEngine:
