@@ -89,14 +89,30 @@ def main():
 
         print("loading engine + analyzer", flush=True)
         engine = ASREngine(make_cfg("boot"))
+        # Keys consumed at ASREngine CONSTRUCTION (device program
+        # geometry) are invisible to a per-sweep config override on a
+        # shared engine — build a second engine for arm B so e.g.
+        # chunk_batch_size=32 actually changes the compiled programs.
+        ENGINE_KEYS = ("chunk_batch_size", "length_buckets_sec",
+                       "enable_mixed_precision")
+        eng_overrides = {k: v for k, v in overrides.items()
+                         if k in ENGINE_KEYS}
+        engine_b = engine
+        if eng_overrides:
+            print(f"building arm-B engine ({eng_overrides})",
+                  flush=True)
+            engine_b = ASREngine(make_cfg("bootB", **eng_overrides),
+                                 params=engine.params,
+                                 model_cfg=engine.model_cfg,
+                                 vocab=engine.vocab)
         analyzer = bench.EngagedSentimentAnalyzer(
             SentimentAnalyzer(make_cfg("boot2")))
 
-        def sweep(tag, **kw):
+        def sweep(tag, eng=engine, **kw):
             cfg = make_cfg(tag, **kw)
             db = DatabaseManager(cfg)
             analyzer.set_database_manager(db)
-            proc = DataProcessor(cfg, db_manager=db, asr_engine=engine,
+            proc = DataProcessor(cfg, db_manager=db, asr_engine=eng,
                                  sentiment_analyzer=analyzer)
             analyzer.reset_counters()
             t0 = time.perf_counter()
@@ -109,12 +125,14 @@ def main():
 
         print("warmup sweeps (one per arm)", flush=True)
         print(f"  warm A {sweep('warmA'):.1f}s", flush=True)
-        print(f"  warm B {sweep('warmB', **overrides):.1f}s", flush=True)
+        print(f"  warm B {sweep('warmB', eng=engine_b, **overrides):.1f}s",
+              flush=True)
 
         times = {"A": [], "B": []}
         for r in range(reps):
-            for arm, kw in (("A", {}), ("B", overrides)):
-                dt = sweep(f"{arm}{r}", **kw)
+            for arm, eng, kw in (("A", engine, {}),
+                                 ("B", engine_b, overrides)):
+                dt = sweep(f"{arm}{r}", eng=eng, **kw)
                 times[arm].append(dt)
                 print(f"  rep{r} {arm}: {dt:.1f}s", flush=True)
 
