@@ -738,6 +738,47 @@ def test_message_path_batch_failure_isolated(workspace, monkeypatch):
     db.close()
 
 
+def test_ogg_opus_call_flows_through_pipeline(tmp_path):
+    """A healthy stereo Ogg/Opus call scans, decodes (48 kHz Opus ->
+    16 kHz resample) and transcribes through the full engine with DB
+    rows landing — the happy-path twin of the corrupt-OGG test, at
+    the engine level rather than the reader level."""
+    pytest.importorskip("tests.opus_encoder")
+    from tests.opus_encoder import encode_ogg_opus, encoder_available
+    if not encoder_available():
+        pytest.skip("libopus unavailable")
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    pcm = make_stereo_call(dur=4.0)          # [2, T] float at 16 kHz
+    pcm48 = np.repeat(pcm, 3, axis=1)        # crude 48 kHz fixture
+    (input_dir / "call-opus.opus").write_bytes(
+        encode_ogg_opus(0.5 * pcm48.T, 2))
+
+    cfg = PipelineConfig(
+        input_folder=str(input_dir),
+        output_folder=str(tmp_path / "output"),
+        logs_folder=str(tmp_path / "logs"),
+        database_type="sqlite", db_path=str(tmp_path / "db.sqlite"),
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        save_csv_results=True, file_batch_size=2,
+    )
+    db = DatabaseManager(cfg)
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 1
+    row = db.get_call_by_id_enregistrement("call-opus")
+    assert row is not None
+    assert row["duration_seconds"] == pytest.approx(4.0, abs=0.05)
+    chunks = db.get_chunks_by_id_enregistrement("call-opus")
+    assert chunks, "no chunk rows for the Opus call"
+    assert all(isinstance(c["transcription_chunk"], str)
+               for c in chunks)
+    db.close()
+
+
 def test_g711_call_flows_through_pipeline(tmp_path):
     """A stereo A-law call at 8 kHz (telephony wire format) scans,
     decodes and resamples through the full engine — proving the
