@@ -23,7 +23,17 @@ WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_IMA_ADPCM = 0x0011
+WAVE_FORMAT_MS_ADPCM = 0x0002
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# MS ADPCM canonical tables (WAVE_FORMAT_ADPCM, MSDN mmreg spec; the
+# first 7 coefficient pairs are mandated by the format and files may
+# append extras in the fmt extension — we honor the file's table).
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230],
+                     np.int64)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
 
 # IMA/DVI ADPCM tables (IMA ADPCM reference; audioop and sox use the
 # same bit-test expansion, parity-tested against audioop).
@@ -68,8 +78,10 @@ class AudioInfo:
     num_frames: int
     num_channels: int
     bits_per_sample: int
-    encoding: str  # pcm_int|pcm_float|pcm_alaw|pcm_ulaw|adpcm_ima|...
+    encoding: str  # pcm_int|pcm_float|pcm_alaw|pcm_ulaw|adpcm_ima|adpcm_ms
     block_align: int = 0  # container block size (ADPCM framing)
+    samples_per_block: int = 0   # MS ADPCM fmt-declared block frames
+    coefs: Optional[tuple] = None  # MS ADPCM (coef1, coef2) pairs
 
 
 class WavError(ValueError):
@@ -96,6 +108,7 @@ def _parse_header(data: bytes,
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE file")
     fmt = None
+    fmt_ext = b""
     data_off = data_size = None
     fact_frames = None
     for cid, off, size in _iter_chunks(data):
@@ -106,6 +119,7 @@ def _parse_header(data: bytes,
                 # sub-format GUID: first 2 bytes are the real format tag
                 (audio_format,) = struct.unpack_from("<H", data, off + 24)
             fmt = (audio_format, num_channels, sample_rate, block_align, bits)
+            fmt_ext = bytes(data[off + 16:off + size])  # cbSize + extension
         elif cid == b"fact" and size >= 4:
             # dwSampleLength: per-channel frame count (compressed fmts)
             (fact_frames,) = struct.unpack_from("<I", data, off)
@@ -153,6 +167,37 @@ def _parse_header(data: bytes,
         return (AudioInfo(sample_rate, num_frames, num_channels, bits,
                           "adpcm_ima", block_align),
                 data_off, data_size)
+    elif audio_format == WAVE_FORMAT_MS_ADPCM:
+        if bits != 4:
+            raise WavError(f"MS ADPCM WAV must be 4-bit, got {bits}")
+        if block_align <= 7 * num_channels:
+            raise WavError(f"bad MS ADPCM block align {block_align}")
+        # Block capacity from the framing; the fmt extension's
+        # wSamplesPerBlock (and any appended coefficient pairs beyond
+        # the 7 canonical ones) override the derived defaults.
+        spb = (block_align - 7 * num_channels) * 2 // num_channels + 2
+        coefs = _MS_COEFS
+        if len(fmt_ext) >= 6:
+            (_cb, ext_spb, n_coef) = struct.unpack_from("<HHH", fmt_ext)
+            if 2 <= ext_spb <= spb:
+                spb = ext_spb
+            if n_coef >= 7 and len(fmt_ext) >= 6 + 4 * n_coef:
+                coefs = tuple(
+                    struct.unpack_from("<hh", fmt_ext, 6 + 4 * i)
+                    for i in range(n_coef))
+        n_blocks = data_size // block_align
+        num_frames = n_blocks * spb
+        rem = data_size - n_blocks * block_align
+        if rem >= 7 * num_channels + 1:
+            # trailing partial block: header (2 frames) + whole bytes
+            num_frames += 2 + ((rem - 7 * num_channels) * 2
+                               // num_channels)
+        if fact_frames is not None:
+            num_frames = min(num_frames, fact_frames)
+        return (AudioInfo(sample_rate, num_frames, num_channels, bits,
+                          "adpcm_ms", block_align,
+                          samples_per_block=spb, coefs=coefs),
+                data_off, data_size)
     else:
         raise WavError(f"unsupported format tag 0x{audio_format:04x}")
     bytes_per_frame = num_channels * (bits // 8)
@@ -191,6 +236,8 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
     (torchaudio.load conventions)."""
     if ai.encoding == "adpcm_ima":
         return _decode_ima_adpcm(raw, ai, num_frames, dtype)
+    if ai.encoding == "adpcm_ms":
+        return _decode_ms_adpcm(raw, ai, num_frames, dtype)
     n = num_frames * ai.num_channels
     if ai.encoding in ("pcm_alaw", "pcm_ulaw"):
         table = _ALAW_TABLE if ai.encoding == "pcm_alaw" \
@@ -218,6 +265,80 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
         x = vals.astype(dtype) / 8388608.0
     x = x.reshape(num_frames, ai.num_channels).T
     return np.ascontiguousarray(x)
+
+
+def _decode_ms_adpcm(raw: bytes, ai: AudioInfo, num_frames: int,
+                     dtype) -> np.ndarray:
+    """MS ADPCM (WAV tag 0x0002) -> [C, num_frames] normalized.
+
+    Per-block header: per-channel predictor index, iDelta, iSamp1,
+    iSamp2; then 4-bit signed residuals, high nibble first, channels
+    interleaved per sample time. predictor = (s1*c1 + s2*c2)/256 with
+    C truncation toward zero (sign*(abs>>8)), sample = predictor +
+    nibble*iDelta clamped to int16, iDelta = max(16,
+    (AdaptTable[nibble]*iDelta)>>8) — bit-exact vs SDL's WAV loader
+    (pygame oracle, test_wav_ms_adpcm). Blocks are independent, so
+    the per-sample recurrence runs serial in t but vectorized across
+    all blocks (same regime as _decode_ima_adpcm). Reference decodes
+    this format via torchaudio's sox/soundfile backends
+    (audio_processor.py:76-86 routes decode through torchaudio)."""
+    ch, ba = ai.num_channels, ai.block_align
+    spb = ai.samples_per_block or \
+        (ba - 7 * ch) * 2 // ch + 2
+    coefs = np.asarray(ai.coefs or _MS_COEFS, np.int64)
+    buf = np.frombuffer(raw, np.uint8)
+    n_whole = len(buf) // ba
+    rem = buf[n_whole * ba:]
+    blk = buf[:n_whole * ba].reshape(n_whole, ba)
+    if len(rem) >= 7 * ch + 1:
+        pad = np.zeros(ba, np.uint8)
+        pad[:len(rem)] = rem
+        blk = np.concatenate([blk, pad[None]], axis=0)
+    B = blk.shape[0]
+    if B == 0 or num_frames == 0 or spb < 2:
+        return np.zeros((ch, 0), dtype)
+
+    def _i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    pred_idx = np.clip(blk[:, :ch].astype(np.int64), 0,
+                       len(coefs) - 1)                     # [B, ch]
+    hdr = blk[:, ch:7 * ch]
+    idelta = _i16(hdr[:, 0:2 * ch:2], hdr[:, 1:2 * ch:2])  # [B, ch]
+    s1 = _i16(hdr[:, 2 * ch:4 * ch:2], hdr[:, 2 * ch + 1:4 * ch:2])
+    s2 = _i16(hdr[:, 4 * ch:6 * ch:2], hdr[:, 4 * ch + 1:6 * ch:2])
+    c1 = coefs[pred_idx, 0]                                # [B, ch]
+    c2 = coefs[pred_idx, 1]
+
+    payload = blk[:, 7 * ch:]                              # [B, P]
+    nib = np.empty((B, payload.shape[1] * 2), np.int64)
+    nib[:, 0::2] = payload >> 4
+    nib[:, 1::2] = payload & 0xF
+    nib = nib[:, :(spb - 2) * ch].reshape(B, spb - 2, ch)
+    signed = np.where(nib > 7, nib - 16, nib)
+    adapt = _MS_ADAPT[nib]                                 # [B, S, ch]
+
+    out = np.empty((B, spb, ch), np.int64)
+    out[:, 0] = s2
+    out[:, 1] = s1
+    # header iDelta is used as-is for the first residual (SDL/ffmpeg
+    # semantics); the >=16 floor applies only after adaptation.
+    a, b, d = s1.copy(), s2.copy(), idelta.copy()
+    for i in range(spb - 2):
+        num = a * c1 + b * c2
+        predictor = np.sign(num) * (np.abs(num) >> 8)
+        new = np.clip(predictor + signed[:, i] * d, -32768, 32767)
+        out[:, i + 2] = new
+        b, a = a, new
+        # Post-adaptation clamp [16, 65535]: decoders diverge once
+        # delta grows past int16 (MS's reference casts to short, SDL
+        # saturates a Uint16, ffmpeg/libsndfile leave it unbounded);
+        # encoder-produced streams stay below the cap, and in the
+        # reachable region this matches SDL bit-exactly (the oracle).
+        d = np.clip((adapt[:, i] * d) >> 8, 16, 65535)
+    x = out.reshape(B * spb, ch).T[:, :num_frames]
+    return np.ascontiguousarray(x.astype(dtype) / 32768.0)
 
 
 def _decode_ima_adpcm(raw: bytes, ai: AudioInfo, num_frames: int,
@@ -288,11 +409,14 @@ def read_range(path: str | Path, start_frame: int,
         stop = ai.num_frames if num_frames is None \
             else min(ai.num_frames, start + max(0, num_frames))
         count = max(0, stop - start)
-        if ai.encoding == "adpcm_ima":
+        if ai.encoding in ("adpcm_ima", "adpcm_ms"):
             # Blocks are self-contained: fetch only the blocks
             # covering the range and slice locally.
             ch, ba = ai.num_channels, ai.block_align
-            spb = (ba - 4 * ch) * 2 // ch + 1
+            spb = ((ba - 4 * ch) * 2 // ch + 1
+                   if ai.encoding == "adpcm_ima"
+                   else ai.samples_per_block
+                   or (ba - 7 * ch) * 2 // ch + 2)
             if count == 0:
                 return np.zeros((ch, 0), dtype), ai.sample_rate
             b0 = start // spb

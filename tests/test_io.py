@@ -444,6 +444,140 @@ def test_wav_ima_adpcm_matches_audioop(tmp_path, channels, block_align):
         assert native.read_wav(p) is None
 
 
+def _make_ms_adpcm_wav(rng, ch, block_align, n_blocks, sr=8000,
+                       trim=0, declared_spb=None):
+    """Random-but-structurally-valid MS ADPCM WAV bytes + block list.
+
+    Random headers (predictor 0-6, iDelta incl. the <16 and negative
+    edges) and random nibble payloads stress every decode branch; SDL
+    decodes whatever is structurally valid, so no encoder is needed."""
+    import struct as _struct
+
+    ba = block_align
+    spb = _spb_ms(ch, ba)
+    assert ch * 7 + ((spb - 2) * ch + 1) // 2 == ba
+    blocks = []
+    for _ in range(n_blocks):
+        blk = bytearray()
+        for _c in range(ch):
+            blk.append(int(rng.integers(0, 7)))
+        for _c in range(ch):
+            # header iDelta >= 0: negative values hit a region where
+            # real decoders disagree (SDL reads it unsigned)
+            blk += _struct.pack("<h", int(rng.integers(0, 4000)))
+        for _c in range(2 * ch):
+            blk += _struct.pack("<h", int(rng.integers(-30000, 30000)))
+        blk += bytes(rng.integers(0, 256, size=ba - 7 * ch,
+                                  dtype=np.uint8))
+        blocks.append(bytes(blk))
+    payload = b"".join(blocks)
+    total = n_blocks * spb - trim
+    fmt = _struct.pack("<HHIIHHHHH", 0x0002, ch, sr,
+                       sr * ba // spb, ba, 4, 32,
+                       declared_spb or spb, 7)
+    for c1, c2 in ((256, 0), (512, -256), (0, 0), (192, 64),
+                   (240, 0), (460, -208), (392, -232)):
+        fmt += _struct.pack("<hh", c1, c2)
+    out = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4
+                                  + 8 + len(payload)) + b"WAVE"
+           + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + _struct.pack("<II", 4, total)
+           + b"data" + _struct.pack("<I", len(payload)) + payload)
+    return out, total, spb
+
+
+def _spb_ms(ch, block_align):
+    return (block_align - 7 * ch) * 2 // ch + 2
+
+
+def _sdl_decode_wav(path, sr, ch):
+    """pygame/SDL WAV decode oracle -> [ch, N] int16 (or None when
+    SDL can't init even the dummy audio device)."""
+    import os
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    try:
+        import pygame
+        import pygame.sndarray as sa
+
+        pygame.mixer.init(frequency=sr, size=-16, channels=ch)
+    except Exception:
+        return None
+    try:
+        arr = sa.array(pygame.mixer.Sound(file=str(path)))
+    finally:
+        pygame.mixer.quit()
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    return arr.T
+
+
+@pytest.mark.parametrize("channels,block_align", [(1, 256), (2, 512),
+                                                  (1, 71), (2, 338)])
+def test_wav_ms_adpcm_matches_sdl(tmp_path, channels, block_align):
+    """MS ADPCM WAV (tag 0x0002) vs pygame's SDL WAV loader on random
+    structurally-valid blocks (predictors 0-6, iDelta down past the
+    16 floor, random nibbles): bit-exact, including the trunc-toward-
+    zero /256 predictor and the post-adaptation >=16 delta floor."""
+    rng = np.random.default_rng(11 + channels + block_align)
+    data, total, spb = _make_ms_adpcm_wav(rng, channels, block_align,
+                                          n_blocks=6, trim=3)
+    p = tmp_path / f"ms_{channels}_{block_align}.wav"
+    p.write_bytes(data)
+
+    ai = wav.info(p)
+    assert ai.encoding == "adpcm_ms"
+    assert ai.num_frames == total
+    x, sr = wav.read(p)
+    assert sr == 8000 and x.shape == (channels, total)
+
+    oracle = _sdl_decode_wav(p, 8000, channels)
+    if oracle is None:
+        pytest.skip("SDL audio unavailable")
+    got = np.round(x * 32768.0).astype(np.int64)
+    n = min(oracle.shape[1], total)
+    assert n >= total - 1
+    np.testing.assert_array_equal(got[:, :n],
+                                  oracle[:, :n].astype(np.int64))
+
+    # Random access: block-aligned fetch + local slice, bit-identical.
+    piece, _ = wav.read_range(p, spb - 2, 9)
+    np.testing.assert_array_equal(piece, x[:, spb - 2:spb + 7])
+    if native.available():
+        assert native.read_wav(p) is None  # native declines -> Python
+
+
+def test_wav_ms_adpcm_partial_trailing_block(tmp_path):
+    """A mid-block truncation decodes the recoverable prefix: header
+    frames + whole payload bytes, matching the untruncated file."""
+    rng = np.random.default_rng(5)
+    data, total, spb = _make_ms_adpcm_wav(rng, 2, 512, n_blocks=4)
+    p_full = tmp_path / "full.wav"
+    p_full.write_bytes(data)
+    x_full, _ = wav.read(p_full)
+
+    import struct as _struct
+
+    ba = 512
+    cut = 3 * ba + 7 * 2 + 40            # 40 payload bytes into blk 3
+    data_off = data.find(b"data") + 8
+    body = data[data_off:data_off + cut]
+    head = bytearray(data[:data_off])
+    _struct.pack_into("<I", head, data_off - 4, len(body))
+    # drop the fact chunk's trim so only the truncation bounds frames
+    fact_off = data.find(b"fact") + 8
+    _struct.pack_into("<I", head, fact_off, 0xFFFFFFFF)
+    p_cut = tmp_path / "cut.wav"
+    p_cut.write_bytes(bytes(head) + body)
+
+    want = 3 * spb + 2 + 40 * 2 // 2
+    ai = wav.info(p_cut)
+    assert ai.num_frames == want
+    x_cut, _ = wav.read(p_cut)
+    assert x_cut.shape == (2, want)
+    np.testing.assert_array_equal(x_cut, x_full[:, :want])
+
+
 def test_wav_header_corruption_fuzz(tmp_path):
     """Random header/payload corruption across every format branch
     (PCM 8/16/24/32, float, G.711, IMA ADPCM): read() must decode or
@@ -472,6 +606,9 @@ def test_wav_header_corruption_fuzz(tmp_path):
         + b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x0011, 2, 8000,
                                  4000, 512, 4, 2, 505)
         + b"data" + _struct.pack("<I", len(blk)) + blk)
+    ms_data, _, _ = _make_ms_adpcm_wav(np.random.default_rng(3), 2,
+                                       512, n_blocks=2)
+    fixtures.append(ms_data)
 
     ran = 0
     for trial in range(400):
