@@ -738,6 +738,59 @@ def test_message_path_batch_failure_isolated(workspace, monkeypatch):
     db.close()
 
 
+def test_file_batching_invariance_end_to_end(tmp_path):
+    """The pipeline's OUTPUT must not depend on file batching: the
+    same 5 calls through file_batch_size 1 / 2 / 5 produce identical
+    per-chunk transcriptions, chunk spans and call aggregates (static
+    bucket semantics all the way through decode -> ASR -> sentiment
+    -> DB, not just at the chunk level as test_asr_engine's
+    composition-invariance covers)."""
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for i in range(5):
+        wav.write(input_dir / f"call-{i}.wav",
+                  make_stereo_call(dur=3.0 + 0.7 * i), 16000)
+
+    def run(fbs):
+        base = tmp_path / f"fbs{fbs}"
+        cfg = PipelineConfig(
+            input_folder=str(input_dir),
+            output_folder=str(base / "out"),
+            logs_folder=str(base / "logs"),
+            database_type="sqlite", db_path=str(base / "db.sqlite"),
+            enable_mixed_precision=False,
+            chunk_duration_sec=4.0, overlap_sec=1.0,
+            length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+            save_csv_results=True, file_batch_size=fbs,
+        )
+        db = DatabaseManager(cfg)
+        run.engine = getattr(run, "engine", None) or tiny_engine(cfg)
+        proc = DataProcessor(cfg, db_manager=db,
+                             asr_engine=run.engine)
+        proc.setup_models()
+        assert proc.run() == 5
+        rows = {}
+        for i in range(5):
+            stem = f"call-{i}"
+            call = db.get_call_by_id_enregistrement(stem)
+            chunks = db.get_chunks_by_id_enregistrement(stem)
+            rows[stem] = {
+                "duration": call["duration_seconds"],
+                "agg": (call["emotion_client_globale"],
+                        call["ton_agent_global"]),
+                "chunks": sorted(
+                    (c["id_chunk"], c["transcription_chunk"],
+                     c["transcription_agent"],
+                     c["transcription_client"], c["emotion_client"],
+                     c["ton_agent"]) for c in chunks),
+            }
+        db.close()
+        return rows
+
+    r1, r2, r5 = run(1), run(2), run(5)
+    assert r1 == r2 == r5
+
+
 def test_ogg_opus_call_flows_through_pipeline(tmp_path):
     """A healthy stereo Ogg/Opus call scans, decodes (48 kHz Opus ->
     16 kHz resample) and transcribes through the full engine with DB
