@@ -24,6 +24,7 @@ WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_IMA_ADPCM = 0x0011
 WAVE_FORMAT_MS_ADPCM = 0x0002
+WAVE_FORMAT_GSM610 = 0x0031
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 # MS ADPCM canonical tables (WAVE_FORMAT_ADPCM, MSDN mmreg spec; the
@@ -198,6 +199,27 @@ def _parse_header(data: bytes,
                           "adpcm_ms", block_align,
                           samples_per_block=spb, coefs=coefs),
                 data_off, data_size)
+    elif audio_format == WAVE_FORMAT_GSM610:
+        # MS GSM 6.10 (WAV49): mono by spec, 65-byte blocks of two
+        # 160-sample frames (writers emit bits=0; don't validate it).
+        if num_channels != 1:
+            raise WavError("GSM 6.10 WAV must be mono")
+        if block_align != 65:
+            raise WavError(f"bad GSM 6.10 block align {block_align}")
+        spb = 320
+        if len(fmt_ext) >= 4:
+            (_cb, ext_spb) = struct.unpack_from("<HH", fmt_ext)
+            if 0 < ext_spb <= 320:
+                spb = ext_spb
+        n_blocks = data_size // 65
+        num_frames = n_blocks * spb
+        if data_size - n_blocks * 65 >= 33:
+            num_frames += spb // 2       # trailing half block
+        if fact_frames is not None:
+            num_frames = min(num_frames, fact_frames)
+        return (AudioInfo(sample_rate, num_frames, 1, bits, "gsm_ms",
+                          65, samples_per_block=spb),
+                data_off, data_size)
     else:
         raise WavError(f"unsupported format tag 0x{audio_format:04x}")
     bytes_per_frame = num_channels * (bits // 8)
@@ -238,6 +260,11 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
         return _decode_ima_adpcm(raw, ai, num_frames, dtype)
     if ai.encoding == "adpcm_ms":
         return _decode_ms_adpcm(raw, ai, num_frames, dtype)
+    if ai.encoding == "gsm_ms":
+        from audio_processor_tpu.io import gsm
+
+        x = gsm.decode_wav49(bytes(raw), num_frames)
+        return (x.astype(dtype) / 32768.0)[None, :]
     n = num_frames * ai.num_channels
     if ai.encoding in ("pcm_alaw", "pcm_ulaw"):
         table = _ALAW_TABLE if ai.encoding == "pcm_alaw" \
@@ -409,6 +436,18 @@ def read_range(path: str | Path, start_frame: int,
         stop = ai.num_frames if num_frames is None \
             else min(ai.num_frames, start + max(0, num_frames))
         count = max(0, stop - start)
+        if ai.encoding == "gsm_ms":
+            # GSM carries decoder state ACROSS blocks (LTP history,
+            # lattice, de-emphasis) — blocks are not independently
+            # decodable, so bit-identical random access must decode
+            # from the stream head and slice (files are 1,625 B per
+            # audio-minute; the full read stays cheap).
+            f.seek(off)
+            raw = f.read((stop + ai.samples_per_block - 1)
+                         // ai.samples_per_block * ai.block_align)
+            x = _convert_frames(raw, ai, stop, dtype)
+            return (np.ascontiguousarray(x[:, start:stop]),
+                    ai.sample_rate)
         if ai.encoding in ("adpcm_ima", "adpcm_ms"):
             # Blocks are self-contained: fetch only the blocks
             # covering the range and slice locally.

@@ -609,6 +609,12 @@ def test_wav_header_corruption_fuzz(tmp_path):
     ms_data, _, _ = _make_ms_adpcm_wav(np.random.default_rng(3), 2,
                                        512, n_blocks=2)
     fixtures.append(ms_data)
+    gsm_payload = rng.integers(0, 256, 65 * 3, dtype=np.uint8).tobytes()
+    fixtures.append(
+        b"RIFF" + _struct.pack("<I", 56 + len(gsm_payload)) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x0031, 1, 8000,
+                                 1625, 65, 0, 2, 320)
+        + b"data" + _struct.pack("<I", len(gsm_payload)) + gsm_payload)
 
     ran = 0
     for trial in range(400):
