@@ -205,6 +205,28 @@ def test_overload_maps_to_http_503(cfg):
         srv.server_close()
 
 
+def test_gsm_wav_payload(server):
+    """A mono GSM 6.10 (WAV49) request body decodes (io/gsm.py),
+    resamples 8 kHz -> 16 kHz and transcribes with the mono->both-
+    speakers view semantics (split_audio duplicates ch0)."""
+    import pytest as _pytest
+
+    from audio_processor_tpu.io import gsm as gsm_mod
+
+    if not gsm_mod.libgsm_available():  # body construction needs it
+        _pytest.skip("libgsm encoder unavailable in image")
+    from tests.test_gsm import _encode_wav49_payload, _gsm_wav_bytes
+
+    rng = np.random.default_rng(4)
+    pcm = (rng.standard_normal(8000 * 2) * 6000).astype(np.int16)
+    body = _gsm_wav_bytes(_encode_wav49_payload(pcm), len(pcm))
+    port = server.server_address[1]
+    status, out = _post(port, body)
+    assert status == 200
+    assert out["num_chunks"] >= 1
+    assert out["duration_seconds"] == pytest.approx(2.0, abs=0.05)
+
+
 def test_opus_payload(server):
     """Ogg/Opus request bodies decode in-process (io/opus.py: libopus
     ctypes fast path or the first-party RFC 6716 fallback) — the
