@@ -116,11 +116,18 @@ def _parse_header(data: bytes,
         if cid == b"fmt " and size >= 16:
             (audio_format, num_channels, sample_rate, _byte_rate,
              block_align, bits) = struct.unpack_from("<HHIIHH", data, off)
-            if audio_format == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+            was_extensible = audio_format == WAVE_FORMAT_EXTENSIBLE
+            if was_extensible and size >= 40:
                 # sub-format GUID: first 2 bytes are the real format tag
                 (audio_format,) = struct.unpack_from("<H", data, off + 24)
             fmt = (audio_format, num_channels, sample_rate, block_align, bits)
-            fmt_ext = bytes(data[off + 16:off + size])  # cbSize + extension
+            # cbSize + codec extension (wSamplesPerBlock, coef pairs).
+            # An EXTENSIBLE wrapper replaces that layout with
+            # wValidBitsPerSample/dwChannelMask/GUID — parsing it as a
+            # codec extension would misread those fields, so the
+            # ADPCM/GSM branches fall back to derived defaults there.
+            fmt_ext = b"" if was_extensible \
+                else bytes(data[off + 16:off + size])
         elif cid == b"fact" and size >= 4:
             # dwSampleLength: per-channel frame count (compressed fmts)
             (fact_frames,) = struct.unpack_from("<I", data, off)

@@ -182,13 +182,16 @@ class DataProcessor:
         return d
 
     # ------------------------------------------------------------------
-    def _decode_one(self, file_path: Path, preloaded=None):
+    def _decode_one(self, file_path: Path, preloaded=None,
+                    t_start: Optional[float] = None):
         """Decode + resample + chunk one call, with retries
         (reference: audio_processor.py:369-403). Stamps ``t_start``
         so per-file latency can be measured from the moment this
         file's decode began (prefetch included), not from its batch's
-        device-stage start."""
-        t_start = time.perf_counter()
+        device-stage start; callers that already did I/O for the file
+        (native batch preload) pass their earlier stamp."""
+        if t_start is None:
+            t_start = time.perf_counter()
         last_error: Optional[Exception] = None
         for attempt in range(1, self.max_retries + 1):
             try:
@@ -232,6 +235,10 @@ class DataProcessor:
         reader in one GIL-free call (io/native.py); everything else
         (OGG, fallback, retries) uses the per-file thread pool."""
         files = [Path(f) for f in files]
+        # per-file latency clock starts HERE: the native batch read
+        # below is the bulk of decode I/O for WAVs, and _decode_one's
+        # own stamp would miss it for preloaded files
+        t_batch_start = time.perf_counter()
         preloaded: Dict[str, tuple] = {}
         wavs = [f for f in files if f.suffix.lower() == ".wav"]
         if wavs:
@@ -247,7 +254,9 @@ class DataProcessor:
                 logger.debug("native batch read unavailable: %s", e)
 
         def decode(f: Path) -> Dict:
-            return self._decode_one(f, preloaded.get(str(f)))
+            return self._decode_one(f, preloaded.get(str(f)),
+                                    t_start=t_batch_start
+                                    if str(f) in preloaded else None)
 
         with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
             return list(ex.map(decode, files))

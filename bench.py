@@ -489,11 +489,27 @@ def run_with_retries(attempts=5, backoff_s=(120.0, 300.0, 600.0)):
     return rc
 
 
-_TRANSPORT_MARKERS = (
-    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED", "stream terminated",
-    "Socket closed", "failed to connect", "Connection reset",
-    "connection closed", "transport", "tunnel",
-)
+def _device_alive(timeout_s=90.0) -> bool:
+    """Can the chip still execute? A tiny compiled op with a host
+    fetch, bounded by a daemon thread (a dead PJRT call hangs)."""
+    import threading
+
+    ok = []
+
+    def _probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.devices()
+            ok.append(float(jnp.sum(jnp.ones((8, 8)))) == 64.0)
+        except Exception:
+            ok.append(False)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok and ok[0])
 
 
 def _child_main() -> int:
@@ -501,22 +517,27 @@ def _child_main() -> int:
     code.
 
     probe_device() only guards *init* — the tunnel can also die
-    mid-measurement (hours-long outages observed on this infra), which
-    would otherwise surface as a non-retryable crash and null the
-    round's scoreboard. Genuine bugs (AssertionError, non-transport
-    exceptions) still propagate as ordinary failures.
+    mid-measurement (hours-long outages observed on this infra).
+    Mid-run failures surface in two shapes: exceptions that escape
+    main(), and engine-swallowed device errors that fail the sweep's
+    assertions (DataProcessor catches device exceptions into
+    stats['errors']). Classification is by CURRENT tunnel state, not
+    error text: on ANY failure, re-probe the device — if the chip no
+    longer answers, the failure is infrastructural (exit 3, retried
+    in a fresh subprocess); if the chip still executes, it's a
+    genuine bug and propagates as an ordinary failure.
     """
     import os
 
     try:
         return main() or 0
-    except AssertionError:
-        raise
-    except Exception as e:  # noqa: BLE001 — classify, then re-raise
-        msg = f"{type(e).__name__}: {e}"
-        if any(m.lower() in msg.lower() for m in _TRANSPORT_MARKERS):
-            log(f"FATAL: device transport error mid-run (retryable): "
-                f"{msg[:500]}")
+    except BaseException as e:  # noqa: BLE001 — classify by re-probe
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        if not _device_alive():
+            log(f"FATAL: device unreachable after mid-run failure "
+                f"({type(e).__name__}: {str(e)[:300]}) — classifying "
+                f"as tunnel outage (retryable)")
             os._exit(3)
         raise
 

@@ -93,8 +93,14 @@ def main():
         # geometry) are invisible to a per-sweep config override on a
         # shared engine — build a second engine for arm B so e.g.
         # chunk_batch_size=32 actually changes the compiled programs.
+        # every key ASREngine.__init__ consumes (asr_engine.py:73-160)
         ENGINE_KEYS = ("chunk_batch_size", "length_buckets_sec",
-                       "enable_mixed_precision")
+                       "enable_mixed_precision", "quantization",
+                       "target_sample_rate", "chunk_duration_sec",
+                       "int16_transfers", "fuse_acoustic_features",
+                       "emit_word_timestamps", "beam_width",
+                       "beam_word_bonus", "attention_impl",
+                       "transcription_model")
         eng_overrides = {k: v for k, v in overrides.items()
                          if k in ENGINE_KEYS}
         engine_b = engine
