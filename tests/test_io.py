@@ -547,6 +547,40 @@ def test_wav_ms_adpcm_matches_sdl(tmp_path, channels, block_align):
         assert native.read_wav(p) is None  # native declines -> Python
 
 
+def test_wav_ms_adpcm_extensible_wrapper(tmp_path):
+    """An EXTENSIBLE fmt wrapping sub-format 0x0002 must not parse
+    the wrapper fields (wValidBitsPerSample/dwChannelMask) as the MS
+    ADPCM extension — geometry falls back to block-align-derived
+    defaults and the decode matches the plain-tag file."""
+    import struct as _struct
+
+    rng = np.random.default_rng(21)
+    data, total, spb = _make_ms_adpcm_wav(rng, 2, 512, n_blocks=4)
+    p_plain = tmp_path / "plain.wav"
+    p_plain.write_bytes(data)
+    x_plain, _ = wav.read(p_plain)
+
+    # rebuild with an EXTENSIBLE fmt chunk (cbSize=22 layout)
+    data_off = data.find(b"data")
+    payload = data[data_off + 8:]
+    fmt = _struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 8000 * 512 // spb,
+                       512, 4)
+    fmt += _struct.pack("<HHI", 22, 4, 0x3)        # valid bits, mask
+    fmt += _struct.pack("<H", 0x0002) + b"\x00\x00" + \
+        b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    ext = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8
+                                  + len(payload)) + b"WAVE"
+           + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + _struct.pack("<II", 4, total)
+           + b"data" + _struct.pack("<I", len(payload)) + payload)
+    p_ext = tmp_path / "ext.wav"
+    p_ext.write_bytes(ext)
+    ai = wav.info(p_ext)
+    assert ai.encoding == "adpcm_ms" and ai.num_frames == total
+    x_ext, _ = wav.read(p_ext)
+    np.testing.assert_array_equal(x_ext, x_plain)
+
+
 def test_wav_ms_adpcm_partial_trailing_block(tmp_path):
     """A mid-block truncation decodes the recoverable prefix: header
     frames + whole payload bytes, matching the untruncated file."""
