@@ -282,6 +282,12 @@ def _convert_frames(raw: bytes, ai: AudioInfo, num_frames: int,
         dt = np.float32 if ai.bits_per_sample == 32 else np.float64
         x = np.frombuffer(raw, dtype="<" + np.dtype(dt).char, count=n) \
             .astype(dtype)
+        # corrupt/hostile float payloads can carry NaN/Inf bit
+        # patterns; zero them so one bad file can't poison its device
+        # batch (finite samples pass through untouched; matches the
+        # native reader)
+        if not np.isfinite(x).all():
+            x = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
     elif ai.bits_per_sample == 16:
         x = np.frombuffer(raw, dtype="<i2", count=n).astype(dtype) / 32768.0
     elif ai.bits_per_sample == 32:

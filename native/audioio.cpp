@@ -125,12 +125,20 @@ void convert(const uint8_t* raw, const WavMeta& m, float* dst) {
   if (m.format == kFmtFloat && m.bits == 32) {
     const float* s = reinterpret_cast<const float*>(raw);
     for (uint64_t t = 0; t < T; ++t)
-      for (unsigned c = 0; c < C; ++c) dst[c * T + t] = s[t * C + c];
+      for (unsigned c = 0; c < C; ++c) {
+        // corrupt/hostile float payloads can carry NaN/Inf bit
+        // patterns; zero them so one bad file can't poison its
+        // device batch (finite samples pass through untouched)
+        const float v = s[t * C + c];
+        dst[c * T + t] = std::isfinite(v) ? v : 0.0f;
+      }
   } else if (m.format == kFmtFloat && m.bits == 64) {
     const double* s = reinterpret_cast<const double*>(raw);
     for (uint64_t t = 0; t < T; ++t)
-      for (unsigned c = 0; c < C; ++c)
-        dst[c * T + t] = static_cast<float>(s[t * C + c]);
+      for (unsigned c = 0; c < C; ++c) {
+        const float v = static_cast<float>(s[t * C + c]);
+        dst[c * T + t] = std::isfinite(v) ? v : 0.0f;
+      }
   } else if (m.bits == 16) {
     const int16_t* s = reinterpret_cast<const int16_t*>(raw);
     constexpr float k = 1.0f / 32768.0f;

@@ -612,6 +612,25 @@ def test_wav_ms_adpcm_partial_trailing_block(tmp_path):
     np.testing.assert_array_equal(x_cut, x_full[:, :want])
 
 
+def test_float_wav_nonfinite_samples_zeroed(tmp_path):
+    """NaN/Inf bit patterns in float WAV payloads decode to 0 in BOTH
+    readers (finite samples untouched) so a corrupt file can't poison
+    its device batch with non-finite values."""
+    x = np.array([[0.5, np.nan, -0.25, np.inf, 0.125, -np.inf]],
+                 np.float64)
+    for bits in (32, 64):
+        p = tmp_path / f"nf{bits}.wav"
+        _write_wav_custom(p, x, 8000, bits, "float")
+        got, _ = wav.read(p)
+        np.testing.assert_array_equal(
+            got[0], [0.5, 0.0, -0.25, 0.0, 0.125, 0.0])
+        if native.available():
+            out = native.read_wav(p)
+            if out is not None:
+                np.testing.assert_array_equal(
+                    out[0][0], [0.5, 0.0, -0.25, 0.0, 0.125, 0.0])
+
+
 def test_wav_header_corruption_fuzz(tmp_path):
     """Random header/payload corruption across every format branch
     (PCM 8/16/24/32, float, G.711, IMA ADPCM): read() must decode or
