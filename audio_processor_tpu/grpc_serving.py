@@ -93,6 +93,73 @@ class GrpcInferenceServer:
                 latency_seconds=out["latency_seconds"],
             )
 
+        def streaming_transcribe(request_iterator, context):
+            """Live bidi streaming: accumulate PCM through a
+            StreamingChunker and submit each completed chunk to the
+            SHARED micro-batcher (concurrent streams and file bodies
+            batch together on device). Results stream back the moment
+            their chunk's device batch returns."""
+            import numpy as np
+
+            from audio_processor_tpu.pipeline.chunker import (
+                StreamingChunker,
+            )
+            from audio_processor_tpu.serving import ServerOverloaded
+
+            cfg = service.config
+            target_sr = int(cfg.get("target_sample_rate", 16000))
+            chunker = None
+            try:
+                def results(chunks):
+                    for chunk in chunks:
+                        for row in service.submit_chunks([chunk]):
+                            # same array-field filter as the HTTP
+                            # row_out (serving.py): waveforms /
+                            # features stay server-side
+                            row = {k: v for k, v in row.items()
+                                   if not k.endswith("_waveform")
+                                   and not k.endswith("_features")
+                                   and not k.endswith("_probabilities")}
+                            yield pb2.StreamResult(
+                                chunk=_chunk_to_proto(pb2, row))
+
+                for msg in request_iterator:
+                    if chunker is None:
+                        sr = int(msg.sample_rate)
+                        ch = int(msg.channels) or 1
+                        if sr != target_sr:
+                            context.abort(
+                                grpc.StatusCode.INVALID_ARGUMENT,
+                                f"stream must be {target_sr} Hz "
+                                f"(got {sr}); resample client-side")
+                        if ch not in (1, 2):
+                            context.abort(
+                                grpc.StatusCode.INVALID_ARGUMENT,
+                                f"channels must be 1 or 2 (got {ch})")
+                        chunker = StreamingChunker(
+                            sr, "stream",
+                            float(cfg.get("chunk_duration_sec", 25.0)),
+                            float(cfg.get("overlap_sec", 1.0)))
+                        chunker._channels = ch
+                    if msg.pcm16:
+                        flat = np.frombuffer(msg.pcm16, "<i2")
+                        ch = chunker._channels
+                        flat = flat[:len(flat) - len(flat) % ch]
+                        piece = (flat.reshape(-1, ch).T
+                                 .astype(np.float32) / 32768.0)
+                        yield from results(chunker.feed(piece))
+                if chunker is not None:
+                    yield from results(chunker.flush())
+                yield pb2.StreamResult(final=True)
+            except ServerOverloaded as e:
+                context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
+                              str(e))
+            except TimeoutError as e:
+                context.abort(grpc.StatusCode.DEADLINE_EXCEEDED,
+                              str(e))
+            except ValueError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+
         def health(request, context):
             return pb2.HealthResponse(ok=True, status="serving")
 
@@ -114,6 +181,10 @@ class GrpcInferenceServer:
                 stats,
                 request_deserializer=pb2.StatsRequest.FromString,
                 response_serializer=pb2.StatsResponse.SerializeToString),
+            "StreamingTranscribe": grpc.stream_stream_rpc_method_handler(
+                streaming_transcribe,
+                request_deserializer=pb2.StreamAudio.FromString,
+                response_serializer=pb2.StreamResult.SerializeToString),
         }
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers))
@@ -161,6 +232,10 @@ class GrpcClient:
             f"/{SERVICE}/Stats",
             request_serializer=pb2.StatsRequest.SerializeToString,
             response_deserializer=pb2.StatsResponse.FromString)
+        self._streaming = self._channel.stream_stream(
+            f"/{SERVICE}/StreamingTranscribe",
+            request_serializer=pb2.StreamAudio.SerializeToString,
+            response_deserializer=pb2.StreamResult.FromString)
 
     def transcribe(self, audio: bytes, with_sentiment: bool = False,
                    timeout: Optional[float] = None):
@@ -169,6 +244,42 @@ class GrpcClient:
                 audio=audio, with_sentiment=with_sentiment,
                 timeout_seconds=timeout or 0.0),
             timeout=timeout)
+
+    def streaming_transcribe(self, pieces, sample_rate: int = 16000,
+                             channels: int = 2,
+                             timeout: Optional[float] = None):
+        """Stream live PCM; yields each chunk's result as it lands.
+
+        ``pieces`` iterates int16 numpy arrays (interleaved [n*ch] or
+        [ch, n]) or raw little-endian int16 bytes. The terminal
+        ``final`` marker is consumed, not yielded."""
+        import numpy as np
+
+        pb2 = self._pb2
+
+        def requests():
+            first = True
+            for p in pieces:
+                if isinstance(p, (bytes, bytearray)):
+                    payload = bytes(p)
+                else:
+                    arr = np.asarray(p, "<i2")
+                    if arr.ndim == 2:       # [ch, n] -> interleaved
+                        arr = arr.T.reshape(-1)
+                    payload = arr.tobytes()
+                yield pb2.StreamAudio(
+                    pcm16=payload,
+                    sample_rate=sample_rate if first else 0,
+                    channels=channels if first else 0)
+                first = False
+            if first:                       # empty stream: handshake
+                yield pb2.StreamAudio(sample_rate=sample_rate,
+                                      channels=channels)
+
+        for res in self._streaming(requests(), timeout=timeout):
+            if res.final:
+                break
+            yield res.chunk
 
     def health(self, timeout: Optional[float] = 10.0):
         return self._health(self._pb2.HealthRequest(), timeout=timeout)

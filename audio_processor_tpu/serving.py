@@ -110,6 +110,31 @@ class InferenceService:
                     n_shapes, time.perf_counter() - t0)
 
     # -------------------------------------------------------- intake
+    def submit_chunks(self, chunks, timeout: Optional[float] = None):
+        """Queue chunks into the shared micro-batcher and wait for
+        their rows. The common submission path for whole-file bodies
+        (transcribe_bytes) and the gRPC streaming RPC, so concurrent
+        streams micro-batch together with file requests. Raises
+        ServerOverloaded on backpressure, TimeoutError past the
+        deadline."""
+        if self._closing.is_set():
+            raise RuntimeError("server is shutting down")
+        req = _Request(chunks)
+        with self._stats_lock:
+            if self._pending_chunks + len(chunks) > self.max_pending_chunks:
+                self.stats["rejected_overload"] += 1
+                raise ServerOverloaded(
+                    f"queue full ({self._pending_chunks} pending chunks, "
+                    f"limit {self.max_pending_chunks}); retry later")
+            self._pending_chunks += len(chunks)
+        self._queue.put(req)
+        if not req.event.wait(timeout if timeout is not None
+                              else self.request_timeout):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.results
+
     def transcribe_bytes(self, payload: bytes,
                          with_sentiment: bool = False,
                          timeout: Optional[float] = None) -> Dict[str, Any]:
@@ -133,23 +158,7 @@ class InferenceService:
         if not chunks:
             raise ValueError("no audio decoded from request body")
 
-        if self._closing.is_set():
-            raise RuntimeError("server is shutting down")
-        req = _Request(chunks)
-        with self._stats_lock:
-            if self._pending_chunks + len(chunks) > self.max_pending_chunks:
-                self.stats["rejected_overload"] += 1
-                raise ServerOverloaded(
-                    f"queue full ({self._pending_chunks} pending chunks, "
-                    f"limit {self.max_pending_chunks}); retry later")
-            self._pending_chunks += len(chunks)
-        self._queue.put(req)
-        if not req.event.wait(timeout if timeout is not None
-                              else self.request_timeout):
-            raise TimeoutError("inference timed out")
-        if req.error is not None:
-            raise RuntimeError(req.error)
-        rows = req.results
+        rows = self.submit_chunks(chunks, timeout)
         if with_sentiment and self.sentiment is not None:
             rows = self.sentiment.analyze_batch_sentiment(
                 [dict(r) for r in rows])

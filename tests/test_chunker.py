@@ -109,3 +109,53 @@ def test_chunk_batch_groups_by_bucket():
     assert len(batches) == 2
     assert batches[0].bucket_len == 100 and len(batches[0]) == 2
     assert batches[1].bucket_len == 200 and len(batches[1]) == 1
+
+
+def test_streaming_chunker_equals_split_audio():
+    """Property: feeding arbitrary piece sizes through
+    StreamingChunker yields chunk-for-chunk identical output to a
+    one-shot split_audio (boundaries, indices, views), including the
+    final-short-chunk and exact-end rules."""
+    from audio_processor_tpu.pipeline.chunker import StreamingChunker
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for trial in range(60):
+        dur = rng.uniform(0.05, 12.0)
+        n = int(sr * dur)
+        ch = int(rng.integers(1, 3))
+        x = rng.standard_normal((ch, n)).astype(np.float32) * 0.1
+        cd = float(rng.choice([2.0, 4.0, 25.0 / 8]))
+        ov = float(rng.choice([0.0, 0.5, 1.0]))
+        if ov >= cd:
+            ov = 0.5 * cd
+        ref = split_audio(x, sr, "stream", cd, ov)
+        sc = StreamingChunker(sr, "stream", cd, ov)
+        got = []
+        i = 0
+        while i < n:
+            step = int(rng.integers(
+                1, max(2, int(sr * rng.uniform(0.01, 3.0)))))
+            got += sc.feed(x[:, i:i + step])
+            i += step
+        got += sc.flush()
+        assert len(got) == len(ref), (trial, dur, cd, ov)
+        for a, b in zip(got, ref):
+            assert a.chunk_idx == b.chunk_idx
+            assert a.start_time == b.start_time
+            assert a.end_time == b.end_time
+            np.testing.assert_array_equal(a.agent, b.agent)
+            np.testing.assert_array_equal(a.client, b.client)
+
+
+def test_streaming_chunker_memory_bounded():
+    """Internal buffer never holds more than ~one chunk window."""
+    from audio_processor_tpu.pipeline.chunker import StreamingChunker
+
+    sr = 16000
+    sc = StreamingChunker(sr, "s", 4.0, 1.0)
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        sc.feed(rng.standard_normal((2, sr)).astype(np.float32))
+        if sc._buf is not None:
+            assert sc._buf.shape[1] <= sc.chunk_samples + sr

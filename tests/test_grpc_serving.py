@@ -128,3 +128,74 @@ def test_backpressure_maps_to_resource_exhausted(grpc_server, client):
         assert "RESOURCE_EXHAUSTED" in codes, codes
     finally:
         service.max_pending_chunks = old_cap
+
+
+def test_streaming_transcribe_matches_unary(cfg, grpc_server, client):
+    """Live-streamed PCM produces the SAME chunk boundaries and
+    transcripts as the whole-file unary path (StreamingChunker is
+    split_audio-equivalent; the chunks share one micro-batcher)."""
+    from tests.conftest import make_stereo_call
+
+    wf = make_stereo_call(dur=10.0)                  # [2, T] float
+    pcm = np.clip(np.round(wf * 32768.0), -32768,
+                  32767).astype(np.int16)
+
+    # stream in uneven pieces (odd sizes exercise rebuffering)
+    rng = np.random.default_rng(0)
+    pieces, i = [], 0
+    while i < pcm.shape[1]:
+        n = int(rng.integers(1000, 30000))
+        pieces.append(pcm[:, i:i + n])
+        i += n
+    got = list(client.streaming_transcribe(pieces, channels=2,
+                                           timeout=300.0))
+
+    direct = grpc_server.service.transcribe_bytes(
+        _wav_bytes_from(pcm))
+    assert len(got) == direct["num_chunks"]
+    for g, d in zip(got, direct["chunks"]):
+        assert g.start_time == pytest.approx(d["start_time"])
+        assert g.end_time == pytest.approx(d["end_time"])
+        assert g.transcription_chunk == d["transcription_chunk"]
+        assert g.agent_transcription == d["agent_transcription"]
+        assert g.client_transcription == d["client_transcription"]
+
+
+def _wav_bytes_from(pcm: np.ndarray) -> bytes:
+    import io as _io
+
+    from audio_processor_tpu.io import wav as wav_mod
+
+    buf = _io.BytesIO()
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "x.wav"
+        wav_mod.write(p, pcm.astype(np.float32) / 32768.0, 16000)
+        return p.read_bytes()
+
+
+def test_streaming_transcribe_mono_and_empty(client):
+    """Mono streams duplicate ch0 into both speaker views; an empty
+    stream yields no chunks (clean final marker)."""
+    rng = np.random.default_rng(1)
+    mono = (rng.standard_normal(16000 * 4) * 6000).astype(np.int16)
+    got = list(client.streaming_transcribe([mono], channels=1,
+                                           timeout=120.0))
+    assert len(got) >= 1
+    assert all(c.agent_transcription == c.client_transcription
+               for c in got)
+    empty = list(client.streaming_transcribe([], channels=2,
+                                             timeout=60.0))
+    assert empty == []
+
+
+def test_streaming_rejects_wrong_rate(client):
+    import grpc
+
+    pcm = np.zeros(8000, np.int16)
+    with pytest.raises(grpc.RpcError) as exc:
+        list(client.streaming_transcribe([pcm], sample_rate=8000,
+                                         channels=1, timeout=60.0))
+    assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
