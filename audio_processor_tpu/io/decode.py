@@ -117,6 +117,10 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
             if out is not None:
                 return out
         return wav_mod.read(p)
+    if suffix == ".mp3":
+        from audio_processor_tpu.io.mp3 import decode_mp3
+
+        return decode_mp3(p.read_bytes())
     if suffix in (".ogg", ".opus"):
         # Payload-routed decode: Vorbis goes to the first-party
         # decoders (C++ fast path native/vorbis.cpp ~590x realtime,
@@ -283,7 +287,13 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
                         return _decode_via_ffmpeg(f.name)
                     return _decode_via_pygame(f.name)
             raise WavError(f"OGG payload decode failed: {e}") from e
-    raise WavError("unrecognized audio payload (expect WAV or OGG)")
+    from audio_processor_tpu.io.mp3 import looks_like_mp3
+
+    if looks_like_mp3(bytes(data[:4])):
+        from audio_processor_tpu.io.mp3 import decode_mp3
+
+        return decode_mp3(bytes(data))
+    raise WavError("unrecognized audio payload (expect WAV, OGG or MP3)")
 
 
 def probe(path: str | Path) -> Optional[AudioInfo]:
@@ -303,6 +313,12 @@ def probe(path: str | Path) -> Optional[AudioInfo]:
             from audio_processor_tpu.io.ogg import probe_ogg
 
             return probe_ogg(p)
+        if p.suffix.lower() == ".mp3":
+            from audio_processor_tpu.io.mp3 import probe_mp3
+
+            mi = probe_mp3(p.read_bytes())
+            return AudioInfo(mi.sample_rate, mi.num_frames,
+                             mi.num_channels, 0, "mp3")
         return wav_mod.info(p)
     except Exception:
         return None

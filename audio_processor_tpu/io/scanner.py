@@ -50,8 +50,18 @@ class AudioFileScanner:
         files = sorted(input_dir.rglob("*.wav"))
         files.extend(sorted(input_dir.rglob("*.ogg")))
         # beyond-reference: .opus routes through the same Ogg/Opus
-        # decoder chain as .ogg (io/decode.py)
+        # decoder chain as .ogg (io/decode.py); .mp3 through the
+        # optional libmpg123 binding (io/mp3.py) — scanned only when
+        # that decoder is present so absent-lib setups match the
+        # reference's .wav/.ogg surface exactly
         files.extend(sorted(input_dir.rglob("*.opus")))
+        try:
+            from audio_processor_tpu.io.mp3 import mpg123_available
+
+            if mpg123_available():
+                files.extend(sorted(input_dir.rglob("*.mp3")))
+        except Exception:
+            pass
         valid: List[Path] = []
         with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
             for f, ok in zip(files, ex.map(self._validate_file, files)):

@@ -1,0 +1,133 @@
+"""MP3 ingest (io/mp3.py — optional libmpg123 binding).
+
+Beyond-reference: the reference scans only .wav/.ogg
+(pipeline.py:64-65). Fixtures are real libmp3lame streams
+(tests/mp3_encoder.py); the decode oracle is pygame/SDL_mixer."""
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.io import mp3
+from audio_processor_tpu.io.decode import load_audio, load_audio_bytes, probe
+
+from tests.mp3_encoder import encode_mp3, encoder_available
+
+
+def _need_codec():
+    if not (encoder_available() and mp3.mpg123_available()):
+        pytest.skip("libmp3lame / libmpg123 unavailable")
+
+
+def _sig(sr, dur, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * dur)) / sr
+    base = [0.4 * np.sin(2 * np.pi * 220 * t)
+            + 0.1 * rng.standard_normal(t.size),
+            0.4 * np.sin(2 * np.pi * 333 * t)]
+    return np.stack(base[:ch], axis=1).astype(np.float32)
+
+
+def _sdl_decode_mp3(path, sr, ch):
+    import os
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    try:
+        import pygame
+        import pygame.sndarray as sa
+
+        pygame.mixer.init(frequency=sr, size=-16, channels=ch)
+    except Exception:
+        return None
+    try:
+        arr = sa.array(pygame.mixer.Sound(file=str(path)))
+    except Exception:
+        return None
+    finally:
+        pygame.mixer.quit()
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    return arr.T.astype(np.float32) / 32768.0
+
+
+@pytest.mark.parametrize("sr,ch,vbr", [(16000, 2, False),
+                                       (44100, 2, True),
+                                       (8000, 1, False)])
+def test_decode_matches_sdl_oracle(tmp_path, sr, ch, vbr):
+    _need_codec()
+    pcm = _sig(sr, 1.5, ch)
+    body = encode_mp3(pcm, sr, vbr=vbr)
+    p = tmp_path / "t.mp3"
+    p.write_bytes(body)
+    x, got_sr = mp3.decode_mp3(body)
+    assert got_sr == sr and x.shape[0] == ch
+    oracle = _sdl_decode_mp3(p, sr, ch)
+    if oracle is None:
+        pytest.skip("SDL mp3 decode unavailable")
+    n = min(x.shape[1], oracle.shape[1])
+    assert n > sr  # both decoded the bulk of the signal
+    err = np.max(np.abs(x[:, :n] - oracle[:, :n]))
+    assert err < 2e-3, err  # independent decoders, same frames
+
+
+def test_probe_counts_frames_and_channels():
+    _need_codec()
+    for ch in (1, 2):
+        pcm = _sig(16000, 2.0, ch)
+        body = encode_mp3(pcm, 16000)
+        info = mp3.probe_mp3(body)
+        assert info.sample_rate == 16000
+        assert info.num_channels == ch
+        # granule-accurate total incl. encoder delay/padding frames
+        decoded, _ = mp3.decode_mp3(body)
+        assert abs(info.num_frames - decoded.shape[1]) <= 2 * 1152
+
+
+def test_probe_skips_id3v2():
+    _need_codec()
+    body = encode_mp3(_sig(16000, 0.5, 2), 16000)
+    tag = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"x" * 10
+    info = mp3.probe_mp3(tag + body)
+    assert info.num_channels == 2 and info.sample_rate == 16000
+
+
+def test_load_audio_and_bytes_roundtrip(tmp_path):
+    _need_codec()
+    pcm = _sig(16000, 1.0, 2)
+    body = encode_mp3(pcm, 16000)
+    p = tmp_path / "call.mp3"
+    p.write_bytes(body)
+    x1, sr1 = load_audio(p)
+    x2, sr2 = load_audio_bytes(body)
+    assert sr1 == sr2 == 16000
+    np.testing.assert_array_equal(x1, x2)
+    ai = probe(p)
+    assert ai is not None and ai.num_channels == 2
+    assert ai.encoding == "mp3"
+
+
+def test_scanner_accepts_stereo_rejects_mono_mp3(tmp_path):
+    _need_codec()
+    from audio_processor_tpu.io.scanner import AudioFileScanner
+
+    (tmp_path / "stereo.mp3").write_bytes(
+        encode_mp3(_sig(16000, 1.0, 2), 16000))
+    (tmp_path / "mono.mp3").write_bytes(
+        encode_mp3(_sig(16000, 1.0, 1), 16000))
+    found = AudioFileScanner({}).scan_files_parallel(tmp_path)
+    assert [f.name for f in found] == ["stereo.mp3"]
+
+
+def test_missing_decoder_raises_actionable_error(monkeypatch):
+    monkeypatch.setattr(mp3, "_lib", None)
+    monkeypatch.setattr(mp3, "_lib_tried", True)
+    assert not mp3.mpg123_available()
+    with pytest.raises(RuntimeError, match="libmpg123"):
+        mp3.decode_mp3(b"\xff\xfb\x90\x00" + b"\x00" * 100)
+
+
+def test_garbage_is_rejected():
+    _need_codec()
+    with pytest.raises(ValueError):
+        mp3.decode_mp3(b"definitely not an mp3 stream at all")
+    with pytest.raises(ValueError):
+        mp3.probe_mp3(b"\x00" * 64)
