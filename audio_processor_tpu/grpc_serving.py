@@ -112,6 +112,10 @@ class GrpcInferenceServer:
             try:
                 def results(chunks):
                     for chunk in chunks:
+                        with service._stats_lock:
+                            service.stats["stream_chunks"] += 1
+                            service.stats["stream_audio_seconds"] += (
+                                chunk.end_time - chunk.start_time)
                         for row in service.submit_chunks([chunk]):
                             # same array-field filter as the HTTP
                             # row_out (serving.py): waveforms /

@@ -84,7 +84,8 @@ class InferenceService:
                                         name="serve-batcher")
         self.stats = {"requests": 0, "chunks": 0, "batches": 0,
                       "batch_errors": 0, "request_errors": 0,
-                      "rejected_overload": 0, "audio_seconds": 0.0}
+                      "rejected_overload": 0, "audio_seconds": 0.0,
+                      "stream_chunks": 0, "stream_audio_seconds": 0.0}
         self._latencies: List[float] = []   # last 1000 request latencies
         self._stats_lock = threading.Lock()
         warmup = config.get("serve_warmup", True)

@@ -186,6 +186,9 @@ def test_streaming_transcribe_mono_and_empty(client):
     assert len(got) >= 1
     assert all(c.agent_transcription == c.client_transcription
                for c in got)
+    stats = client.stats()
+    assert stats["stream_chunks"] >= len(got)
+    assert stats["stream_audio_seconds"] > 0
     empty = list(client.streaming_transcribe([], channels=2,
                                              timeout=60.0))
     assert empty == []
