@@ -270,6 +270,8 @@ class InferenceService:
                            ("request_errors", "counter"),
                            ("rejected_overload", "counter"),
                            ("audio_seconds", "counter"),
+                           ("stream_chunks", "counter"),
+                           ("stream_audio_seconds", "counter"),
                            ("pending_chunks", "gauge"),
                            ("p50_latency_seconds", "gauge"),
                            ("p95_latency_seconds", "gauge")):
