@@ -104,11 +104,14 @@ class GrpcInferenceServer:
             from audio_processor_tpu.pipeline.chunker import (
                 StreamingChunker,
             )
-            from audio_processor_tpu.serving import ServerOverloaded
+            from audio_processor_tpu.serving import (
+                ServerOverloaded, strip_array_fields,
+            )
 
             cfg = service.config
             target_sr = int(cfg.get("target_sample_rate", 16000))
             chunker = None
+            stream_ch = 0
             try:
                 def results(chunks):
                     for chunk in chunks:
@@ -117,15 +120,9 @@ class GrpcInferenceServer:
                             service.stats["stream_audio_seconds"] += (
                                 chunk.end_time - chunk.start_time)
                         for row in service.submit_chunks([chunk]):
-                            # same array-field filter as the HTTP
-                            # row_out (serving.py): waveforms /
-                            # features stay server-side
-                            row = {k: v for k, v in row.items()
-                                   if not k.endswith("_waveform")
-                                   and not k.endswith("_features")
-                                   and not k.endswith("_probabilities")}
                             yield pb2.StreamResult(
-                                chunk=_chunk_to_proto(pb2, row))
+                                chunk=_chunk_to_proto(
+                                    pb2, strip_array_fields(row)))
 
                 for msg in request_iterator:
                     if chunker is None:
@@ -144,12 +141,11 @@ class GrpcInferenceServer:
                             sr, "stream",
                             float(cfg.get("chunk_duration_sec", 25.0)),
                             float(cfg.get("overlap_sec", 1.0)))
-                        chunker._channels = ch
+                        stream_ch = ch
                     if msg.pcm16:
                         flat = np.frombuffer(msg.pcm16, "<i2")
-                        ch = chunker._channels
-                        flat = flat[:len(flat) - len(flat) % ch]
-                        piece = (flat.reshape(-1, ch).T
+                        flat = flat[:len(flat) - len(flat) % stream_ch]
+                        piece = (flat.reshape(-1, stream_ch).T
                                  .astype(np.float32) / 32768.0)
                         yield from results(chunker.feed(piece))
                 if chunker is not None:

@@ -287,11 +287,9 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
                         return _decode_via_ffmpeg(f.name)
                     return _decode_via_pygame(f.name)
             raise WavError(f"OGG payload decode failed: {e}") from e
-    from audio_processor_tpu.io.mp3 import looks_like_mp3
+    from audio_processor_tpu.io.mp3 import decode_mp3, looks_like_mp3
 
-    if looks_like_mp3(bytes(data[:4])):
-        from audio_processor_tpu.io.mp3 import decode_mp3
-
+    if looks_like_mp3(head):
         return decode_mp3(bytes(data))
     raise WavError("unrecognized audio payload (expect WAV, OGG or MP3)")
 

@@ -55,13 +55,10 @@ class AudioFileScanner:
         # that decoder is present so absent-lib setups match the
         # reference's .wav/.ogg surface exactly
         files.extend(sorted(input_dir.rglob("*.opus")))
-        try:
-            from audio_processor_tpu.io.mp3 import mpg123_available
+        from audio_processor_tpu.io.mp3 import mpg123_available
 
-            if mpg123_available():
-                files.extend(sorted(input_dir.rglob("*.mp3")))
-        except Exception:
-            pass
+        if mpg123_available():
+            files.extend(sorted(input_dir.rglob("*.mp3")))
         valid: List[Path] = []
         with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
             for f, ok in zip(files, ex.map(self._validate_file, files)):

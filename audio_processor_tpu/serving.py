@@ -35,6 +35,15 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def strip_array_fields(row: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop waveform/feature/probability arrays from a result row —
+    the wire-facing shape shared by the HTTP and gRPC front-ends."""
+    return {k: v for k, v in row.items()
+            if not k.endswith("_waveform")
+            and not k.endswith("_features")
+            and not k.endswith("_probabilities")}
+
+
 class ServerOverloaded(RuntimeError):
     """Request rejected by queue backpressure (map to HTTP 503 /
     gRPC RESOURCE_EXHAUSTED)."""
@@ -173,12 +182,7 @@ class InferenceService:
             if len(self._latencies) > 1000:
                 del self._latencies[:-1000]
 
-        def row_out(r):
-            keep = {k: v for k, v in r.items()
-                    if not k.endswith("_waveform")
-                    and not k.endswith("_features")
-                    and not k.endswith("_probabilities")}
-            return keep
+        row_out = strip_array_fields
 
         return {
             "duration_seconds": duration,

@@ -491,25 +491,9 @@ def _spb_ms(ch, block_align):
 
 
 def _sdl_decode_wav(path, sr, ch):
-    """pygame/SDL WAV decode oracle -> [ch, N] int16 (or None when
-    SDL can't init even the dummy audio device)."""
-    import os
+    from tests.sdl_oracle import sdl_decode
 
-    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
-    try:
-        import pygame
-        import pygame.sndarray as sa
-
-        pygame.mixer.init(frequency=sr, size=-16, channels=ch)
-    except Exception:
-        return None
-    try:
-        arr = sa.array(pygame.mixer.Sound(file=str(path)))
-    finally:
-        pygame.mixer.quit()
-    if arr.ndim == 1:
-        arr = arr[:, None]
-    return arr.T
+    return sdl_decode(path, sr, ch)
 
 
 @pytest.mark.parametrize("channels,block_align", [(1, 256), (2, 512),

@@ -28,25 +28,10 @@ def _sig(sr, dur, ch, seed=0):
 
 
 def _sdl_decode_mp3(path, sr, ch):
-    import os
+    from tests.sdl_oracle import sdl_decode
 
-    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
-    try:
-        import pygame
-        import pygame.sndarray as sa
-
-        pygame.mixer.init(frequency=sr, size=-16, channels=ch)
-    except Exception:
-        return None
-    try:
-        arr = sa.array(pygame.mixer.Sound(file=str(path)))
-    except Exception:
-        return None
-    finally:
-        pygame.mixer.quit()
-    if arr.ndim == 1:
-        arr = arr[:, None]
-    return arr.T.astype(np.float32) / 32768.0
+    out = sdl_decode(path, sr, ch)
+    return None if out is None else out.astype(np.float32) / 32768.0
 
 
 @pytest.mark.parametrize("sr,ch,vbr", [(16000, 2, False),
