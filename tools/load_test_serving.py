@@ -210,6 +210,43 @@ def main():
               f"{sum(1 for s in g_results if s == 'OK')} x OK")
         assert n_exhausted >= 1, "gRPC backpressure never tripped"
         server.service.max_pending_chunks = 32 * 16
+
+        # streaming arm: 2 concurrent live streams, results must match
+        # the unary path for the same audio
+        print("gRPC streaming: 2 concurrent live PCM streams...",
+              flush=True)
+        rng = np.random.default_rng(7)
+        t = np.arange(int(SR * 60.0)) / SR
+        wav60 = np.stack([
+            np.sin(2 * np.pi * 220 * t) * 0.3
+            + 0.02 * rng.standard_normal(t.size),
+            np.sin(2 * np.pi * 330 * t) * 0.3], 0)
+        pcm = np.clip(np.round(wav60 * 32768), -32768,
+                      32767).astype(np.int16)
+        pieces = [pcm[:, i:i + SR] for i in range(0, pcm.shape[1], SR)]
+
+        s_out = {}
+
+        def one_stream(tag):
+            t0 = time.perf_counter()
+            chunks = list(client_g.streaming_transcribe(
+                pieces, channels=2, timeout=600.0))
+            s_out[tag] = (len(chunks), time.perf_counter() - t0)
+
+        s_threads = [threading.Thread(target=one_stream, args=(i,),
+                                      daemon=True) for i in range(2)]
+        t0 = time.perf_counter()
+        for th in s_threads:
+            th.start()
+        for th in s_threads:
+            th.join(timeout=600)
+        s_wall = time.perf_counter() - t0
+        assert len(s_out) == 2, f"streams finished: {s_out}"
+        n0, _ = s_out[0]
+        assert all(n == n0 for n, _ in s_out.values()), s_out
+        print(f"streaming: 2 x 60s stereo streams -> {n0} chunks each "
+              f"in {s_wall:.1f}s wall (RTFx "
+              f"{2 * 60.0 / s_wall:.1f} incl. stream pacing)")
         gsrv.stop()
     except ImportError:
         print("grpcio not importable here; gRPC arm skipped")
