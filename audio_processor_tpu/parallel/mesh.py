@@ -106,3 +106,57 @@ def w2v_param_sharding(mesh: Mesh, cfg) -> dict:
 def shard_params(params, mesh: Mesh, cfg):
     shardings = w2v_param_sharding(mesh, cfg)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def zero1_param_specs(params, mesh: Mesh, cfg) -> dict:
+    """ZeRO-1 specs for optimizer MOMENTS: each param's tensor-parallel
+    spec with 'data' added on the first unsharded dim divisible by the
+    dp size, so Adam's m/v shard across data-parallel replicas instead
+    of being replicated (memory drops ~2 x params x (dp-1)/dp; the
+    per-step cost is the all-gather of updates XLA inserts at
+    apply_updates — exactly optimizer-state sharding's trade).
+    Leaves with no eligible dim (scalars, tiny biases) keep the param
+    spec."""
+    dp = mesh.shape.get("data", 1)
+    specs = w2v_param_specs(cfg)
+
+    def one(x, spec):
+        if dp <= 1:
+            return spec
+        parts = list(spec) + [None] * (x.ndim - len(spec))
+        for i, (axis, dim) in enumerate(zip(parts, x.shape)):
+            if axis is None and dim >= dp and dim % dp == 0:
+                parts[i] = "data"
+                return P(*parts)
+        return spec
+
+    return jax.tree.map(one, params, specs,
+                        is_leaf=lambda v: isinstance(v, P))
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh, cfg,
+                        zero1: bool = True):
+    """An ``opt_state``-structured tree of NamedShardings: param-shaped
+    subtrees (Adam mu/nu) get zero1_param_specs (or the plain param
+    shardings when ``zero1`` is off); everything else (step counts,
+    empty states) is replicated."""
+    param_struct = jax.tree_util.tree_structure(params)
+    moment_specs = (zero1_param_specs(params, mesh, cfg) if zero1
+                    else w2v_param_specs(cfg))
+    moment_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), moment_specs,
+        is_leaf=lambda v: isinstance(v, P))
+    rep = replicated(mesh)
+
+    def walk(node):
+        if jax.tree_util.tree_structure(node) == param_struct:
+            return moment_sh
+        if hasattr(node, "_fields"):          # NamedTuple states
+            return type(node)(*[walk(c) for c in node])
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(c) for c in node)
+        return rep
+
+    return walk(opt_state)

@@ -38,6 +38,7 @@ class FinetuneConfig:
     sample_rate: int = 16000
     checkpoint_every: int = 500
     mesh_shape: Optional[dict] = None
+    zero1: bool = False             # shard Adam moments over 'data'
     seed: int = 0
     # SpecAugment (HF apply_spec_augment counterpart); 0 masks = off.
     spec_augment: bool = True
@@ -150,7 +151,15 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
                          seq=cfg.mesh_shape.get("seq", 1))
 
     tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
-    state = init_state(params, tx, mesh=mesh, cfg=model_cfg)
+    zero1 = bool(cfg.zero1) and mesh is not None
+    state = init_state(params, tx, mesh=mesh, cfg=model_cfg,
+                       zero1=zero1)
+    opt_sh = None
+    if zero1:
+        from audio_processor_tpu.parallel.mesh import opt_state_shardings
+
+        opt_sh = opt_state_shardings(state.opt_state, state.params,
+                                     mesh, model_cfg)
     dtype = jnp.float32 if jax.default_backend() == "cpu" \
         else jnp.bfloat16
     augment = None
@@ -160,7 +169,8 @@ def finetune(cfg: FinetuneConfig, model_cfg=None, params=None,
         augment = SpecAugment(cfg.num_time_masks, cfg.time_mask_span,
                               cfg.num_freq_masks, cfg.freq_mask_span)
     step_fn = make_train_step(model_cfg, tx, mesh=mesh, dtype=dtype,
-                              augment=augment, augment_seed=cfg.seed + 1)
+                              augment=augment, augment_seed=cfg.seed + 1,
+                              opt_shardings=opt_sh)
 
     rows = load_manifest(cfg.manifest)
     if len(rows) < cfg.batch_size:

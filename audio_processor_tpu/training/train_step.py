@@ -103,7 +103,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                tx: optax.GradientTransformation,
                dtype=jnp.bfloat16,
                augment: SpecAugment | None = None,
-               augment_seed: int = 0) -> Tuple[TrainState, jnp.ndarray]:
+               augment_seed: int = 0,
+               opt_shardings=None) -> Tuple[TrainState, jnp.ndarray]:
     if augment is not None and "rng" not in batch:
         # Per-step key derived INSIDE the compiled step: no host-side
         # split (a device dispatch per step through slow transports)
@@ -114,19 +115,34 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     loss, grads = jax.value_and_grad(ctc_loss_fn)(
         state.params, cfg, batch, dtype=dtype, augment=augment)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    if opt_shardings is not None:
+        # ZeRO-1: pin the refreshed moments to their 'data'-sharded
+        # layout so XLA doesn't re-replicate them at the step boundary
+        opt_state = jax.lax.with_sharding_constraint(
+            opt_state, opt_shardings)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
 
 
 def init_state(params, tx: optax.GradientTransformation, mesh=None,
-               cfg: w2v.W2VBertConfig | None = None) -> TrainState:
+               cfg: w2v.W2VBertConfig | None = None,
+               zero1: bool = False) -> TrainState:
     """Build a TrainState; with a mesh, params (and the optimizer state,
-    which mirrors them) are placed with the tensor-parallel shardings."""
+    which mirrors them) are placed with the tensor-parallel shardings.
+    ``zero1`` additionally shards the Adam moments across the 'data'
+    axis (optimizer-state sharding): memory for m/v drops by the dp
+    factor, paid with the update all-gather XLA inserts at
+    apply_updates."""
     if mesh is not None:
         from audio_processor_tpu.parallel.mesh import shard_params
 
         params = shard_params(params, mesh, cfg)
     opt_state = tx.init(params)
+    if mesh is not None and zero1:
+        from audio_processor_tpu.parallel.mesh import opt_state_shardings
+
+        sh = opt_state_shardings(opt_state, params, mesh, cfg)
+        opt_state = jax.tree.map(jax.device_put, opt_state, sh)
     return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
 
@@ -135,7 +151,8 @@ def make_train_step(cfg: w2v.W2VBertConfig,
                     tx: optax.GradientTransformation,
                     mesh=None, dtype=jnp.bfloat16,
                     augment: SpecAugment | None = None,
-                    augment_seed: int = 0):
+                    augment_seed: int = 0,
+                    opt_shardings=None):
     """jit-compiled train step. With a mesh, the batch shards over the
     'data' axis; params/opt_state keep the shardings they were placed
     with (init_state), so XLA derives the dp+tp program and inserts
@@ -144,7 +161,8 @@ def make_train_step(cfg: w2v.W2VBertConfig,
     folded from (augment_seed, state.step) inside the compiled step."""
     step_fn = functools.partial(train_step, cfg=cfg, tx=tx, dtype=dtype,
                                 augment=augment,
-                                augment_seed=augment_seed)
+                                augment_seed=augment_seed,
+                                opt_shardings=opt_shardings)
     if mesh is None:
         return jax.jit(step_fn)
 

@@ -245,3 +245,69 @@ def test_pipeline_parallel_train_step_matches():
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          ref_state.params, pp_state.params)
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_zero1_optimizer_sharding_matches_replicated():
+    """ZeRO-1 (Adam moments sharded over 'data') must produce the SAME
+    loss and updated params as the replicated-optimizer step, while
+    the moment leaves are actually partitioned across dp replicas."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+    from audio_processor_tpu.parallel.mesh import opt_state_shardings
+    from audio_processor_tpu.training.train_step import (
+        init_state, make_optimizer, make_train_step)
+
+    cfg = w2v.W2VBertConfig(
+        vocab_size=36, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        conv_depthwise_kernel_size=7,
+        left_max_position_embeddings=8,
+        right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-4)
+    rng = np.random.default_rng(1)
+    B, T, N = 8, 32, 8
+    batch = {
+        "features": rng.standard_normal(
+            (B, T, cfg.feature_projection_input_dim)).astype(np.float32),
+        "feature_mask": np.ones((B, T), np.float32),
+        "labels": rng.integers(1, cfg.vocab_size, (B, N)).astype(np.int32),
+        "label_mask": np.ones((B, N), np.float32),
+    }
+    mesh = make_mesh(n_devices=8, model=2)
+
+    out = {}
+    for name, zero1 in (("replicated", False), ("zero1", True)):
+        state = init_state(params, tx, mesh=mesh, cfg=cfg, zero1=zero1)
+        sh = (opt_state_shardings(state.opt_state, state.params, mesh,
+                                  cfg) if zero1 else None)
+        step = make_train_step(cfg, tx, mesh=mesh, dtype=jnp.float32,
+                               opt_shardings=sh)
+        with mesh:
+            new_state, loss = step(state, batch)
+        out[name] = (new_state, float(loss))
+
+    (rep_state, rep_loss), (z_state, z_loss) = out["replicated"], out["zero1"]
+    assert abs(rep_loss - z_loss) < 1e-4 * max(1.0, abs(rep_loss))
+    for a, b in zip(jax.tree.leaves(rep_state.params),
+                    jax.tree.leaves(z_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # the moments are genuinely partitioned over 'data': at least one
+    # large leaf must NOT be fully replicated, and its shards must
+    # tile the 'data' axis
+    mu = z_state.opt_state[0].mu
+    big = [x for x in jax.tree.leaves(mu) if x.ndim >= 2 and
+           x.shape[0] >= 4]
+    assert big, "no moment leaves to check"
+    partitioned = 0
+    for x in big:
+        spec = x.sharding.spec
+        if any(p == "data" or (isinstance(p, tuple) and "data" in p)
+               for p in spec if p is not None):
+            partitioned += 1
+    assert partitioned >= len(big) // 2, \
+        f"only {partitioned}/{len(big)} moment leaves dp-sharded"
