@@ -202,6 +202,35 @@ def _nullcontext():
     return contextlib.nullcontext()
 
 
+def main(argv=None) -> int:
+    """CLI: ``python -m audio_processor_tpu.training.finetune
+    config.yaml`` — YAML keys map onto FinetuneConfig fields
+    (mesh_shape is a {data, model, seq} dict; zero1: true shards the
+    Adam moments over 'data')."""
+    import argparse
+    import dataclasses as dc
+
+    import yaml
+
+    ap = argparse.ArgumentParser(
+        description="CTC fine-tuning for the wav2vec2bert ASR model")
+    ap.add_argument("config", help="YAML file of FinetuneConfig fields")
+    args = ap.parse_args(argv)
+    with open(args.config, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    known = {f.name for f in dc.fields(FinetuneConfig)}
+    unknown = set(raw) - known
+    if unknown:
+        ap.error(f"unknown config keys: {sorted(unknown)}")
+    cfg = FinetuneConfig(**raw)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    _, losses = finetune(cfg)
+    logger.info("done: %d steps, final loss %.4f", len(losses),
+                losses[-1] if losses else float("nan"))
+    return 0
+
+
 def _save(params, model_cfg, vocab, output_dir, step):
     import dataclasses as dc
 
@@ -215,3 +244,7 @@ def _save(params, model_cfg, vocab, output_dir, step):
         logger.info("checkpoint saved to %s", out)
     except Exception as e:
         logger.warning("checkpoint save failed: %s", e)
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

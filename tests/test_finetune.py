@@ -134,3 +134,30 @@ def test_train_step_with_spec_augment_runs():
     state, loss = step(state, batch)
     assert np.isfinite(float(loss))
     assert int(state.step) == 1
+
+
+def test_cli_main_validates_and_dispatches(tmp_path, monkeypatch):
+    """python -m ...finetune config.yaml: YAML keys map onto
+    FinetuneConfig; unknown keys fail fast; finetune() receives the
+    parsed config."""
+    import audio_processor_tpu.training.finetune as ft
+
+    seen = {}
+    monkeypatch.setattr(
+        ft, "finetune",
+        lambda cfg: seen.setdefault("cfg", cfg) and None or ({}, [1.0]))
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        "manifest: m.jsonl\nnum_steps: 3\nzero1: true\n"
+        "mesh_shape: {data: 4, model: 2}\n")
+    assert ft.main([str(cfg_path)]) == 0
+    cfg = seen["cfg"]
+    assert cfg.manifest == "m.jsonl" and cfg.num_steps == 3
+    assert cfg.zero1 is True and cfg.mesh_shape == {"data": 4, "model": 2}
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("not_a_field: 1\n")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        ft.main([str(bad)])
