@@ -202,3 +202,66 @@ def test_streaming_rejects_wrong_rate(client):
         list(client.streaming_transcribe([pcm], sample_rate=8000,
                                          channels=1, timeout=60.0))
     assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_concurrent_streams_and_unary_do_not_cross(cfg, grpc_server,
+                                                   client):
+    """4 concurrent streams with DIFFERENT audio + interleaved unary
+    bodies share one micro-batcher; every stream must get exactly its
+    own chunk sequence (boundaries from its own length, transcripts
+    equal to its solo run)."""
+    import grpc  # noqa: F401  (ensures grpc importable in threads)
+
+    from tests.conftest import make_stereo_call
+
+    rng = np.random.default_rng(3)
+    durs = [6.0, 8.5, 10.0, 7.25]
+    streams = []
+    for d in durs:
+        wf = make_stereo_call(dur=d)
+        pcm = np.clip(np.round(wf * 32768.0), -32768,
+                      32767).astype(np.int16)
+        pieces, i = [], 0
+        while i < pcm.shape[1]:
+            n = int(rng.integers(5000, 40000))
+            pieces.append(pcm[:, i:i + n])
+            i += n
+        streams.append(pieces)
+
+    # solo reference runs (serialized)
+    solo = [list(client.streaming_transcribe(p, channels=2,
+                                             timeout=300.0))
+            for p in streams]
+
+    results = {}
+    errs = []
+
+    def run_stream(i):
+        try:
+            results[i] = list(client.streaming_transcribe(
+                streams[i], channels=2, timeout=300.0))
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    def run_unary():
+        try:
+            client.transcribe(_wav_bytes(dur=4.0), timeout=300.0)
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=run_stream, args=(i,),
+                                daemon=True) for i in range(4)]
+    threads += [threading.Thread(target=run_unary, daemon=True)
+                for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert set(results) == {0, 1, 2, 3}
+    for i in range(4):
+        assert len(results[i]) == len(solo[i]), (i, len(results[i]))
+        for got, want in zip(results[i], solo[i]):
+            assert got.start_time == want.start_time
+            assert got.end_time == want.end_time
+            assert got.transcription_chunk == want.transcription_chunk
