@@ -380,6 +380,15 @@ class DatabaseManager:
             logger.error("Failed to get messages: %s", e)
             return []
 
+    def delete_messages_by_id_enregistrement(self, cid: str) -> None:
+        """Clear a call's message rows before re-insert: the message
+        path refreshes idempotently on reprocess like the upserted
+        call/chunk tables (the reference plain-inserts but ships the
+        message path disabled, audio_processor.py:354-358, so it never
+        reprocesses into this table)."""
+        self._execute("DELETE FROM message WHERE id_enregistrement = %s",
+                      (cid,))
+
     def get_chunk_by_id_enregistrement_and_id(self, cid: str,
                                               id_chunk: str
                                               ) -> Optional[Dict[str, Any]]:

@@ -497,6 +497,14 @@ class DataProcessor:
 
         def insert_rows(stem: str, msgs: List[Dict]) -> None:
             messages = sorted(msgs, key=lambda m: m.get("start", 0.0))
+            try:
+                # idempotent refresh on reprocess (watch-mode retries,
+                # cleared markers): replace the call's message set
+                self.db_manager.delete_messages_by_id_enregistrement(
+                    stem)
+            except Exception as e:
+                logger.error("Failed to clear messages for %s: %s",
+                             stem, e)
             for i, m in enumerate(messages):
                 try:
                     self.db_manager.insert_message({

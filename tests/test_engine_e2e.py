@@ -119,6 +119,21 @@ def test_message_path_writes_messages(workspace):
     assert {m["speaker"] for m in msgs} <= {"agent", "client"}
     orders = [m["order_message"] for m in msgs]
     assert orders == sorted(orders)
+
+    # Reprocessing refreshes the call's messages idempotently (no
+    # UNIQUE-constraint leftovers, no duplicates): same rows after a
+    # second run with cleared markers.
+    import shutil
+
+    shutil.rmtree(proc.markers.dir, ignore_errors=True)
+    proc2 = DataProcessor(cfg, db_manager=db,
+                          asr_engine=proc.asr_engine)
+    proc2.setup_models()
+    proc2.run()
+    msgs2 = db.get_messages_by_id_enregistrement("call-0")
+    assert [(m["order_message"], m["text"], m["speaker"])
+            for m in msgs2] == \
+        [(m["order_message"], m["text"], m["speaker"]) for m in msgs]
     db.close()
 
 

@@ -9,7 +9,13 @@ axon tunnel client leaks host RSS on every H2D transfer (~1 B/B,
 CLAUDE.md) — framework state, which is what this measures, is
 transport-independent.
 
+With ``message_path=1`` each sweep also runs the VAD message path
+into a SQLite DB (sentiment-less combined pipeline) — the CPU-backend
+race/RSS shakeout for engine._run_message_path's multi-channel
+dispatch.
+
 Usage: python tools/soak_csv_rss.py [sweeps=30] [files=12]
+                                    [message_path=0]
 """
 
 import gc
@@ -35,6 +41,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     sweeps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    message_path = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 
     import tempfile
 
@@ -66,7 +73,9 @@ def main():
             chunk_duration_sec=4.0, overlap_sec=1.0,
             length_buckets_sec=(4.0,), chunk_batch_size=8,
             file_batch_size=4, save_csv_results=True,
-            enable_mixed_precision=False)
+            enable_mixed_precision=False,
+            database_type="sqlite", db_path=str(work / "soak.sqlite"),
+            extras={"enable_message_path": message_path})
         vocab = CTCVocab.darija_default()
         mcfg = w2v.W2VBertConfig(
             vocab_size=len(vocab), hidden_size=64, num_hidden_layers=2,
@@ -77,7 +86,12 @@ def main():
         params = w2v.init_params(jax.random.PRNGKey(0), mcfg)
         engine = ASREngine(cfg, params=params, model_cfg=mcfg,
                            vocab=vocab)
-        proc = DataProcessor(cfg, asr_engine=engine)
+        db = None
+        if message_path:
+            from audio_processor_tpu.host.db import DatabaseManager
+
+            db = DatabaseManager(cfg)
+        proc = DataProcessor(cfg, db_manager=db, asr_engine=engine)
         proc.setup_models()
 
         samples = []
@@ -90,12 +104,23 @@ def main():
             shutil.rmtree(proc.markers.dir, ignore_errors=True)
             n = proc.run()
             assert n == n_files, f"sweep {s}: {n}/{n_files}"
+            if message_path:
+                # message upserts are idempotent per (call, order) —
+                # re-sweeps REPLACE rows, so the count stays at one
+                # full set covering every call
+                n_calls = db._execute(
+                    "SELECT COUNT(DISTINCT id_enregistrement) AS c "
+                    "FROM message", fetch="one")["c"]
+                assert n_calls == n_files, \
+                    f"sweep {s}: messages for {n_calls}/{n_files} calls"
             gc.collect()
             samples.append(rss_mb())
             if s % 5 == 0 or s == sweeps - 1:
                 print(f"sweep {s:3d}: rss {samples[-1]:8.1f} MB",
                       flush=True)
         proc.close()
+        if db is not None:
+            db.close()
         dur = time.perf_counter() - t0
         head = sum(samples[2:5]) / 3       # post-warmup baseline
         tail = sum(samples[-3:]) / 3
