@@ -54,6 +54,17 @@ def test_messages(db):
     assert [m["text"] for m in msgs] == ["salam", "labas"]
     with pytest.raises(ValueError):
         db.insert_message({"id_enregistrement": "c1", "text": "x"})
+    # idempotent refresh: clear + re-insert replaces the set
+    db.insert_call({"id_enregistrement": "c2"})
+    db.insert_message({"id_enregistrement": "c2", "order_message": 1,
+                       "text": "other", "speaker": "agent"})
+    db.delete_messages_by_id_enregistrement("c1")
+    assert db.get_messages_by_id_enregistrement("c1") == []
+    assert len(db.get_messages_by_id_enregistrement("c2")) == 1
+    db.insert_message({"id_enregistrement": "c1", "order_message": 1,
+                       "text": "re", "speaker": "agent"})
+    assert [m["text"] for m in
+            db.get_messages_by_id_enregistrement("c1")] == ["re"]
 
 
 def test_update_call_sentiment(db):
