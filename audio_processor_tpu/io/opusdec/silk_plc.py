@@ -361,7 +361,14 @@ def cng(ch, ctrl: dict, frame: List[int]) -> None:
                 smulww(v, gain_q10), 8)))
         c.synth_state = sig_q14[length:length + MAX_LPC_ORDER]
     else:
-        c.synth_state = [0] * MAX_LPC_ORDER
+        # libopus zeroes only LPC_order entries (CNG.c: silk_memset
+        # over psDec->LPC_order ints) — for order-10 (NB/MB) streams
+        # synth_state[10..15] keeps the TAIL of the previous CNG
+        # burst, and the next burst's first taps read those stale
+        # values (prefix[15..6] window). Found by live-state diff:
+        # after good frames libopus held [0]*10 + [32]*6 where we
+        # held zeros, seeding every stereo NB post-loss divergence.
+        c.synth_state[:ch.lpc_order] = [0] * ch.lpc_order
 
 
 def glue_frames(ch, frame: List[int]) -> None:

@@ -884,3 +884,26 @@ def test_encoder_settings_matrix_vs_libopus():
                 budget = 0.05 if since_gap <= 15 else 5e-3
             assert d <= budget, (desc, i, len(p), d, budget)
         lib.opus_decoder_destroy(ctypes.c_void_p(dec.value))
+
+
+def test_silk_loss_clusters_bit_exact_nb_stereo():
+    """Loss CLUSTERS (a second loss a few good frames after the
+    first) conceal bit-exactly too — regression for the CNG
+    synth-state partial reset: libopus's good-frame reset zeroes only
+    LPC_order (10 at NB/MB) of the 16 synth entries, so the next
+    burst's taps read the stale tail of the previous one
+    (silk_plc.cng). Before the fix, stereo NB streams diverged up to
+    0.5 of full scale in the post-loss window (fuzz seed 31 t95)."""
+    for ch, bw, frame_ms, seed in ((2, "NB", 10, 7), (2, "NB", 40, 8),
+                                   (1, "MB", 10, 9), (2, "WB", 20, 5)):
+        frame = _SR * frame_ms // 1000
+        pcm = _speechy(int(1.2 * _SR), ch, seed=seed)
+        pkts = _encode_forced(pcm, ch, "silk", bw, 48000 * ch,
+                              frame_ms, app=2048)
+        losses = np.zeros(len(pkts), bool)
+        # clusters: loss, a few good frames, loss again — repeatedly
+        for k in range(10, len(pkts) - 2, 7):
+            losses[k] = True
+        diffs = _compare_with_losses(pkts, ch, losses, frame)
+        assert max(diffs) == 0.0, \
+            (ch, bw, frame_ms, max(diffs), int(np.argmax(diffs)))
