@@ -718,6 +718,21 @@ class SilkDecoder:
         api_mono = api_channels == 1 and n_channels == 2
         n_out = 1 if api_mono else n_channels
         out: List[List[int]] = [[] for _ in range(n_out)]
+        if n_channels == 2 and self.prev_decode_only_middle:
+            # dec_API.c runs its "reset side channel decoder
+            # prediction memory" block on EVERY frame with the local
+            # decode_only_middle defaulting to 0 — so a LOST frame
+            # while in mid-only mode resets the side state (outBuf,
+            # sLPC, lagPrev, LastGainIndex, signal type), even though
+            # the side is not concealed (has_side stays false because
+            # prev_decode_only_middle is NOT updated on loss).
+            side = self.channels[1]
+            side.out_buf = [0] * len(side.out_buf)
+            side.slpc_q14 = [0] * MAX_LPC_ORDER
+            side.lag_prev = 100
+            side.last_gain_index = 10
+            side.prev_signal_type = TYPE_NO_VOICE_ACTIVITY
+            side.first_frame_after_reset = True
         produced = 0
         while produced < n_samples_48k:
             xqs = []
@@ -746,7 +761,11 @@ class SilkDecoder:
                 out[0] += self.channels[0].resampler.process(
                     x1[1:1 + frame_length])
             produced += frame_length * 48 // fs_khz
-        self.prev_decode_only_middle = 0
+        # prev_decode_only_middle is NOT updated on loss (dec_API.c
+        # assigns it only under lostFlag == FLAG_DECODE_NORMAL): a
+        # mid-only stream keeps skipping side concealment across an
+        # entire loss burst, and the next good frame still sees the
+        # mid-only history for its conditional-coding choice.
         return [o[:n_samples_48k] for o in out]
 
     def decode(self, rd: RangeDecoder, n_channels: int, fs_khz: int,

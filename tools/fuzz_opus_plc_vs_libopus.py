@@ -239,13 +239,12 @@ def run(n_trials=40, seed=0):
                     f"ms={frame_ms} br={bitrate} cx={complexity} "
                     f"sig={kind} drops={int(losses.sum())}")
             if mode == "silk":
-                # SILK loss paths are BIT-EXACT on fresh state and in
-                # steady state (incl. the CNG partial synth-state
-                # reset, loss clusters, post-loss BWE/LastGainIndex).
-                # One known LSB-scale residue remains: 10 ms stereo
-                # burst concealment can differ by <=3 int16 LSB
-                # (seed-31 t132) — window budget 1e-4 covers it.
-                budgets = {"concealed": 0.0, "window": 1e-4,
+                # SILK loss paths are BIT-EXACT end to end: concealed
+                # frames, loss clusters, the post-loss window and
+                # steady state (CNG partial synth-state reset,
+                # BWE_AFTER_LOSS/LastGainIndex, and the mid-only
+                # side-channel reset-on-loss are all ported).
+                budgets = {"concealed": 0.0, "window": 0.0,
                            "good": 0.0}
             else:
                 # CELT/hybrid/auto: concealment is float — a fresh
