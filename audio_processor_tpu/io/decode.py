@@ -7,7 +7,8 @@ torchaudio stack, services/audio_processor.py:73-97):
    io/native.py when built).
 2. ``.ogg`` — payload-routed: Vorbis via the first-party decoders
    (C++/Python), Opus via the in-process libopus binding or the first-party
-   decoder (io/opus.py, io/opusdec/);
+   decoder (io/opus.py, io/opusdec/), legacy Speex via the in-process
+   libspeex binding (io/speex.py);
    ``ffmpeg`` subprocess (the reference's own mechanism) and
    pygame/SDL_mixer as last resorts, else a clear error.
 
@@ -152,6 +153,16 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
                                    "%s (%s); falling back", p, e)
             elif _ffmpeg_available():
                 return _decode_via_ffmpeg(p)
+        if info is not None and info.encoding == "speex":
+            from audio_processor_tpu.io import speex as speex_mod
+
+            if speex_mod.speex_available():
+                return speex_mod.decode_speex(p)
+            if _ffmpeg_available():
+                return _decode_via_ffmpeg(p)
+            raise WavError(
+                f"cannot decode {p}: Ogg-Speex payload and neither "
+                "libspeex nor ffmpeg is available")
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             # The C++ fast path decodes one logical stream; chained
@@ -221,7 +232,7 @@ def load_audio_range(path: str | Path, start_sample: int,
             except Exception as e:
                 logger.warning("opus range decode failed for %s "
                                "(%s); falling back", p, e)
-        else:
+        elif info is None or info.encoding == "vorbis":
             try:
                 from audio_processor_tpu.io.vorbis import (
                     decode_vorbis_range,
@@ -262,6 +273,11 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
                 except Exception as e:
                     logger.warning("in-process opus decode failed "
                                    "(%s); falling back", e)
+        if b"Speex   " in data[:1024]:
+            from audio_processor_tpu.io import speex as speex_mod
+
+            if speex_mod.speex_available():
+                return speex_mod.decode_speex(data)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             with tempfile.NamedTemporaryFile(suffix=".ogg") as f:

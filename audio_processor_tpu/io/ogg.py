@@ -1,7 +1,8 @@
 """First-party OGG container probing (no third-party decoder).
 
 Parses OGG pages directly: reads the identification header of the
-first logical stream (Vorbis or Opus) for channel count / sample rate,
+first logical stream (Vorbis, Opus or Speex) for channel count /
+sample rate,
 and the last page's granule position for duration — enough for scan
 validation (channel/empty checks, services/pipeline.py:84-108) without
 decoding audio.
@@ -78,6 +79,53 @@ def chain_segments(data: bytes, bos_magic: bytes) -> list:
     return segs
 
 
+def ogg_packets(data: bytes, bos_magic: bytes):
+    """(packet, page_granule_or_None) pairs for the first logical
+    stream whose BOS packet starts with ``bos_magic``.
+
+    Same walk as io/opus.py's Opus-specific iterator (granule attached
+    to the LAST packet completed on each page, RFC 3533 §6); factored
+    here so additional Ogg payloads (Speex, FLAC) share it."""
+    pos = 0
+    serial = None
+    partial = b""
+    n = len(data)
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != _CAPTURE:
+            pos += 1
+            continue
+        header_type = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little",
+                                 signed=True)
+        page_serial = int.from_bytes(data[pos + 14:pos + 18], "little")
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + n_segs]
+        body = pos + 27 + n_segs
+        if serial is None:
+            first = data[body:body + (seg_table[0] if n_segs else 0)]
+            if (header_type & 0x2) and not first.startswith(bos_magic):
+                pos = body + sum(seg_table)
+                continue
+            serial = page_serial
+        if page_serial != serial:
+            pos = body + sum(seg_table)
+            continue
+        if not (header_type & 0x1):
+            partial = b""
+        off = body
+        last_complete = -1
+        for i, seg in enumerate(seg_table):
+            if seg < 255:
+                last_complete = i
+        for i, seg in enumerate(seg_table):
+            partial += data[off:off + seg]
+            off += seg
+            if seg < 255:
+                yield partial, (granule if i == last_complete else None)
+                partial = b""
+        pos = off
+
+
 def _last_granule(data: bytes) -> Optional[int]:
     """Granule position of the last OGG page in the buffer."""
     idx = data.rfind(_CAPTURE)
@@ -115,26 +163,33 @@ def probe_ogg(path: str | Path) -> Optional[AudioInfo]:
 
     channels = sample_rate = None
     pre_skip = 0
-    is_opus = False
+    encoding = None
     if packet[:7] == b"\x01vorbis" and len(packet) >= 30:
         # Vorbis ID header: version(4) channels(1) rate(4) ...
         channels = packet[11]
         (sample_rate,) = struct.unpack_from("<I", packet, 12)
+        encoding = "vorbis"
     elif packet[:8] == b"OpusHead" and len(packet) >= 19:
         channels = packet[9]
         (pre_skip,) = struct.unpack_from("<H", packet, 10)
         # Opus granules are always 48 kHz regardless of input rate.
         sample_rate = 48000
-        is_opus = True
+        encoding = "opus"
+    elif packet[:8] == b"Speex   " and len(packet) >= 68:
+        # SpeexHeader (speex_header.h): rate @36, nb_channels @48.
+        (sample_rate,) = struct.unpack_from("<i", packet, 36)
+        (channels,) = struct.unpack_from("<i", packet, 48)
+        encoding = "speex"
     else:
         return None
-    if not channels or not sample_rate:
+    if not channels or not sample_rate or channels < 0 or sample_rate < 0:
         return None
 
     granule = _last_granule(tail)
     num_frames = 0
     if granule is not None:
-        num_frames = max(0, granule - (pre_skip if is_opus else 0))
+        num_frames = max(0, granule - (pre_skip if encoding == "opus"
+                                       else 0))
     return AudioInfo(sample_rate=sample_rate, num_frames=int(num_frames),
                      num_channels=int(channels), bits_per_sample=0,
-                     encoding="opus" if is_opus else "vorbis")
+                     encoding=encoding)

@@ -847,6 +847,44 @@ def test_ogg_opus_call_flows_through_pipeline(tmp_path):
     db.close()
 
 
+def test_ogg_speex_call_flows_through_pipeline(tmp_path):
+    """A stereo Ogg-Speex call (legacy telephony codec the reference
+    inherits via ffmpeg) scans, decodes (WB 16 kHz, in-band intensity
+    stereo) and transcribes through the full engine with DB rows
+    landing."""
+    pytest.importorskip("tests.speex_encoder")
+    from tests.speex_encoder import encode_ogg_speex, encoder_available
+    if not encoder_available():
+        pytest.skip("libspeex unavailable")
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    pcm = make_stereo_call(dur=4.0)          # [2, T] float at 16 kHz
+    (input_dir / "call-speex.ogg").write_bytes(
+        encode_ogg_speex(0.5 * pcm, 16000, mode=1)[0])
+
+    cfg = PipelineConfig(
+        input_folder=str(input_dir),
+        output_folder=str(tmp_path / "output"),
+        logs_folder=str(tmp_path / "logs"),
+        database_type="sqlite", db_path=str(tmp_path / "db.sqlite"),
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        save_csv_results=True, file_batch_size=2,
+    )
+    db = DatabaseManager(cfg)
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 1
+    row = db.get_call_by_id_enregistrement("call-speex")
+    assert row is not None
+    assert row["duration_seconds"] == pytest.approx(4.0, abs=0.1)
+    chunks = db.get_chunks_by_id_enregistrement("call-speex")
+    assert chunks, "no chunk rows for the Speex call"
+    db.close()
+
+
 def test_g711_call_flows_through_pipeline(tmp_path):
     """A stereo A-law call at 8 kHz (telephony wire format) scans,
     decodes and resamples through the full engine — proving the
