@@ -8,9 +8,12 @@ torchaudio stack, services/audio_processor.py:73-97):
 2. ``.ogg`` — payload-routed: Vorbis via the first-party decoders
    (C++/Python), Opus via the in-process libopus binding or the first-party
    decoder (io/opus.py, io/opusdec/), legacy Speex via the in-process
-   libspeex binding (io/speex.py);
+   libspeex binding (io/speex.py), Ogg-FLAC via the first-party FLAC
+   decoder (io/flac.py);
    ``ffmpeg`` subprocess (the reference's own mechanism) and
    pygame/SDL_mixer as last resorts, else a clear error.
+3. ``.flac`` / ``.mp3`` — first-party FLAC decoder (io/flac.py) /
+   libmpg123 binding (io/mp3.py).
 
 Every decode returns ([channels, frames] float32 in [-1, 1], rate).
 """
@@ -122,6 +125,10 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
         from audio_processor_tpu.io.mp3 import decode_mp3
 
         return decode_mp3(p.read_bytes())
+    if suffix == ".flac":
+        from audio_processor_tpu.io.flac import decode_flac
+
+        return decode_flac(p)
     if suffix in (".ogg", ".opus"):
         # Payload-routed decode: Vorbis goes to the first-party
         # decoders (C++ fast path native/vorbis.cpp ~590x realtime,
@@ -163,6 +170,10 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
             raise WavError(
                 f"cannot decode {p}: Ogg-Speex payload and neither "
                 "libspeex nor ffmpeg is available")
+        if info is not None and info.encoding == "flac":
+            from audio_processor_tpu.io.flac import decode_flac
+
+            return decode_flac(p)
         nat = _native_decoder()
         if nat is not None and getattr(nat, "has_vorbis", lambda: False)():
             # The C++ fast path decodes one logical stream; chained
@@ -260,10 +271,18 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     head = bytes(data[:4])
     if head == b"RIFF":
         return wav_mod.read_bytes(data)
+    if head == b"fLaC":
+        from audio_processor_tpu.io.flac import decode_flac
+
+        return decode_flac(bytes(data))
     if head == b"OggS":
         import tempfile
 
         data = bytes(data)
+        if b"\x7fFLAC" in data[:1024]:
+            from audio_processor_tpu.io.flac import decode_flac
+
+            return decode_flac(bytes(data))
         if b"OpusHead" in data[:1024]:
             from audio_processor_tpu.io import opus as opus_mod
 
@@ -307,7 +326,8 @@ def load_audio_bytes(data: bytes) -> Tuple[np.ndarray, int]:
 
     if looks_like_mp3(head):
         return decode_mp3(bytes(data))
-    raise WavError("unrecognized audio payload (expect WAV, OGG or MP3)")
+    raise WavError(
+        "unrecognized audio payload (expect WAV, OGG, FLAC or MP3)")
 
 
 def probe(path: str | Path) -> Optional[AudioInfo]:
@@ -333,6 +353,10 @@ def probe(path: str | Path) -> Optional[AudioInfo]:
             mi = probe_mp3(p.read_bytes())
             return AudioInfo(mi.sample_rate, mi.num_frames,
                              mi.num_channels, 0, "mp3")
+        if p.suffix.lower() == ".flac":
+            from audio_processor_tpu.io.flac import probe_flac
+
+            return probe_flac(p)
         return wav_mod.info(p)
     except Exception:
         return None

@@ -180,6 +180,13 @@ def probe_ogg(path: str | Path) -> Optional[AudioInfo]:
         (sample_rate,) = struct.unpack_from("<i", packet, 36)
         (channels,) = struct.unpack_from("<i", packet, 48)
         encoding = "speex"
+    elif packet[:5] == b"\x7fFLAC" and len(packet) >= 51:
+        from audio_processor_tpu.io.flac import parse_ogg_flac_header
+
+        si = parse_ogg_flac_header(packet)
+        channels = si.channels
+        sample_rate = si.sample_rate
+        encoding = "flac"
     else:
         return None
     if not channels or not sample_rate or channels < 0 or sample_rate < 0:

@@ -55,6 +55,9 @@ class AudioFileScanner:
         # that decoder is present so absent-lib setups match the
         # reference's .wav/.ogg surface exactly
         files.extend(sorted(input_dir.rglob("*.opus")))
+        # .flac decodes through the always-available first-party
+        # decoder (io/flac.py)
+        files.extend(sorted(input_dir.rglob("*.flac")))
         from audio_processor_tpu.io.mp3 import mpg123_available
 
         if mpg123_available():

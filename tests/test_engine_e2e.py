@@ -927,3 +927,44 @@ def test_g711_call_flows_through_pipeline(tmp_path):
     assert n == 1
     chunks = db.get_chunks_by_id_enregistrement("call-alaw")
     assert chunks, "no chunk rows for the A-law call"
+
+
+def test_flac_call_flows_through_pipeline(tmp_path):
+    """A healthy stereo FLAC call scans, decodes (first-party FLAC
+    decoder, io/flac.py) and transcribes through the full engine with
+    DB rows landing — the codec's engine-level twin of the Opus test
+    above."""
+    from tests.flac_encoder import encode_flac
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    pcm = make_stereo_call(dur=4.0)          # [2, T] float at 16 kHz
+    ints = np.clip(np.round(pcm.T * 32767), -32768, 32767) \
+        .astype(np.int64)
+    (input_dir / "call-flac.flac").write_bytes(
+        encode_flac(ints, 16000, 16, block_size=4096,
+                    ch_mode="mid_side", plan=("lpc", 8, 14),
+                    part_order=2))
+
+    cfg = PipelineConfig(
+        input_folder=str(input_dir),
+        output_folder=str(tmp_path / "output"),
+        logs_folder=str(tmp_path / "logs"),
+        database_type="sqlite", db_path=str(tmp_path / "db.sqlite"),
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        save_csv_results=True, file_batch_size=2,
+    )
+    db = DatabaseManager(cfg)
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 1
+    row = db.get_call_by_id_enregistrement("call-flac")
+    assert row is not None
+    assert row["duration_seconds"] == pytest.approx(4.0, abs=0.05)
+    chunks = db.get_chunks_by_id_enregistrement("call-flac")
+    assert chunks, "no chunk rows for the FLAC call"
+    assert all(isinstance(c["transcription_chunk"], str)
+               for c in chunks)
+    db.close()
