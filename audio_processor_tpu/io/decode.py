@@ -126,6 +126,14 @@ def load_audio(path: str | Path) -> Tuple[np.ndarray, int]:
 
         return decode_mp3(p.read_bytes())
     if suffix == ".flac":
+        nat = _native_decoder()
+        if nat is not None and getattr(nat, "has_flac", lambda: False)():
+            # C++ fast path: raw-fLaC with a known total-sample count;
+            # Ogg-FLAC and unknown-length streams fall through to the
+            # Python decoder.
+            out = nat.decode_flac(p)
+            if out is not None:
+                return out
         from audio_processor_tpu.io.flac import decode_flac
 
         return decode_flac(p)

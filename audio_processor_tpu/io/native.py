@@ -69,6 +69,16 @@ def _load():
                 lib.ap_vorbis_decode.restype = ctypes.c_int
             except AttributeError:
                 pass  # older lib build without the vorbis decoder
+            try:
+                lib.ap_flac_probe.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+                lib.ap_flac_probe.restype = ctypes.c_int
+                lib.ap_flac_decode.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+                lib.ap_flac_decode.restype = ctypes.c_int
+            except AttributeError:
+                pass  # older lib build without the flac decoder
             _lib = lib
         except OSError:
             _lib = False
@@ -130,6 +140,49 @@ def decode_vorbis(path: str | Path) -> Optional[Tuple[np.ndarray, int]]:
     frames, channels = int(meta[1]), int(meta[2])
     buf = np.zeros((channels, frames), dtype=np.float32)
     rc = lib.ap_vorbis_decode(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(frames), meta)
+    if rc != 0:
+        return None
+    written = min(int(meta[1]), frames)
+    return buf[:, :written], int(meta[0])
+
+
+def has_flac() -> bool:
+    lib = _load()
+    return bool(lib) and hasattr(lib, "ap_flac_decode")
+
+
+def probe_flac(path: str | Path) -> Optional[AudioInfo]:
+    """First-party C++ FLAC probe; None if unavailable/failed."""
+    lib = _load()
+    if not lib or not hasattr(lib, "ap_flac_probe"):
+        return None
+    meta = (ctypes.c_int64 * 4)()
+    rc = lib.ap_flac_probe(str(path).encode(), meta)
+    if rc != 0:
+        return None
+    return AudioInfo(sample_rate=int(meta[0]), num_frames=int(meta[1]),
+                     num_channels=int(meta[2]),
+                     bits_per_sample=int(meta[3]), encoding="flac")
+
+
+def decode_flac(path: str | Path) -> Optional[Tuple[np.ndarray, int]]:
+    """First-party C++ FLAC decode (raw fLaC container; CRC-8/16 and
+    STREAMINFO-MD5 verified); None if unavailable/failed — callers
+    fall back to the Python decoder (io/flac.py), which also handles
+    Ogg-FLAC and streams with an unknown total-sample count."""
+    lib = _load()
+    if not lib or not hasattr(lib, "ap_flac_decode"):
+        return None
+    meta = (ctypes.c_int64 * 4)()
+    rc = lib.ap_flac_probe(str(path).encode(), meta)
+    if rc != 0 or meta[1] <= 0 or meta[2] <= 0:
+        return None
+    frames, channels = int(meta[1]), int(meta[2])
+    buf = np.zeros((channels, frames), dtype=np.float32)
+    rc = lib.ap_flac_decode(
         str(path).encode(),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(frames), meta)

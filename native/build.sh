@@ -5,7 +5,7 @@ cd "$(dirname "$0")"
 OUT_DIR="../audio_processor_tpu/io/_native"
 mkdir -p "$OUT_DIR"
 g++ -O3 -march=native -fPIC -shared -std=c++17 -pthread \
-    audioio.cpp vorbis.cpp -o "$OUT_DIR/libaudioio.so"
+    audioio.cpp vorbis.cpp flac.cpp -o "$OUT_DIR/libaudioio.so"
 echo "built $OUT_DIR/libaudioio.so"
 
 # Regenerate the serving protobuf message stubs (committed; protoc is

@@ -271,3 +271,73 @@ def test_ogg_flac_payload_routed(tmp_path):
     assert sr == 16000
     np.testing.assert_array_equal(
         np.round(pcm.T * 32768).astype(np.int64), x)
+
+
+# ------------------------------------------------- native fast path
+
+def _native():
+    from audio_processor_tpu.io import native
+
+    if not (native.available() and native.has_flac()):
+        pytest.skip("native lib not built")
+    return native
+
+
+@pytest.mark.parametrize("mode,plan,bps", [
+    ("independent", "verbatim", 16),
+    ("left_side", ("fixed", 3), 16),
+    ("right_side", ("lpc", 8, 14), 16),
+    ("mid_side", ("fixed", 4), 24),
+    ("independent", ("lpc", 32, 12), 8),
+])
+def test_native_matches_python(tmp_path, mode, plan, bps):
+    nat = _native()
+    ch = 1 if mode == "independent" and bps == 8 else 2
+    x = _sig(3000, ch, bps, seed=hash((mode, str(plan))) % 997)
+    data = encode_flac(x, 16000, bps, block_size=1024, ch_mode=mode,
+                       plan=plan, part_order=2)
+    f = tmp_path / "a.flac"
+    f.write_bytes(data)
+    out = nat.decode_flac(f)
+    assert out is not None
+    pcm_n, sr_n = out
+    pcm_p, sr_p = decode_flac(data)
+    assert sr_n == sr_p
+    np.testing.assert_array_equal(pcm_n, pcm_p)
+
+
+def test_native_wasted_bits_and_escapes(tmp_path):
+    nat = _native()
+    x = _sig(2048, 1, 16, seed=101, smooth=False) & ~np.int64(3)
+    data = encode_flac(x, 8000, 16, block_size=1024, plan=("fixed", 1),
+                       part_order=2, rice2=True, escape_parts=(0, 2),
+                       wasted=2)
+    f = tmp_path / "w.flac"
+    f.write_bytes(data)
+    out = nat.decode_flac(f)
+    assert out is not None
+    np.testing.assert_array_equal(out[0], decode_flac(data)[0])
+
+
+def test_native_rejects_corruption(tmp_path):
+    nat = _native()
+    x = _sig(1024, 1, 16, seed=103)
+    data = bytearray(encode_flac(x, 8000, 16, block_size=512,
+                                 plan="verbatim"))
+    for flip in (44, len(data) - 3, 26):  # header, payload, MD5
+        bad = bytearray(data)
+        bad[flip] ^= 0x55
+        f = tmp_path / "bad.flac"
+        f.write_bytes(bytes(bad))
+        assert nat.decode_flac(f) is None, f"byte {flip} accepted"
+
+
+def test_native_probe(tmp_path):
+    nat = _native()
+    x = _sig(1500, 2, 24, seed=107)
+    f = tmp_path / "p.flac"
+    f.write_bytes(encode_flac(x, 44100, 24, block_size=512,
+                              plan=("fixed", 2)))
+    info = nat.probe_flac(f)
+    assert (info.sample_rate, info.num_frames, info.num_channels,
+            info.bits_per_sample) == (44100, 1500, 2, 24)
