@@ -246,3 +246,20 @@ def test_opus_payload(server):
     status, out = _post(port, body)
     assert status == 200
     assert out["num_chunks"] >= 1
+
+
+def test_flac_payload(server):
+    """FLAC request bodies (raw fLaC container) decode through the
+    first-party decoder (io/flac.py) on the serving surface."""
+    from tests.flac_encoder import encode_flac
+
+    t = np.arange(int(1.5 * 16000)) / 16000.0
+    pcm = np.stack([0.4 * np.sin(2 * np.pi * 220 * t),
+                    0.4 * np.sin(2 * np.pi * 330 * t)], axis=1)
+    ints = np.clip(np.round(pcm * 32767), -32768, 32767).astype(np.int64)
+    body = encode_flac(ints, 16000, 16, block_size=4096,
+                       ch_mode="mid_side", plan=("lpc", 8, 14))
+    port = server.server_address[1]
+    status, out = _post(port, body)
+    assert status == 200
+    assert out["num_chunks"] >= 1
