@@ -41,6 +41,13 @@ class FlacError(ValueError):
     pass
 
 
+class _Truncated(FlacError):
+    """Bit reader ran past its window — either the stream really is
+    truncated, or the frame is larger than the decode-window
+    heuristic (spec-valid rice codes have unbounded unary quotients);
+    _decode_frame retries once with the full remaining stream."""
+
+
 _BLOCK_SIZE_CODES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
                      8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
                      13: 8192, 14: 16384, 15: 32768}
@@ -151,7 +158,7 @@ class _FrameReader:
             return 0
         p = self.pos
         if p + n > len(self.bits):
-            raise FlacError("truncated frame")
+            raise _Truncated("truncated frame")
         self.pos = p + n
         seg = self.bits[p:p + n]
         if n <= 62:
@@ -171,7 +178,7 @@ class _FrameReader:
             return np.zeros(count, np.int64)
         p = self.pos
         if p + count * width > len(self.bits):
-            raise FlacError("truncated frame")
+            raise _Truncated("truncated frame")
         self.pos = p + count * width
         seg = self.bits[p:p + count * width].reshape(count, width)
         vals = (seg @ _POW2[63 - width:]).astype(np.int64)
@@ -203,7 +210,7 @@ class _FrameReader:
         for i in range(count):
             while True:
                 if j >= n_ones:
-                    raise FlacError("truncated rice partition")
+                    raise _Truncated("truncated rice partition")
                 t = ones[j]
                 j += 1
                 if t >= p:
@@ -211,7 +218,7 @@ class _FrameReader:
             T[i] = t
             p = t + step
         if p > len(self.bits):
-            raise FlacError("truncated rice partition")
+            raise _Truncated("truncated rice partition")
         self.pos = p
         self.j = j
         # quotient = gap between each code's start and its terminator
@@ -280,7 +287,14 @@ def _lpc_predict(order: int, shift: int, coefs: List[int],
         for j, c in enumerate(cf):
             acc += c * out[base - 1 - j]
         out.append(rl[i] + (acc >> shift))
-    return np.array(out, np.int64)
+    try:
+        return np.array(out, np.int64)
+    except OverflowError:
+        # Corrupt residuals can blow the predictor feedback past
+        # int64 — wrap two's-complement (the frame dies at CRC-16;
+        # valid streams never come near the bound).
+        return np.array([((v + (1 << 63)) & ((1 << 64) - 1))
+                         - (1 << 63) for v in out], np.int64)
 
 
 def _read_subframe(r: _FrameReader, n: int, bps: int) -> np.ndarray:
@@ -352,8 +366,25 @@ def _decode_frame(data: bytes, pos: int, info: StreamInfo
                   ) -> Tuple[np.ndarray, int, int, int]:
     """Decode one frame at byte offset ``pos``.
 
-    -> (samples [n, channels] int32, sample_rate, bps, next_pos)."""
+    -> (samples [n, channels] int32, sample_rate, bps, next_pos).
+
+    The bit reader unpacks a bounded window (keeps per-frame work
+    proportional to typical frame sizes, not the remaining file). A
+    spec-valid frame CAN exceed it — rice unary quotients are
+    unbounded — so a truncation inside the window retries once over
+    the full remaining stream before declaring the data short."""
     bound = pos + 16 + info.channels * (65536 * 5)
+    if bound < len(data):
+        try:
+            return _decode_frame_bounded(data, pos, info, bound)
+        except _Truncated:
+            pass
+    return _decode_frame_bounded(data, pos, info, len(data))
+
+
+def _decode_frame_bounded(data: bytes, pos: int, info: StreamInfo,
+                          bound: int
+                          ) -> Tuple[np.ndarray, int, int, int]:
     r = _FrameReader(data, pos, min(bound, len(data)))
     if r.read(14) != 0b11111111111110:
         raise FlacError(f"bad frame sync at byte {pos}")
@@ -421,6 +452,8 @@ def _decode_frame(data: bytes, pos: int, info: StreamInfo
 
     r.align()
     end = r.byte_pos()
+    if end + 2 > len(data):
+        raise FlacError("truncated frame (missing CRC-16)")
     expect16 = crc16(data[pos:end])
     (got16,) = struct.unpack_from(">H", data, end)
     if got16 != expect16:

@@ -123,6 +123,22 @@ def prepare_fused_int16(agents, clients, lengths, bucket_len: int,
     return out
 
 
+def _sane_alloc(path, frames: int, channels: int) -> bool:
+    """Guard the decode-buffer allocation against corrupt headers: a
+    lying STREAMINFO/granule can claim billions of samples. Bound by
+    the best real-world compression ratio with huge margin (a CONSTANT
+    FLAC frame is ~3.3k samples/byte) and by a 2 GiB buffer cap;
+    oversize requests fall back to the Python decoders, which allocate
+    from actual decoded frames, not the header's claim."""
+    try:
+        size = Path(path).stat().st_size
+    except OSError:
+        return False
+    if frames > max(size, 4096) * 8192:
+        return False
+    return frames * channels * 4 <= (1 << 31)
+
+
 def has_vorbis() -> bool:
     lib = _load()
     return bool(lib) and hasattr(lib, "ap_vorbis_decode")
@@ -138,6 +154,8 @@ def decode_vorbis(path: str | Path) -> Optional[Tuple[np.ndarray, int]]:
     if rc != 0 or meta[1] <= 0 or meta[2] <= 0:
         return None
     frames, channels = int(meta[1]), int(meta[2])
+    if not _sane_alloc(path, frames, channels):
+        return None        # corrupt header claiming absurd totals
     buf = np.zeros((channels, frames), dtype=np.float32)
     rc = lib.ap_vorbis_decode(
         str(path).encode(),
@@ -181,6 +199,8 @@ def decode_flac(path: str | Path) -> Optional[Tuple[np.ndarray, int]]:
     if rc != 0 or meta[1] <= 0 or meta[2] <= 0:
         return None
     frames, channels = int(meta[1]), int(meta[2])
+    if not _sane_alloc(path, frames, channels):
+        return None        # corrupt header claiming absurd totals
     buf = np.zeros((channels, frames), dtype=np.float32)
     rc = lib.ap_flac_decode(
         str(path).encode(),

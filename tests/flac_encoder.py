@@ -291,6 +291,26 @@ def streaminfo(block_size: int, sample_rate: int, ch: int, bps: int,
     return out + md5
 
 
+def _max_order(plan) -> int:
+    plans = plan if isinstance(plan, list) else [plan]
+    orders = [p[1] for p in plans if isinstance(p, tuple)]
+    return max(orders, default=0)
+
+
+def _fit_part_order(kw: dict, n: int):
+    """Adapt the frame plan to short tail frames: partitions must
+    divide the count, the first partition must survive the warmup
+    samples, and a frame shorter than the predictor order can't use
+    the predictor at all."""
+    if n <= _max_order(kw.get("plan", "verbatim")):
+        kw["plan"] = "verbatim"
+    po = kw.get("part_order", 0)
+    if n % (1 << po) or (n >> po) <= _max_order(kw.get("plan",
+                                                       "verbatim")):
+        kw["part_order"] = 0
+        kw.pop("escape_parts", None)
+
+
 def _md5(samples: np.ndarray, bps: int) -> bytes:
     if bps % 8:
         return b"\x00" * 16
@@ -325,9 +345,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int,
     for i, off in enumerate(range(0, n, block_size)):
         frame = samples[off:off + block_size]
         kw = dict(frame_kw)
-        if len(frame) % (1 << kw.get("part_order", 0)):
-            kw["part_order"] = 0         # short tail frame
-            kw.pop("escape_parts", None)
+        _fit_part_order(kw, len(frame))
         out += encode_frame(frame, i, sample_rate, bps, **kw)
     return bytes(out)
 
@@ -395,9 +413,7 @@ def encode_ogg_flac(samples: np.ndarray, sample_rate: int, bps: int,
         frame = samples[off:off + block_size]
         done += len(frame)
         kw = dict(frame_kw)
-        if len(frame) % (1 << kw.get("part_order", 0)):
-            kw["part_order"] = 0         # short tail frame
-            kw.pop("escape_parts", None)
+        _fit_part_order(kw, len(frame))
         pkt = encode_frame(frame, i, sample_rate, bps, **kw)
         pages.append(_ogg_page(serial, seq, done, [pkt],
                                eos=(i == len(offs) - 1)))
