@@ -505,6 +505,18 @@ def _to_float(samples: np.ndarray, bps: int) -> np.ndarray:
     return np.ascontiguousarray(np.clip(x, -1.0, 1.0))
 
 
+def _skip_id3v2(data: bytes) -> int:
+    """Offset past a leading ID3v2 tag (0 when absent). libFLAC and
+    ffmpeg both tolerate ID3v2-prefixed .flac files, so taggers that
+    prepend one don't break ingest."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    off = 10 + size + (10 if data[5] & 0x10 else 0)  # footer flag
+    return off if off < len(data) else 0
+
+
 def decode_flac(path_or_bytes) -> Tuple[np.ndarray, int]:
     """FLAC file/bytes -> ([C, N] float32 in [-1, 1], sample_rate)."""
     if isinstance(path_or_bytes, (str, Path)):
@@ -513,9 +525,10 @@ def decode_flac(path_or_bytes) -> Tuple[np.ndarray, int]:
         data = bytes(path_or_bytes)
     if data[:4] == b"OggS":
         return _decode_ogg_flac(data)
-    if data[:4] != b"fLaC":
+    start = _skip_id3v2(data)
+    if data[start:start + 4] != b"fLaC":
         raise FlacError("not a FLAC stream (missing fLaC marker)")
-    info, pos = _parse_metadata(data, 4)
+    info, pos = _parse_metadata(data, start + 4)
     samples, sr, bps = decode_flac_stream(data, info, pos)
     _verify_md5(samples, info, bps)
     return _to_float(samples, bps), sr
@@ -583,12 +596,13 @@ def probe_flac(path_or_bytes):
 
     if isinstance(path_or_bytes, (str, Path)):
         with open(path_or_bytes, "rb") as f:
-            data = f.read(64 * 1024)
+            data = f.read(256 * 1024)
     else:
-        data = bytes(path_or_bytes[:64 * 1024])
-    if data[:4] != b"fLaC":
+        data = bytes(path_or_bytes[:256 * 1024])
+    start = _skip_id3v2(data)
+    if data[start:start + 4] != b"fLaC":
         raise FlacError("not a FLAC stream")
-    info, _ = _parse_metadata(data, 4)
+    info, _ = _parse_metadata(data, start + 4)
     return AudioInfo(sample_rate=info.sample_rate,
                      num_frames=int(info.total_samples),
                      num_channels=info.channels,

@@ -341,3 +341,36 @@ def test_native_probe(tmp_path):
     info = nat.probe_flac(f)
     assert (info.sample_rate, info.num_frames, info.num_channels,
             info.bits_per_sample) == (44100, 1500, 2, 24)
+
+
+@pytest.mark.parametrize("bps", [12, 20])
+def test_non_byte_aligned_bit_depths(bps):
+    """12/20-bit streams (no MD5 per spec — samples aren't
+    byte-aligned) round-trip losslessly."""
+    x = _sig(1024, 2, bps, seed=200 + bps)
+    _roundtrip(x, 16000, bps, block_size=256, plan=("fixed", 2))
+
+
+def test_id3v2_prefixed_flac(tmp_path):
+    """ID3v2-tagged .flac files decode (libFLAC/ffmpeg tolerate the
+    prefix; common with tagging tools)."""
+    from audio_processor_tpu.io.decode import load_audio
+
+    x = _sig(800, 2, 16, seed=211)
+    body = encode_flac(x, 8000, 16, block_size=256, plan=("fixed", 1))
+    payload = b"junk-tag-payload" * 8
+    tag = (b"ID3\x04\x00\x00"
+           + bytes([(len(payload) >> 21) & 0x7F,
+                    (len(payload) >> 14) & 0x7F,
+                    (len(payload) >> 7) & 0x7F,
+                    len(payload) & 0x7F]) + payload)
+    data = tag + body
+    pcm, sr = decode_flac(data)
+    assert sr == 8000
+    np.testing.assert_array_equal(
+        np.round(pcm.T * 32768).astype(np.int64), x)
+    assert probe_flac(data).num_frames == 800
+    f = tmp_path / "tagged.flac"
+    f.write_bytes(data)
+    pcm2, sr2 = load_audio(f)      # native declines, Python decodes
+    np.testing.assert_array_equal(pcm2, pcm)
