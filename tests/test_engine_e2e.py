@@ -968,3 +968,52 @@ def test_flac_call_flows_through_pipeline(tmp_path):
     assert all(isinstance(c["transcription_chunk"], str)
                for c in chunks)
     db.close()
+
+
+def test_mixed_format_batch_flows_through_pipeline(tmp_path):
+    """One run over a mixed-format, mixed-rate input dir — 16 kHz PCM
+    WAV, 8 kHz FLAC, Ogg/Vorbis — exercising format dispatch,
+    per-file resampling and file batching TOGETHER (each format's
+    solo e2e can't catch cross-file batch interactions)."""
+    from tests.flac_encoder import encode_flac
+    from tests.vorbis_encoder import make_stereo_stream
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    pcm = make_stereo_call(dur=4.0)          # [2, T] float at 16 kHz
+    wav.write(input_dir / "call-pcm.wav", pcm, 16000)
+    pcm8k = np.ascontiguousarray(pcm[:, ::2])
+    ints = np.clip(np.round(pcm8k.T * 32767), -32768, 32767) \
+        .astype(np.int64)
+    (input_dir / "call-flac.flac").write_bytes(
+        encode_flac(ints, 8000, 16, block_size=1024,
+                    ch_mode="left_side", plan=("fixed", 2)))
+    (input_dir / "call-vorbis.ogg").write_bytes(
+        make_stereo_stream(n_packets=24, seed=5))
+
+    cfg = PipelineConfig(
+        input_folder=str(input_dir),
+        output_folder=str(tmp_path / "output"),
+        logs_folder=str(tmp_path / "logs"),
+        database_type="sqlite", db_path=str(tmp_path / "db.sqlite"),
+        enable_mixed_precision=False,
+        chunk_duration_sec=4.0, overlap_sec=1.0,
+        length_buckets_sec=(2.0, 4.0), chunk_batch_size=4,
+        save_csv_results=True, file_batch_size=3,
+    )
+    db = DatabaseManager(cfg)
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 3
+    for name in ("call-pcm", "call-flac", "call-vorbis"):
+        row = db.get_call_by_id_enregistrement(name)
+        assert row is not None, f"{name} missing"
+        chunks = db.get_chunks_by_id_enregistrement(name)
+        assert chunks, f"no chunk rows for {name}"
+    # the two same-content calls (PCM vs FLAC-compressed telephony
+    # downsample) must transcribe; durations must reflect each file
+    assert db.get_call_by_id_enregistrement("call-pcm")[
+        "duration_seconds"] == pytest.approx(4.0, abs=0.05)
+    assert db.get_call_by_id_enregistrement("call-flac")[
+        "duration_seconds"] == pytest.approx(4.0, abs=0.05)
+    db.close()
