@@ -373,7 +373,11 @@ def _decode_frame(data: bytes, pos: int, info: StreamInfo
     spec-valid frame CAN exceed it — rice unary quotients are
     unbounded — so a truncation inside the window retries once over
     the full remaining stream before declaring the data short."""
-    bound = pos + 16 + info.channels * (65536 * 5)
+    # window sized from STREAMINFO max_block (~5 bytes/sample covers
+    # 33-bit verbatim); the _Truncated retry below self-heals a lying
+    # max_block, so undersizing is a perf bug, never a decode failure
+    max_block = info.max_block if 0 < info.max_block <= 65535 else 65535
+    bound = pos + 64 + info.channels * (max_block * 5 + 16)
     if bound < len(data):
         try:
             return _decode_frame_bounded(data, pos, info, bound)
@@ -464,14 +468,22 @@ def _decode_frame_bounded(data: bytes, pos: int, info: StreamInfo,
 
 def decode_flac_stream(data: bytes, info: StreamInfo, pos: int
                        ) -> Tuple[np.ndarray, int, int]:
-    """Decode frames from ``pos`` to end -> ([n, C] int32, rate, bps)."""
+    """Decode frames from ``pos`` to end -> ([n, C] int32, rate, bps).
+
+    Stops cleanly at trailing non-FLAC bytes (ID3v1 tags and the
+    like, which libFLAC/ffmpeg also tolerate) once the STREAMINFO
+    sample count is reached."""
     frames = []
     sr = info.sample_rate
     bps = info.bits_per_sample
     n = len(data)
+    decoded = 0
     while pos + 2 < n:
+        if info.total_samples and decoded >= info.total_samples:
+            break
         frame, sr, bps, pos = _decode_frame(data, pos, info)
         frames.append(frame)
+        decoded += len(frame)
     if not frames:
         raise FlacError("no FLAC frames decoded")
     out = np.concatenate(frames, axis=0)

@@ -205,18 +205,20 @@ class MsbReader {
     return static_cast<int64_t>(v);
   }
 
-  int read_unary() {
-    int q = 0;
+  // uint64 so a corrupt stream's absurd quotient wraps defined
+  // instead of overflowing int (the frame dies at CRC-16 anyway)
+  uint64_t read_unary() {
+    uint64_t q = 0;
     for (;;) {
       if (nacc_ == 0) refill();
       uint64_t window = acc_ & mask(nacc_);
       if (window == 0) {
-        q += nacc_;
+        q += static_cast<uint64_t>(nacc_);
         nacc_ = 0;
         continue;
       }
       int lead = nacc_ - (64 - __builtin_clzll(window));
-      q += lead;
+      q += static_cast<uint64_t>(lead);
       nacc_ -= lead + 1;
       return q;
     }
@@ -340,7 +342,7 @@ static void read_residual(MsbReader* r, int n, int order,
         res[idx++] = width ? r->read_signed(width) : 0;
     } else {
       for (int j = 0; j < cnt; ++j) {
-        uint64_t q = static_cast<uint64_t>(r->read_unary());
+        uint64_t q = r->read_unary();
         uint64_t u = (q << k) | r->read(k);
         res[idx++] = static_cast<int64_t>(u >> 1) ^
                      -static_cast<int64_t>(u & 1);
@@ -473,23 +475,25 @@ static Frame decode_frame(const std::vector<uint8_t>& d, size_t pos,
     (*ch)[c].resize(f.n);
     read_subframe(&r, f.n, bps_c, (*ch)[c].data());
   };
+  // ch is sized to the STREAMINFO channel count; a frame header that
+  // disagrees (its CRC-8 is recomputable, not a MAC) must not drive
+  // out-of-bounds channel writes
+  f.channels = ch_code < 8 ? ch_code + 1 : 2;
+  if (f.channels > static_cast<int>(ch->size()))
+    throw std::runtime_error("frame channels exceed STREAMINFO");
   if (ch_code < 8) {
-    f.channels = ch_code + 1;
     for (int c = 0; c < f.channels; ++c) sub(c, f.bps);
   } else if (ch_code == 8) {  // left/side
-    f.channels = 2;
     sub(0, f.bps);
     sub(1, f.bps + 1);
     for (int i = 0; i < f.n; ++i)
       (*ch)[1][i] = wsub((*ch)[0][i], (*ch)[1][i]);
   } else if (ch_code == 9) {  // right/side (side first)
-    f.channels = 2;
     sub(0, f.bps + 1);
     sub(1, f.bps);
     for (int i = 0; i < f.n; ++i)
       (*ch)[0][i] = wadd((*ch)[0][i], (*ch)[1][i]);
   } else if (ch_code == 10) {  // mid/side
-    f.channels = 2;
     sub(0, f.bps);
     sub(1, f.bps + 1);
     for (int i = 0; i < f.n; ++i) {
@@ -518,11 +522,24 @@ static Frame decode_frame(const std::vector<uint8_t>& d, size_t pos,
 extern "C" {
 
 int ap_flac_probe(const char* path, int64_t out[4]) {
-  std::vector<uint8_t> d;
-  if (!read_file(path, &d)) return kErrOpen;
+  // Header-only: fLaC marker + the mandatory-first STREAMINFO block
+  // (RFC 9639 §8.2) — no full-file read in the probe path.
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return kErrOpen;
+  uint8_t hdr[8];
+  if (std::fread(hdr, 1, 8, f) != 8 ||
+      std::memcmp(hdr, "fLaC", 4) != 0 || (hdr[4] & 0x7F) != 0) {
+    std::fclose(f);
+    return kErrParse;
+  }
+  size_t size = (static_cast<size_t>(hdr[5]) << 16) |
+                (static_cast<size_t>(hdr[6]) << 8) | hdr[7];
+  std::vector<uint8_t> body(size);
+  size_t got = std::fread(body.data(), 1, size, f);
+  std::fclose(f);
   StreamInfo si;
-  size_t pos;
-  if (!parse_metadata(d, &pos, &si)) return kErrParse;
+  if (got != size || !parse_streaminfo(body.data(), size, &si))
+    return kErrParse;
   out[0] = si.sample_rate;
   out[1] = static_cast<int64_t>(si.total);
   out[2] = si.channels;
@@ -548,6 +565,10 @@ int ap_flac_decode(const char* path, float* dst,
   int rate = si.sample_rate;
   try {
     while (pos + 2 < d.size()) {
+      // stop cleanly at trailing non-FLAC bytes (ID3v1 tags etc.)
+      // once the declared sample count is decoded
+      if (si.total && written >= static_cast<int64_t>(si.total))
+        break;
       Frame f = decode_frame(d, pos, si, &ch);
       if (f.channels != C) return kErrUnsupported;
       rate = f.sample_rate;

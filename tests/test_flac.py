@@ -374,3 +374,38 @@ def test_id3v2_prefixed_flac(tmp_path):
     f.write_bytes(data)
     pcm2, sr2 = load_audio(f)      # native declines, Python decodes
     np.testing.assert_array_equal(pcm2, pcm)
+
+
+def test_trailing_id3v1_tag_tolerated(tmp_path):
+    """Trailing ID3v1 tags (128-byte 'TAG' trailer) after the last
+    frame decode cleanly in BOTH decoders once the STREAMINFO sample
+    count is reached (libFLAC/ffmpeg behavior)."""
+    x = _sig(1500, 2, 16, seed=300)
+    data = encode_flac(x, 8000, 16, block_size=512,
+                       plan=("fixed", 2)) + b"TAG" + b"\x00" * 125
+    pcm, sr = decode_flac(data)
+    np.testing.assert_array_equal(
+        np.round(pcm.T * 32768).astype(np.int64), x)
+    nat = _native()
+    f = tmp_path / "tagged.flac"
+    f.write_bytes(data)
+    out = nat.decode_flac(f)
+    assert out is not None
+    np.testing.assert_array_equal(out[0], pcm)
+
+
+def test_native_rejects_streaminfo_channel_mismatch(tmp_path):
+    """A frame header claiming more channels than STREAMINFO (its
+    CRC-8 is recomputable, not a MAC) must fail cleanly in the native
+    decoder — this was a heap-OOB write before the guard. Python
+    trusts the frame header and still decodes the real audio."""
+    nat = _native()
+    x = _sig(2048, 2, 16, seed=301)
+    data = bytearray(encode_flac(x, 8000, 16, block_size=1024,
+                                 ch_mode="mid_side", plan=("fixed", 2)))
+    data[20] &= ~0x0E               # STREAMINFO channels-1: 1 -> 0
+    f = tmp_path / "chmismatch.flac"
+    f.write_bytes(bytes(data))
+    assert nat.decode_flac(f) is None
+    pcm, _ = decode_flac(bytes(data))
+    assert pcm.shape[0] == 2        # python follows the frame headers
