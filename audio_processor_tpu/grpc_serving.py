@@ -66,7 +66,9 @@ class GrpcInferenceServer:
         self.port = port
 
         def transcribe(request, context):
-            from audio_processor_tpu.serving import ServerOverloaded
+            from audio_processor_tpu.serving import (
+                ServerOverloaded, ServiceUnavailable,
+            )
 
             try:
                 out = service.transcribe_bytes(
@@ -76,11 +78,15 @@ class GrpcInferenceServer:
                              if request.timeout_seconds > 0 else None))
             except ServerOverloaded as e:
                 context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
+            except ServiceUnavailable as e:
+                # transient (drain/shutdown): retrying clients retry
+                context.abort(grpc.StatusCode.UNAVAILABLE, str(e))
             except TimeoutError as e:
                 context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, str(e))
-            except (ValueError, RuntimeError) as e:
+            except ValueError as e:
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
-            except Exception as e:  # pragma: no cover
+            except Exception as e:
+                # server-side fault (device batch error, ...)
                 logger.exception("gRPC transcribe failed: %s", e)
                 context.abort(grpc.StatusCode.INTERNAL, str(e))
             return pb2.TranscribeResponse(
@@ -105,13 +111,14 @@ class GrpcInferenceServer:
                 StreamingChunker,
             )
             from audio_processor_tpu.serving import (
-                ServerOverloaded, strip_array_fields,
+                ServerOverloaded, ServiceUnavailable, strip_array_fields,
             )
 
             cfg = service.config
             target_sr = int(cfg.get("target_sample_rate", 16000))
             chunker = None
             stream_ch = 0
+            tail = b""       # partial-frame carry between messages
             try:
                 def results(chunks):
                     for chunk in chunks:
@@ -143,8 +150,18 @@ class GrpcInferenceServer:
                             float(cfg.get("overlap_sec", 1.0)))
                         stream_ch = ch
                     if msg.pcm16:
-                        flat = np.frombuffer(msg.pcm16, "<i2")
-                        flat = flat[:len(flat) - len(flat) % stream_ch]
+                        # Carry partial frames across messages: a
+                        # message boundary mid-int16 or mid-frame must
+                        # not drop samples (dropping one would swap
+                        # the stereo channels for the whole rest of
+                        # the stream).
+                        buf = tail + bytes(msg.pcm16)
+                        frame_bytes = 2 * stream_ch
+                        usable = len(buf) - len(buf) % frame_bytes
+                        tail = buf[usable:]
+                        if not usable:
+                            continue
+                        flat = np.frombuffer(buf[:usable], "<i2")
                         piece = (flat.reshape(-1, stream_ch).T
                                  .astype(np.float32) / 32768.0)
                         yield from results(chunker.feed(piece))
@@ -154,11 +171,22 @@ class GrpcInferenceServer:
             except ServerOverloaded as e:
                 context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
                               str(e))
+            except ServiceUnavailable as e:
+                context.abort(grpc.StatusCode.UNAVAILABLE, str(e))
             except TimeoutError as e:
                 context.abort(grpc.StatusCode.DEADLINE_EXCEEDED,
                               str(e))
             except ValueError as e:
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            except Exception as e:
+                if type(e) is Exception:
+                    # context.abort() signals by raising a BARE
+                    # Exception — the in-body validation aborts
+                    # (rate/channels) must propagate, not be
+                    # re-aborted as INTERNAL
+                    raise
+                logger.exception("gRPC stream failed: %s", e)
+                context.abort(grpc.StatusCode.INTERNAL, str(e))
 
         def health(request, context):
             return pb2.HealthResponse(ok=True, status="serving")

@@ -187,6 +187,32 @@ def speaker_views(waveform: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndar
     return mixed.astype(np.float32), agent.astype(np.float32), client.astype(np.float32)
 
 
+def prepare_and_split(waveform: np.ndarray, sample_rate: int,
+                      file_name: str, config
+                      ) -> Tuple[np.ndarray, int, List["Chunk"]]:
+    """Decoded audio -> (waveform, rate, chunks) under the pipeline's
+    config: resample to target_sample_rate, truncate at
+    max_audio_length, split into overlapping chunks. The ONE place
+    this sequence lives — the batch engine (_decode_one) and the
+    serving request path (transcribe_bytes) must not drift apart
+    (reference equivalent: services/audio_processor.py:96-137)."""
+    target_sr = int(config.get("target_sample_rate", 16000))
+    if sample_rate != target_sr:
+        from audio_processor_tpu.dsp.resample import resample_np
+
+        waveform = resample_np(waveform, sample_rate, target_sr)
+        sample_rate = target_sr
+    max_len = int(float(config.get("max_audio_length", 1800.0))
+                  * sample_rate)
+    if waveform.shape[-1] > max_len:
+        waveform = waveform[..., :max_len]
+    chunks = split_audio(
+        waveform, sample_rate, file_name,
+        float(config.get("chunk_duration_sec", 25.0)),
+        float(config.get("overlap_sec", 1.0)))
+    return waveform, sample_rate, chunks
+
+
 def split_audio(waveform: np.ndarray, sample_rate: int, file_name: str,
                 chunk_duration_sec: float = 25.0,
                 overlap_sec: float = 1.0) -> List[Chunk]:

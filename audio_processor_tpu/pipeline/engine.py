@@ -34,7 +34,7 @@ from audio_processor_tpu.host.csv_writer import save_results_csv
 from audio_processor_tpu.io.decode import load_audio
 from audio_processor_tpu.io.scanner import AudioFileScanner
 from audio_processor_tpu.pipeline.batching import create_file_batches
-from audio_processor_tpu.pipeline.chunker import split_audio
+from audio_processor_tpu.pipeline.chunker import prepare_and_split
 from audio_processor_tpu.pipeline.markers import (
     ProcessedMarkers, cleanup_old_artifacts,
 )
@@ -97,6 +97,10 @@ class DataProcessor:
             "start_time": None, "files_success": 0, "files_failed": 0,
             "files_skipped": 0,
         }
+        # Counters are read-modify-written from the device pool, the
+        # analysis pool AND the sweep thread; unlocked `+=` can drop
+        # increments and make the max_errors abort gate undercount.
+        self._stats_lock = threading.Lock()
         self._file_statuses: List[Dict[str, Any]] = []
         self._file_latencies: List[float] = []
         self.failed_files: List[Dict[str, Any]] = []
@@ -150,6 +154,13 @@ class DataProcessor:
         self._device_inflight_lock = threading.Lock()
 
     # ------------------------------------------------------------------
+
+    def _bump(self, key: str, n: int = 1):
+        """Thread-safe stats counter increment (device pool, analysis
+        pool and the sweep thread all write these)."""
+        with self._stats_lock:
+            self.stats[key] += n
+
     def setup_models(self):
         """Build the device engines lazily (reference: pipeline.py:188)."""
         if self.asr_engine is None:
@@ -199,20 +210,8 @@ class DataProcessor:
                     waveform, sr = preloaded
                 else:
                     waveform, sr = load_audio(file_path)
-                target_sr = int(self.config.get("target_sample_rate", 16000))
-                if sr != target_sr:
-                    from audio_processor_tpu.dsp.resample import resample_np
-
-                    waveform = resample_np(waveform, sr, target_sr)
-                    sr = target_sr
-                max_len = int(float(self.config.get("max_audio_length",
-                                                    1800.0)) * sr)
-                if waveform.shape[-1] > max_len:
-                    waveform = waveform[..., :max_len]
-                chunks = split_audio(
-                    waveform, sr, file_path.name,
-                    float(self.config.get("chunk_duration_sec", 25.0)),
-                    float(self.config.get("overlap_sec", 1.0)))
+                waveform, sr, chunks = prepare_and_split(
+                    waveform, sr, file_path.name, self.config)
                 if not chunks:
                     raise RuntimeError("no_chunks")
                 duration = waveform.shape[-1] / sr
@@ -300,7 +299,7 @@ class DataProcessor:
             # Per-file failures count toward the abort gate, matching
             # the reference's per-task error accounting
             # (pipeline.py:409-427).
-            self.stats["errors"] += len(batch_failed)
+            self._bump("errors", len(batch_failed))
             for d in decoded:
                 if str(d["file"]) in batch_failed:
                     continue
@@ -313,7 +312,7 @@ class DataProcessor:
             # instead of idling the chip behind host-side result
             # handling. Sync fallback for engines without
             # dispatch_chunks (tests, facades).
-            self.stats["files_processed"] += len(files)
+            self._bump("files_processed", len(files))
             fetch = None
             results: List[Dict] = []
             if not all_chunks:
@@ -323,7 +322,7 @@ class DataProcessor:
                 fetch = self.asr_engine.dispatch_chunks(all_chunks)
             else:
                 results = self.asr_engine.transcribe_chunks(all_chunks)
-                self.stats["chunks_processed"] += len(results)
+                self._bump("chunks_processed", len(results))
             return {"batch_id": batch_id, "files": files,
                     "decoded": decoded, "results": results,
                     "fetch": fetch,
@@ -331,7 +330,7 @@ class DataProcessor:
         except Exception as e:
             logger.exception("Error processing batch %d: %s",
                              batch_id + 1, e)
-            self.stats["errors"] += 1
+            self._bump("errors")
             with self._in_flight_lock:
                 self._in_flight.difference_update(str(f) for f in files)
             return None
@@ -354,15 +353,26 @@ class DataProcessor:
                 except Exception as e:
                     logger.exception("Device fetch failed for batch "
                                      "%d: %s", batch_id + 1, e)
-                    self.stats["errors"] += 1
+                    self._bump("errors")
                     # Batch-level device failure: mirror the sync
                     # path (an exception from transcribe_chunks makes
                     # _asr_stage return None — no markers, no success
                     # counts), so the files stay unmarked and retry
                     # on the next sweep instead of being silently
-                    # marked processed with zero rows.
+                    # marked processed with zero rows. Decode-failed
+                    # files ARE marked failed first — re-decoding
+                    # them next sweep would fail again and duplicate
+                    # their failed_files entries.
+                    for d in decoded:
+                        err = batch_failed.get(str(d["file"]))
+                        if err is not None:
+                            self.markers.mark_failed(d["file"], err)
+                            self._bump("files_failed")
+                            self._file_statuses.append(
+                                {"file": str(d["file"]),
+                                 "status": "failed", "error": err})
                     return 0
-                self.stats["chunks_processed"] += len(results)
+                self._bump("chunks_processed", len(results))
             # Call rows are written here, NOT on the device-stage
             # worker: a slow or reconnecting database must never stall
             # the next batch's device dispatch. They go in before the
@@ -404,12 +414,12 @@ class DataProcessor:
                 err = batch_failed.get(str(fp))
                 if err is not None:
                     self.markers.mark_failed(fp, err)
-                    self.stats["files_failed"] += 1
+                    self._bump("files_failed")
                     self._file_statuses.append(
                         {"file": str(fp), "status": "failed", "error": err})
                 else:
                     self.markers.mark_processed(fp)
-                    self.stats["files_success"] += 1
+                    self._bump("files_success")
                     self._file_statuses.append(
                         {"file": str(fp), "status": "success"})
 
@@ -439,7 +449,7 @@ class DataProcessor:
         except Exception as e:
             logger.exception("Error in analysis for batch %d: %s",
                              batch_id + 1, e)
-            self.stats["errors"] += 1
+            self._bump("errors")
             return 0
         finally:
             with self._in_flight_lock:
@@ -554,7 +564,7 @@ class DataProcessor:
         skipped = len(files) - len(filtered)
         if skipped:
             logger.info("Skipping %d already-processed files", skipped)
-        self.stats["files_skipped"] += skipped
+        self._bump("files_skipped", skipped)
 
         batches = create_file_batches(
             filtered,
@@ -568,7 +578,8 @@ class DataProcessor:
         # Error budget is per sweep, not per process lifetime: in
         # --watch mode a long-lived processor must not inherit old
         # sweeps' errors (reference aborts per run, pipeline.py:386).
-        errors_at_start = self.stats["errors"]
+        with self._stats_lock:
+            errors_at_start = self.stats["errors"]
         timeout = int(self.config.get("timeout_seconds", 300))
         total_success = 0
         # Three overlapped stages, one worker each (producer/consumer,
@@ -628,7 +639,7 @@ class DataProcessor:
                 except FuturesTimeoutError:
                     logger.error("Batch %d decode exceeded %ds timeout",
                                  i + 1, timeout)
-                    self.stats["errors"] += 1
+                    self._bump("errors")
                     decoded = None
                 self._queue_depths["decode_queue"] = max(
                     0, len(batches) - i - 1)
@@ -655,7 +666,7 @@ class DataProcessor:
                         logger.error(
                             "Batch %d device work exceeded %ds timeout",
                             i + 1, timeout)
-                        self.stats["errors"] += 1
+                        self._bump("errors")
                         fut.add_done_callback(_late_analysis)
                         ctx = None
                     if ctx is not None:
@@ -663,7 +674,9 @@ class DataProcessor:
                             self._analysis_stage, ctx))
                 self._queue_depths["result_queue"] = sum(
                     1 for f in analysis_futs if not f.done())
-                sweep_errors = self.stats["errors"] - errors_at_start
+                with self._stats_lock:
+                    sweep_errors = (self.stats["errors"]
+                                    - errors_at_start)
                 if sweep_errors >= max_errors:
                     logger.error("Aborting after %d errors this sweep",
                                  sweep_errors)
@@ -677,7 +690,7 @@ class DataProcessor:
                 except FuturesTimeoutError:
                     logger.error("Analysis stage exceeded %ds timeout",
                                  timeout)
-                    self.stats["errors"] += 1
+                    self._bump("errors")
         finally:
             # Don't join potentially-hung workers; leftover futures are
             # cancelled and abandoned threads finish (or not) on their

@@ -32,6 +32,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from audio_processor_tpu.io.wav import WavError
+
 logger = logging.getLogger(__name__)
 
 
@@ -47,6 +49,12 @@ def strip_array_fields(row: Dict[str, Any]) -> Dict[str, Any]:
 class ServerOverloaded(RuntimeError):
     """Request rejected by queue backpressure (map to HTTP 503 /
     gRPC RESOURCE_EXHAUSTED)."""
+
+
+class ServiceUnavailable(RuntimeError):
+    """Server draining/shutting down — transient from the client's
+    view (map to HTTP 503 / gRPC UNAVAILABLE so retrying clients
+    retry, unlike a 400/INVALID_ARGUMENT)."""
 
 
 class _Request:
@@ -128,7 +136,7 @@ class InferenceService:
         ServerOverloaded on backpressure, TimeoutError past the
         deadline."""
         if self._closing.is_set():
-            raise RuntimeError("server is shutting down")
+            raise ServiceUnavailable("server is shutting down")
         req = _Request(chunks)
         with self._stats_lock:
             if self._pending_chunks + len(chunks) > self.max_pending_chunks:
@@ -142,7 +150,9 @@ class InferenceService:
                               else self.request_timeout):
             raise TimeoutError("inference timed out")
         if req.error is not None:
-            raise RuntimeError(req.error)
+            if req.error == "server is shutting down":
+                raise ServiceUnavailable(req.error)
+            raise RuntimeError(req.error)   # device batch failure
         return req.results
 
     def transcribe_bytes(self, payload: bytes,
@@ -151,20 +161,16 @@ class InferenceService:
         """Decode an uploaded WAV/OGG payload and run it through the
         batched device path. Blocking; thread-safe."""
         from audio_processor_tpu.io.decode import load_audio_bytes
-        from audio_processor_tpu.pipeline.chunker import split_audio
+        from audio_processor_tpu.pipeline.chunker import prepare_and_split
 
         t0 = time.perf_counter()
         waveform, sr = load_audio_bytes(payload)
-        target_sr = int(self.config.get("target_sample_rate", 16000))
-        if sr != target_sr:
-            from audio_processor_tpu.dsp.resample import resample_np
-
-            waveform = resample_np(waveform, sr, target_sr)
-            sr = target_sr
-        chunks = split_audio(
-            waveform, sr, "request.wav",
-            float(self.config.get("chunk_duration_sec", 25.0)),
-            float(self.config.get("overlap_sec", 1.0)))
+        # Same resample/max_audio_length/split sequence as the batch
+        # engine — the length cap also keeps a single legal-size body
+        # under max_pending_chunks, so an idle server can never 503 a
+        # request forever.
+        waveform, sr, chunks = prepare_and_split(
+            waveform, sr, "request.wav", self.config)
         if not chunks:
             raise ValueError("no audio decoded from request body")
 
@@ -298,6 +304,18 @@ class InferenceService:
             time.sleep(0.05)
         self._stop.set()
         self._worker.join(timeout=5)
+        # Fail anything still queued after an incomplete drain —
+        # otherwise their submitters block for the full
+        # request_timeout on events nobody will ever set.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            with self._stats_lock:
+                self._pending_chunks -= len(req.chunks)
+            req.error = "server is shutting down"
+            req.event.set()
 
 
 def make_handler(service: InferenceService):
@@ -342,8 +360,10 @@ def make_handler(service: InferenceService):
                 self._send(400, {"error": "bad content length"})
                 return
             payload = self.rfile.read(length)
-            with_sentiment = "sentiment=1" in (self.path.split("?", 1)[1:]
-                                               or [""])[0]
+            from urllib.parse import parse_qs, urlsplit
+
+            qs = parse_qs(urlsplit(self.path).query)
+            with_sentiment = qs.get("sentiment", [""])[0] == "1"
             try:
                 out = service.transcribe_bytes(
                     payload, with_sentiment=with_sentiment)
@@ -356,10 +376,23 @@ def make_handler(service: InferenceService):
                 self.send_header("Retry-After", "5")
                 self.end_headers()
                 self.wfile.write(body)
-            except Exception as e:
+            except ServiceUnavailable as e:
+                self._send(503, {"error": str(e)})
+            except TimeoutError as e:
+                with service._stats_lock:
+                    service.stats["request_errors"] += 1
+                self._send(504, {"error": str(e)})
+            except (ValueError, WavError) as e:
+                # genuinely the client's fault (bad/undecodable body)
                 with service._stats_lock:
                     service.stats["request_errors"] += 1
                 self._send(400, {"error": str(e)})
+            except Exception as e:
+                # server-side fault (device batch error, ...): 5xx so
+                # retrying clients retry instead of giving up
+                with service._stats_lock:
+                    service.stats["request_errors"] += 1
+                self._send(500, {"error": str(e)})
 
     return Handler
 

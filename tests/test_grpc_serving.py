@@ -265,3 +265,35 @@ def test_concurrent_streams_and_unary_do_not_cross(cfg, grpc_server,
             assert got.start_time == want.start_time
             assert got.end_time == want.end_time
             assert got.transcription_chunk == want.transcription_chunk
+
+
+def test_streaming_mid_frame_message_splits(client):
+    """Raw-byte messages split at ARBITRARY boundaries (mid-int16,
+    mid-frame) must produce identical results to frame-aligned
+    streaming — a dropped half-frame would swap the stereo channels
+    for the rest of the stream (partial frames carry across
+    messages)."""
+    from tests.conftest import make_stereo_call
+
+    wf = make_stereo_call(dur=6.0)
+    pcm = np.clip(np.round(wf * 32768.0), -32768,
+                  32767).astype(np.int16)
+    raw = np.ascontiguousarray(pcm.T).tobytes()  # interleaved stream
+
+    rng = np.random.default_rng(3)
+    pieces, i = [], 0
+    while i < len(raw):
+        n = int(rng.integers(1, 40001))          # any byte count
+        pieces.append(raw[i:i + n])
+        i += n
+    assert any(len(p) % 4 for p in pieces)       # real mid-frame cuts
+
+    got = list(client.streaming_transcribe(pieces, channels=2,
+                                           timeout=300.0))
+    aligned = list(client.streaming_transcribe([pcm], channels=2,
+                                               timeout=300.0))
+    assert len(got) == len(aligned) >= 1
+    for g, a in zip(got, aligned):
+        assert g.transcription_chunk == a.transcription_chunk
+        assert g.agent_transcription == a.agent_transcription
+        assert g.client_transcription == a.client_transcription
