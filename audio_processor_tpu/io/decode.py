@@ -358,7 +358,7 @@ def probe(path: str | Path) -> Optional[AudioInfo]:
         if p.suffix.lower() == ".mp3":
             from audio_processor_tpu.io.mp3 import probe_mp3
 
-            mi = probe_mp3(p.read_bytes())
+            mi = probe_mp3(p)   # header-window read, not the whole file
             return AudioInfo(mi.sample_rate, mi.num_frames,
                              mi.num_channels, 0, "mp3")
         if p.suffix.lower() == ".flac":

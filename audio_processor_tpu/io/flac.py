@@ -593,6 +593,10 @@ def _decode_ogg_flac(data: bytes) -> Tuple[np.ndarray, int]:
         x = _to_float(samples, bps)
         if rate0 is None:
             rate0, ch0 = sr, x.shape[0]
+        elif sr != rate0:
+            raise FlacError(
+                f"chained Ogg-FLAC rate change ({rate0} -> {sr} Hz); "
+                "one rate per file (io/vorbis.py's chain policy)")
         if x.shape[0] != ch0:
             x = x[:1].repeat(ch0, 0) if x.shape[0] < ch0 else x[:ch0]
         outs.append(x)

@@ -80,23 +80,18 @@ def _libspeex() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if not _lib_tried:
         _lib_tried = True
-        names = ["libspeex.so.1", "libspeex.so", "speex"]
-        found = ctypes.util.find_library("speex")
-        if found:
-            names.insert(0, found)
-        for name in names:
-            try:
-                lib = ctypes.CDLL(name)
-                lib.speex_lib_get_mode.restype = ctypes.c_void_p
-                lib.speex_decoder_init.restype = ctypes.c_void_p
-                lib.speex_decoder_init.argtypes = [ctypes.c_void_p]
-                lib.speex_encoder_init.restype = ctypes.c_void_p
-                lib.speex_encoder_init.argtypes = [ctypes.c_void_p]
-                lib.speex_stereo_state_init.restype = ctypes.c_void_p
-                _lib = lib
-                break
-            except (OSError, AttributeError):
-                continue
+        from audio_processor_tpu.io._native_lib import load_first
+
+        def configure(lib: ctypes.CDLL) -> None:
+            lib.speex_lib_get_mode.restype = ctypes.c_void_p
+            lib.speex_decoder_init.restype = ctypes.c_void_p
+            lib.speex_decoder_init.argtypes = [ctypes.c_void_p]
+            lib.speex_encoder_init.restype = ctypes.c_void_p
+            lib.speex_encoder_init.argtypes = [ctypes.c_void_p]
+            lib.speex_stereo_state_init.restype = ctypes.c_void_p
+
+        _lib = load_first(["libspeex.so.1", "libspeex.so"], "speex",
+                          configure)
     return _lib
 
 
@@ -167,6 +162,11 @@ def _decode_segment(lib: ctypes.CDLL, data: bytes) -> Tuple[np.ndarray, int]:
         n_frame = frame_size.value or head.frame_size
         if head.nb_channels == 2:
             stereo = lib.speex_stereo_state_init()
+            if not stereo:
+                # NULL here would be dereferenced inside libspeex on
+                # the first in-band stereo request — a segfault, not
+                # an exception.
+                raise RuntimeError("speex_stereo_state_init failed")
             cb = SpeexCallback(
                 callback_id=SPEEX_INBAND_STEREO,
                 func=ctypes.cast(lib.speex_std_stereo_request_handler,
@@ -219,9 +219,10 @@ def decode_speex(path_or_bytes) -> Tuple[np.ndarray, int]:
     """Ogg-Speex -> ([C, N] float32 in [-1, 1], sample_rate).
 
     Chained files (RFC 3533 §3 concatenation) are appended like the
-    other Ogg decoders; the output rate is the FIRST chain's (chains
-    at a different rate/channel count are conformed by truncation/
-    duplication, matching io/opus.py's channel policy)."""
+    other Ogg decoders: later chains are channel-conformed to the
+    first (io/opus.py's policy) and a mid-chain sample-rate change
+    raises — the pipeline's resampler keys on one rate per file
+    (io/vorbis.py decode_vorbis's policy)."""
     lib = _libspeex()
     if lib is None:
         raise RuntimeError(
@@ -240,6 +241,10 @@ def decode_speex(path_or_bytes) -> Tuple[np.ndarray, int]:
         pcm, head = _decode_segment(lib, seg)
         if rate0 is None:
             rate0, ch0 = head.rate, head.nb_channels
+        elif head.rate != rate0:
+            raise ValueError(
+                f"chained Ogg-Speex rate change ({rate0} -> "
+                f"{head.rate} Hz); one rate per file")
         x = pcm.astype(np.float32) / 32768.0
         x = x.reshape(-1, head.nb_channels).T
         if head.nb_channels != ch0:

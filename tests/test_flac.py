@@ -409,3 +409,13 @@ def test_native_rejects_streaminfo_channel_mismatch(tmp_path):
     assert nat.decode_flac(f) is None
     pcm, _ = decode_flac(bytes(data))
     assert pcm.shape[0] == 2        # python follows the frame headers
+
+def test_ogg_flac_chained_rate_change_raises():
+    """Chains at different sample rates raise instead of relabeling
+    the second chain's PCM with the first rate."""
+    a = _sig(1024, 1, 16, seed=47)
+    b = _sig(512, 1, 16, seed=53)
+    data = (encode_ogg_flac(a, 8000, 16, block_size=512, serial=1)
+            + encode_ogg_flac(b, 16000, 16, block_size=512, serial=2))
+    with pytest.raises(FlacError, match="rate change"):
+        decode_flac(data)

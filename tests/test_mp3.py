@@ -116,3 +116,63 @@ def test_garbage_is_rejected():
         mp3.decode_mp3(b"definitely not an mp3 stream at all")
     with pytest.raises(ValueError):
         mp3.probe_mp3(b"\x00" * 64)
+
+def test_probe_false_sync_in_leading_junk_does_not_mislabel():
+    """A lone valid-looking mono header in leading junk (truncated/
+    lying ID3 sizes, APEv2 tags) must not lock rate/channels: the
+    probe requires the follower frame to parse too."""
+    _need_codec()
+    body = encode_mp3(_sig(16000, 1.0, 2), 16000)
+    # 0xFF 0xF3 0x92 0xC0: MPEG2 Layer III, 80 kbps, 22050 Hz, MONO —
+    # parses as a frame header but its "next frame" lands in zeros.
+    junk = b"\xff\xf3\x92\xc0" + b"\x00" * 60
+    info = mp3.probe_mp3(junk + body)
+    assert info.sample_rate == 16000
+    assert info.num_channels == 2
+
+
+def test_probe_path_reads_header_window_only(tmp_path):
+    """Path probes must not read the whole file (scan validation runs
+    per .mp3): a CBR file much larger than the head window still
+    probes, with duration from the size estimate."""
+    _need_codec()
+    pcm = _sig(16000, 30.0, 2)
+    body = encode_mp3(pcm, 16000)
+    p = tmp_path / "big.mp3"
+    p.write_bytes(body)
+    info_path = mp3.probe_mp3(p)
+    info_bytes = mp3.probe_mp3(body)
+    assert info_path.sample_rate == info_bytes.sample_rate == 16000
+    assert info_path.num_channels == info_bytes.num_channels == 2
+    decoded, _ = mp3.decode_mp3(body)
+    for info in (info_path, info_bytes):
+        # CBR size estimate: < 0.5% + ~2 frames of encoder padding
+        assert abs(info.num_frames - decoded.shape[1]) <= \
+            0.005 * decoded.shape[1] + 2 * 1152
+
+
+def test_spliced_mp3_conforms_channels():
+    """Byte-concatenated MP3s (same rate, stereo then mono) decode
+    across the splice; each format run reshapes with its own channel
+    count, conformed to the first (a last-format reshape would
+    misinterleave the earlier audio)."""
+    _need_codec()
+    a = encode_mp3(_sig(16000, 1.0, 2), 16000)
+    b = encode_mp3(_sig(16000, 1.0, 1, seed=7), 16000)
+    x, sr = mp3.decode_mp3(a + b)
+    assert sr == 16000 and x.shape[0] == 2
+    xa, _ = mp3.decode_mp3(a)
+    n = min(xa.shape[1], x.shape[1])
+    # the pre-splice audio must be the stereo stream, not garbled
+    err = np.max(np.abs(x[:, : xa.shape[1] - 1152] -
+                        xa[:, : xa.shape[1] - 1152]))
+    assert err < 2e-3, err
+    assert x.shape[1] > xa.shape[1] + 8000   # splice audio present
+
+
+def test_spliced_rate_change_raises():
+    _need_codec()
+    a = encode_mp3(_sig(44100, 0.5, 2), 44100)
+    b = encode_mp3(_sig(22050, 0.5, 2), 22050)
+    with pytest.raises(ValueError, match="rate change"):
+        mp3.decode_mp3(a + b)

@@ -178,3 +178,14 @@ def test_missing_lib_raises_actionable_error(monkeypatch):
     assert not speex_available()
     with pytest.raises(RuntimeError, match="libspeex"):
         spx.decode_speex(b"OggS")
+
+def test_chained_rate_change_raises():
+    """A chained file mixing narrowband 8 kHz and wideband 16 kHz
+    must raise, not relabel 16 kHz PCM as 8 kHz (io/vorbis.py's
+    one-rate-per-file chain policy)."""
+    a, _ = encode_ogg_speex(_signal(8000, 1, 0.5), 8000, mode=0,
+                            serial=1)
+    b, _ = encode_ogg_speex(_signal(16000, 1, 0.5), 16000, mode=1,
+                            serial=2)
+    with pytest.raises(ValueError, match="rate change"):
+        decode_speex(a + b)
