@@ -161,3 +161,82 @@ def test_cli_main_validates_and_dispatches(tmp_path, monkeypatch):
 
     with _pytest.raises(SystemExit):
         ft.main([str(bad)])
+
+
+def _tiny_setup(tmp_path, texts=("salam", "labas", "salam", "labas")):
+    import jax
+
+    from audio_processor_tpu.models import wav2vec2bert as w2v
+
+    rows = []
+    for i, txt in enumerate(texts):
+        p = tmp_path / f"u{i}.wav"
+        tone = 0.3 * np.sin(2 * np.pi * (200 + 50 * i)
+                            * np.arange(8000) / 16000)
+        wav.write(p, tone[None, :].astype(np.float32), 16000)
+        rows.append({"audio": str(p), "text": txt})
+    manifest = tmp_path / "train.jsonl"
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+    vocab = CTCVocab.darija_default()
+    mcfg = w2v.W2VBertConfig(vocab_size=len(vocab), hidden_size=32,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             intermediate_size=64,
+                             conv_depthwise_kernel_size=7,
+                             left_max_position_embeddings=8,
+                             right_max_position_embeddings=2)
+    params = w2v.init_params(jax.random.PRNGKey(0), mcfg)
+    return manifest, vocab, mcfg, params
+
+
+def test_evaluate_wer_cer_on_manifest(tmp_path):
+    from audio_processor_tpu.training.finetune import evaluate, load_manifest
+
+    manifest, vocab, mcfg, params = _tiny_setup(
+        tmp_path, texts=("salam", "labas", "wakha"))  # 3 rows, batch 2:
+    rows = load_manifest(manifest)                    # uneven final batch
+    cfg = FinetuneConfig(manifest=str(manifest), batch_size=2,
+                         max_audio_sec=0.5)
+    m = evaluate(params, mcfg, vocab, rows, cfg)
+    assert m["num_utterances"] == 3
+    assert 0.0 <= m["wer"] != float("nan")
+    assert m["cer"] >= 0.0
+    assert np.isfinite(m["loss"])  # one full batch contributes
+
+
+def test_resume_restores_exact_state(tmp_path):
+    """resume=True with num_steps == saved step runs zero new steps
+    and returns bitwise the saved params (full restore fidelity:
+    params + step; the optimizer moments ride the same pytree)."""
+    import jax
+
+    manifest, vocab, mcfg, params = _tiny_setup(tmp_path)
+    out = tmp_path / "out"
+    cfg = FinetuneConfig(manifest=str(manifest), output_dir=str(out),
+                         batch_size=4, num_steps=3, learning_rate=3e-4,
+                         max_audio_sec=0.5, checkpoint_every=0)
+    trained, losses = finetune(cfg, model_cfg=mcfg, params=params,
+                               vocab=vocab)
+    assert (out / "state_latest").exists()
+
+    cfg2 = FinetuneConfig(manifest=str(manifest), output_dir=str(out),
+                          batch_size=4, num_steps=3,
+                          learning_rate=3e-4, max_audio_sec=0.5,
+                          checkpoint_every=0, resume=True)
+    resumed, losses2 = finetune(cfg2, model_cfg=mcfg, params=params,
+                                vocab=vocab)
+    assert losses2 == []     # nothing left to train
+    for a, b in zip(jax.tree_util.tree_leaves(trained),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_during_finetune_writes_metrics(tmp_path):
+    manifest, vocab, mcfg, params = _tiny_setup(tmp_path)
+    out = tmp_path / "out"
+    cfg = FinetuneConfig(manifest=str(manifest), output_dir=str(out),
+                         batch_size=4, num_steps=2, max_audio_sec=0.5,
+                         checkpoint_every=0,
+                         eval_manifest=str(manifest), eval_every=0)
+    finetune(cfg, model_cfg=mcfg, params=params, vocab=vocab)
+    meta = json.loads((out / "step_2" / "metadata.json").read_text())
+    assert "eval" in meta and set(meta["eval"]) >= {"wer", "cer", "loss"}
