@@ -972,9 +972,10 @@ def test_flac_call_flows_through_pipeline(tmp_path):
 
 def test_mixed_format_batch_flows_through_pipeline(tmp_path):
     """One run over a mixed-format, mixed-rate input dir — 16 kHz PCM
-    WAV, 8 kHz FLAC, Ogg/Vorbis — exercising format dispatch,
-    per-file resampling and file batching TOGETHER (each format's
-    solo e2e can't catch cross-file batch interactions)."""
+    WAV, 8 kHz FLAC, Ogg/Vorbis, MP3, Ogg-Speex, MS-ADPCM WAV —
+    exercising format dispatch, per-file resampling and file batching
+    TOGETHER (each format's solo e2e can't catch cross-file batch
+    interactions)."""
     from tests.flac_encoder import encode_flac
     from tests.vorbis_encoder import make_stereo_stream
 
@@ -991,6 +992,30 @@ def test_mixed_format_batch_flows_through_pipeline(tmp_path):
     (input_dir / "call-vorbis.ogg").write_bytes(
         make_stereo_stream(n_packets=24, seed=5))
 
+    expected = ["call-flac", "call-pcm", "call-vorbis"]
+    from audio_processor_tpu.io.mp3 import mpg123_available
+    from tests.mp3_encoder import encoder_available as lame_available
+    if lame_available() and mpg123_available():
+        from tests.mp3_encoder import encode_mp3
+
+        (input_dir / "call-mp3.mp3").write_bytes(
+            encode_mp3(np.ascontiguousarray(pcm.T), 16000))
+        expected.append("call-mp3")
+    from tests.speex_encoder import encoder_available as spx_available
+    if spx_available():
+        from tests.speex_encoder import encode_ogg_speex
+
+        (input_dir / "call-speex.ogg").write_bytes(
+            encode_ogg_speex(pcm, 16000, mode=1)[0])
+        expected.append("call-speex")
+    from tests.test_io import _make_ms_adpcm_wav
+
+    adpcm, _total, _ = _make_ms_adpcm_wav(
+        np.random.default_rng(11), ch=2, block_align=512, n_blocks=64)
+    (input_dir / "call-adpcm.wav").write_bytes(adpcm)
+    expected.append("call-adpcm")
+    expected.sort()
+
     cfg = PipelineConfig(
         input_folder=str(input_dir),
         output_folder=str(tmp_path / "output"),
@@ -1004,8 +1029,8 @@ def test_mixed_format_batch_flows_through_pipeline(tmp_path):
     db = DatabaseManager(cfg)
     proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
     proc.setup_models()
-    assert proc.run() == 3
-    for name in ("call-pcm", "call-flac", "call-vorbis"):
+    assert proc.run() == len(expected)
+    for name in expected:
         row = db.get_call_by_id_enregistrement(name)
         assert row is not None, f"{name} missing"
         chunks = db.get_chunks_by_id_enregistrement(name)

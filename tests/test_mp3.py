@@ -176,3 +176,68 @@ def test_spliced_rate_change_raises():
     b = encode_mp3(_sig(22050, 0.5, 2), 22050)
     with pytest.raises(ValueError, match="rate change"):
         mp3.decode_mp3(a + b)
+
+
+# ------------------------------------------------------------------
+# Robustness: corrupted/truncated MP3 bytes must yield a clean
+# ValueError (or a clean decode) from BOTH decode_mp3 and probe_mp3 —
+# never a crash, hang, or leaked internal exception. Subprocess so a
+# segfault at the ctypes/libmpg123 boundary fails the test.
+# (Mirrors the Vorbis/Opus corruption sweeps.)
+# ------------------------------------------------------------------
+
+_FUZZ_DRIVER = r"""
+import sys
+import numpy as np
+from audio_processor_tpu.io import mp3 as mp3_mod
+
+sample_path, n_variants = sys.argv[1], int(sys.argv[2])
+data = bytearray(open(sample_path, "rb").read())
+rng = np.random.default_rng(7)
+ran = 0
+for k in range(n_variants):
+    buf = bytearray(data)
+    kind = k % 4
+    if kind == 0:    # flip bytes near the head (first headers/Xing)
+        for _ in range(rng.integers(1, 8)):
+            buf[int(rng.integers(0, min(600, len(buf))))] = int(
+                rng.integers(0, 256))
+    elif kind == 1:  # flip bytes anywhere
+        for _ in range(rng.integers(1, 32)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+    elif kind == 2:  # truncate
+        buf = buf[: int(rng.integers(1, len(buf)))]
+    else:            # garbage behind a plausible sync
+        n = int(rng.integers(32, 8192))
+        buf = bytearray(b"\xff\xfb") + bytearray(
+            rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    for fn in (mp3_mod.decode_mp3, mp3_mod.probe_mp3):
+        try:
+            out = fn(bytes(buf))
+            if fn is mp3_mod.decode_mp3:
+                x, sr = out
+                assert sr > 0 and x.ndim == 2
+                assert np.isfinite(x).all()
+        except ValueError:
+            pass  # the one sanctioned failure mode
+    ran += 1
+print(f"mp3-fuzz-ok {ran}")
+"""
+
+
+def test_decode_and_probe_survive_corrupt_streams(tmp_path):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    _need_codec()
+    sample = tmp_path / "sample.mp3"
+    sample.write_bytes(encode_mp3(_sig(16000, 1.0, 2), 16000))
+    r = subprocess.run(
+        [sys.executable, "-c", _FUZZ_DRIVER, str(sample), "300"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, (
+        f"mp3 decode/probe crashed/leaked on corrupt input:\n"
+        f"{r.stdout}\n{r.stderr}")
+    assert "mp3-fuzz-ok 300" in r.stdout

@@ -189,3 +189,64 @@ def test_chained_rate_change_raises():
                             serial=2)
     with pytest.raises(ValueError, match="rate change"):
         decode_speex(a + b)
+
+
+# ------------------------------------------------------------------
+# Robustness: corrupted/truncated Ogg-Speex must yield a clean
+# ValueError (or a clean decode) — never a crash, hang or leaked
+# internal exception. Subprocess so a segfault at the ctypes/libspeex
+# boundary fails the test. (Mirrors the Vorbis/Opus sweeps.)
+# ------------------------------------------------------------------
+
+_FUZZ_DRIVER = r"""
+import sys
+import numpy as np
+from audio_processor_tpu.io import speex as speex_mod
+
+sample_path, n_variants = sys.argv[1], int(sys.argv[2])
+data = bytearray(open(sample_path, "rb").read())
+rng = np.random.default_rng(13)
+ran = 0
+for k in range(n_variants):
+    buf = bytearray(data)
+    kind = k % 4
+    if kind == 0:    # flip bytes in the header pages
+        for _ in range(rng.integers(1, 8)):
+            buf[int(rng.integers(0, min(200, len(buf))))] = int(
+                rng.integers(0, 256))
+    elif kind == 1:  # flip bytes anywhere
+        for _ in range(rng.integers(1, 32)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+    elif kind == 2:  # truncate
+        buf = buf[: int(rng.integers(1, len(buf)))]
+    else:            # random garbage behind a valid OggS magic
+        n = int(rng.integers(32, 8192))
+        buf = bytearray(b"OggS") + bytearray(
+            rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    try:
+        out, sr = speex_mod.decode_speex(bytes(buf))
+        assert sr > 0 and out.ndim == 2
+        assert np.isfinite(out).all()
+    except ValueError:
+        pass  # the one sanctioned failure mode
+    ran += 1
+print(f"speex-fuzz-ok {ran}")
+"""
+
+
+def test_decode_survives_corrupt_streams(tmp_path):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    ogg, _ = encode_ogg_speex(_signal(16000, 2, 1.0), 16000, mode=1)
+    sample = tmp_path / "sample.ogg"
+    sample.write_bytes(ogg)
+    r = subprocess.run(
+        [sys.executable, "-c", _FUZZ_DRIVER, str(sample), "300"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, (
+        f"speex decode crashed/leaked on corrupt input:\n"
+        f"{r.stdout}\n{r.stderr}")
+    assert "speex-fuzz-ok 300" in r.stdout
