@@ -76,7 +76,7 @@ def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray,
 
     filt = jax.vmap(bp)(low, high)                       # [F, K]
     # normalize each filter to unit peak (SincNet convention)
-    return filt / (2.0 * (high - low))[:, None] / 1.0
+    return filt / (2.0 * (high - low))[:, None]
 
 
 def init_pyannet(rng, cfg: PyanNetConfig) -> Dict[str, Any]:

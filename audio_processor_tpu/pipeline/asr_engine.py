@@ -101,13 +101,19 @@ class ASREngine:
             int(b * sr) for b in config.get(
                 "length_buckets_sec", (5.0, 10.0, 15.0, 20.0, 25.0)))
         # A chunk longer than the largest bucket would be silently
-        # truncated by the dense batcher; extend the bucket set instead.
+        # truncated by the dense batcher; extend the bucket set
+        # instead. The message path's VAD windows (capped at
+        # vad_max_segment_sec by extract_windows) flow through the
+        # same buckets, so they get the same guard.
         chunk_samples = int(float(config.get("chunk_duration_sec", 25.0))
                             * sr)
+        if config.get("enable_message_path", False):
+            chunk_samples = max(chunk_samples, int(
+                float(config.get("vad_max_segment_sec", 25.0)) * sr))
         if chunk_samples > max(self.bucket_samples):
             logger.warning(
-                "chunk_duration_sec (%s samples) exceeds the largest "
-                "length bucket; adding a %d-sample bucket",
+                "longest chunk/VAD segment (%s samples) exceeds the "
+                "largest length bucket; adding a %d-sample bucket",
                 chunk_samples, chunk_samples)
             self.bucket_samples = tuple(
                 sorted(set(self.bucket_samples) | {chunk_samples}))
@@ -175,32 +181,12 @@ class ASREngine:
         return params, cfg, vocab
 
     # ------------------------------------------------------------------
-    def _device_fn(self, bucket_len: int):
-        """One compiled program per bucket length (mono rows path)."""
-        fn = self._jit_cache.get(bucket_len)
-        if fn is not None:
-            return fn
-        cfg, dtype = self.model_cfg, self.dtype
-        impl = self.attention_impl
-
-        @jax.jit
-        def run(params, audio, lengths):
-            x = audio.astype(jnp.float32)
-            if audio.dtype == jnp.int16:   # wire format (half H2D)
-                x = x * (1.0 / 32768.0)
-            feats, mask = log_mel_frontend(x, lengths)
-            feats, mask = _pad_seq_to_128(feats, mask)
-            logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
-                                 attention_impl=impl)
-            ids = w2v.greedy_ctc_ids(logits, mask, cfg.pad_token_id)
-            return ids, mask
-
-        self._jit_cache[bucket_len] = run
-        return run
-
-    def _logits_fn(self, bucket_len: int):
-        """Log-posterior variant of the mono program (beam decoding)."""
-        key = ("logits", bucket_len)
+    def _mono_fn(self, bucket_len: int, beam: bool):
+        """One compiled mono-rows program per (bucket, head): the body
+        (dequantize -> fbank -> pad -> w2v forward) is shared so the
+        greedy and beam message-path numerics can't drift apart; only
+        the output head differs (greedy CTC ids vs log posteriors)."""
+        key = ("logits", bucket_len) if beam else bucket_len
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -216,10 +202,21 @@ class ASREngine:
             feats, mask = _pad_seq_to_128(feats, mask)
             logits = w2v.forward(params, cfg, feats, mask, dtype=dtype,
                                  attention_impl=impl)
-            return jax.nn.log_softmax(logits, axis=-1), mask
+            if beam:
+                return jax.nn.log_softmax(logits, axis=-1), mask
+            ids = w2v.greedy_ctc_ids(logits, mask, cfg.pad_token_id)
+            return ids, mask
 
         self._jit_cache[key] = run
         return run
+
+    def _device_fn(self, bucket_len: int):
+        """Greedy mono-rows program (see _mono_fn)."""
+        return self._mono_fn(bucket_len, beam=False)
+
+    def _logits_fn(self, bucket_len: int):
+        """Log-posterior variant of the mono program (beam decoding)."""
+        return self._mono_fn(bucket_len, beam=True)
 
     def _fused_fn(self, bucket_len: int):
         """Fused per-chunk-batch program: one upload of the two raw
@@ -276,7 +273,8 @@ class ASREngine:
         return run
 
     def warmup(self, all_buckets: bool = False,
-               tail_sizes: Optional[Sequence[int]] = None) -> int:
+               tail_sizes: Optional[Sequence[int]] = None,
+               message_rows: Optional[bool] = None) -> int:
         """Compile the chunk programs BEFORE the timeout-bounded batch
         loop runs: a cold full-model compile takes minutes through a
         slow toolchain and would otherwise be indistinguishable from a
@@ -284,7 +282,15 @@ class ASREngine:
         batch timeout, pipeline.py:409). Compiles the full-batch + the
         tail-batch shapes for the top length bucket (``all_buckets``
         covers every bucket). Returns the number of shapes dispatched;
-        shapes already dispatched in this process are skipped."""
+        shapes already dispatched in this process are skipped.
+
+        ``message_rows`` (default: the config's enable_message_path)
+        additionally compiles the mono-rows programs the message path
+        dispatches from the analysis stage — VAD segments land in
+        EVERY bucket (variable segment lengths), so those warm across
+        all buckets at the three static row-tail sizes; without this
+        the first message batch pays the cold compiles inside the
+        300 s analysis timeout and a healthy device reads as hung."""
         buckets = (list(self.bucket_samples) if all_buckets
                    else [max(self.bucket_samples)])
         if tail_sizes is None:
@@ -305,6 +311,25 @@ class ASREngine:
                         for i in range(n)]
                 self.transcribe_chunks(warm)
                 n_shapes += 1
+        if message_rows is None:
+            message_rows = bool(
+                self.config.get("enable_message_path", False))
+        if message_rows:
+            B = self.device_batch
+            row_sizes = sorted({self._row_tail_size(1),
+                                self._row_tail_size(B // 2), B})
+            for bucket in self.bucket_samples:
+                for rows_n in row_sizes:
+                    key = ("mono", bucket, rows_n, self.beam_width > 1)
+                    if key in self._warmed:
+                        continue
+                    # _run_rows pads to the static row size itself;
+                    # dispatch exactly rows_n rows to hit that shape.
+                    self._run_rows(
+                        np.zeros((rows_n, bucket), np.float32),
+                        np.full((rows_n,), bucket, np.int32), bucket)
+                    self._warmed.add(key)
+                    n_shapes += 1
         return n_shapes
 
     def _tail_size(self, n: int) -> int:
@@ -638,8 +663,14 @@ class ASREngine:
         ]
         texts: Dict[int, str] = {}
         for batch in chunk_batch(chunks, self.bucket_samples):
-            n = len(batch)
-            rows = batch.audio[:, 0, :]  # mono view only
+            # Mono rows built directly: ChunkBatch.audio would
+            # materialize [N, 3, L] (the wave copied into all three
+            # views) only for view 0 to be kept — 3x the host
+            # allocation+copy per message batch.
+            rows = np.zeros((len(batch), batch.bucket_len), np.float32)
+            for j, c in enumerate(batch.chunks):
+                t = int(batch.lengths[j])
+                rows[j, :t] = c.mixed[:t]
             out = self._run_rows(rows, batch.lengths, batch.bucket_len)
             for j, c in enumerate(batch.chunks):
                 texts[c.chunk_idx] = out[j]

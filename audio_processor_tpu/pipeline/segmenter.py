@@ -107,6 +107,16 @@ class SpeechSegment:
         """Dispatch one channel's VAD to the device without fetching.
         Returns an opaque pending handle for :meth:`_vad_fetch`."""
         if self._vad_params is not None:
+            # PyanNet's windows/hop are sized in model samples; audio
+            # at any other rate must be resampled for the VAD pass
+            # (segment TIMES stay in true seconds either way, and
+            # _segments_from_probs slices the original-rate audio).
+            model_sr = int(getattr(self._vad_cfg, "sample_rate", 16000))
+            if sample_rate != model_sr:
+                from audio_processor_tpu.dsp.resample import resample_np
+
+                flat = resample_np(flat[None, :], sample_rate,
+                                   model_sr)[0]
             return ("pyannet", vad_mod.pyannet_windowed_dispatch(
                 self._vad_params, self._vad_cfg, flat,
                 window_sec=float(
@@ -170,7 +180,11 @@ class SpeechSegment:
             s = int(start * sample_rate)
             e = int(end * sample_rate)
             out.append({
-                "segment_waveform": mono[:, s:e],
+                # The channel the VAD ran on (channel 0): for a
+                # multi-channel input, keeping all channels here would
+                # make transcribe_segments_batched's flatten
+                # concatenate channels end-to-end into one "mono" wave.
+                "segment_waveform": mono[:1, s:e],
                 "start": start,
                 "end": end,
                 "speaker": speaker_label,
@@ -216,15 +230,19 @@ class SpeechSegment:
         pendings = []
         monos = []
         for waveform, label in channels:
+            # One atomic append per channel: a dispatch exception must
+            # not leave monos one entry longer than pendings, or every
+            # later channel pairs with the PREVIOUS channel's audio
+            # and transcribes the wrong speaker/file.
             try:
                 mono, flat = self._as_mono2d(waveform)
-                monos.append(mono)
-                pendings.append(self._vad_dispatch(flat, sample_rate))
+                pending = self._vad_dispatch(flat, sample_rate)
             except Exception as e:
                 logger.error("Error dispatching VAD for %s: %s",
                              label, e)
-                monos.append(None)
-                pendings.append(None)
+                mono, pending = None, None
+            monos.append(mono)
+            pendings.append(pending)
         out: List[List[Dict[str, Any]]] = []
         for (waveform, label), mono, pending in zip(channels, monos,
                                                     pendings):

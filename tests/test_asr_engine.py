@@ -212,3 +212,49 @@ def test_mono_rows_int16_wire_bit_identical(engine, rng):
     finally:
         engine._device_fn = orig
     assert all(d == np.float32 for d in seen)
+
+
+def test_warmup_covers_message_row_programs(checkpoint_dir):
+    """With the message path enabled, warmup() must also compile the
+    mono-rows programs (every bucket x the three static row sizes) —
+    otherwise the first message batch pays cold compiles inside the
+    300 s analysis timeout and a healthy device reads as hung."""
+    cfg = PipelineConfig(transcription_model=str(checkpoint_dir),
+                         enable_mixed_precision=False,
+                         chunk_batch_size=4,
+                         length_buckets_sec=(2.0, 4.0),
+                         chunk_duration_sec=4.0,
+                         vad_max_segment_sec=4.0,
+                         extras={"enable_message_path": True})
+    eng = ASREngine(cfg)
+    n1 = eng.warmup()
+    row_keys = [k for k in eng._jit_cache
+                if isinstance(k, int) or (isinstance(k, tuple)
+                                          and k[0] == "logits")]
+    assert row_keys, "no mono-rows programs compiled by warmup"
+    assert len(eng.bucket_samples) == 2
+    assert {k for k in eng._jit_cache if isinstance(k, int)} == \
+        set(eng.bucket_samples)
+    assert eng.warmup() == 0           # idempotent
+    assert n1 > 0
+
+
+def test_bucket_guard_covers_vad_max_segment(checkpoint_dir):
+    """vad_max_segment_sec beyond the largest bucket must extend the
+    bucket set when the message path is on (segments longer than the
+    bucket were silently truncated by the dense batcher)."""
+    cfg = PipelineConfig(transcription_model=str(checkpoint_dir),
+                         enable_mixed_precision=False,
+                         chunk_duration_sec=4.0, chunk_batch_size=4,
+                         length_buckets_sec=(2.0, 4.0),
+                         vad_max_segment_sec=6.0,
+                         extras={"enable_message_path": True})
+    eng = ASREngine(cfg)
+    assert max(eng.bucket_samples) == 6 * 16000
+    # off: unchanged (reference parity default)
+    cfg2 = PipelineConfig(transcription_model=str(checkpoint_dir),
+                          enable_mixed_precision=False,
+                          chunk_duration_sec=4.0, chunk_batch_size=4,
+                          length_buckets_sec=(2.0, 4.0),
+                          vad_max_segment_sec=6.0)
+    assert max(ASREngine(cfg2).bucket_samples) == 4 * 16000

@@ -211,3 +211,101 @@ def test_fuzzy_ratio_fallback_matches_rapidfuzz():
             prev = cur
         ours = 100.0 * 2 * prev[lb] / (la + lb) if la + lb else 100.0
         assert abs(ours - fuzz.ratio(a, b)) < 1e-9
+
+
+def test_multi_dispatch_failure_does_not_shift_channels(monkeypatch):
+    """A VAD dispatch exception on one channel must yield [] for THAT
+    channel only — later channels keep their own audio (a monos/
+    pendings length skew paired channel k+1's probs with channel k's
+    waveform and transcribed the wrong speaker)."""
+    sr = 16000
+    rng = np.random.default_rng(5)
+    chans = []
+    for i in range(3):
+        x = np.zeros(sr * 6, np.float32)
+        t = np.arange(sr * 2) / sr
+        s = sr * (1 + i)
+        x[s:s + sr * 2] = (0.4 * np.sin(2 * np.pi * (200 + 60 * i) * t)
+                           + 0.01 * rng.standard_normal(sr * 2)
+                           ).astype(np.float32)
+        chans.append((x, f"spk{i}"))
+
+    seg = SpeechSegment(PipelineConfig())
+    want = [seg.get_speech_segments(w, sr, lab) for w, lab in chans]
+
+    orig = seg._vad_dispatch
+    calls = {"n": 0}
+
+    def flaky(flat, rate):
+        calls["n"] += 1
+        if calls["n"] == 2:          # channel index 1 fails
+            raise RuntimeError("synthetic device error")
+        return orig(flat, rate)
+
+    monkeypatch.setattr(seg, "_vad_dispatch", flaky)
+    got = seg.get_speech_segments_multi(chans, sr)
+    assert got[1] == []
+    for idx in (0, 2):
+        assert len(got[idx]) == len(want[idx]) > 0
+        for g, w in zip(got[idx], want[idx]):
+            assert (g["start"], g["end"]) == (w["start"], w["end"])
+            np.testing.assert_array_equal(g["segment_waveform"],
+                                          w["segment_waveform"])
+
+
+def test_stereo_transcribe_mono_uses_vad_channel():
+    """segment_waveform from a [2, T] input is the single channel the
+    VAD ran on — keeping both channels made the batched flatten
+    concatenate ch0-audio + ch1-audio into one doubled 'mono' wave."""
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    x = np.zeros((2, sr * 6), np.float32)
+    x[0, sr:sr * 3] = 0.4 * np.sin(2 * np.pi * 220 * t)
+    x[1, sr:sr * 3] = 0.4 * np.sin(2 * np.pi * 330 * t)
+
+    seg = SpeechSegment(PipelineConfig())
+    segs = seg.get_speech_segments(x, sr, "stereo")
+    assert segs
+    for s in segs:
+        wf = np.asarray(s["segment_waveform"])
+        assert wf.shape[0] == 1            # the VAD'd channel only
+        span = wf.shape[1]
+        start = int(s["start"] * sr)
+        np.testing.assert_array_equal(
+            wf[0], x[0, start:start + span])
+
+
+def test_pyannet_vad_resamples_other_rates():
+    """An 8 kHz input to a PyanNet segmenter must produce segment
+    TIMES matching the same audio at 16 kHz (the model's rate) — the
+    windows/hop are sized in model samples."""
+    import jax
+
+    from audio_processor_tpu.dsp.resample import resample_np
+
+    sr16 = 16000
+    rng = np.random.default_rng(7)
+    t = np.arange(sr16 * 2) / sr16
+    x16 = np.zeros(sr16 * 8, np.float32)
+    x16[sr16:sr16 * 3] = (0.4 * np.sin(2 * np.pi * 220 * t)
+                          + 0.01 * rng.standard_normal(sr16 * 2)
+                          ).astype(np.float32)
+    x8 = resample_np(x16[None, :], sr16, 8000)[0]
+
+    vcfg = vad_mod.PyanNetConfig(sinc_filters=8, conv_channels=6,
+                                 lstm_hidden=8, linear_hidden=8,
+                                 lstm_layers=1, linear_layers=1)
+    seg = SpeechSegment(PipelineConfig())
+    seg._vad_cfg = vcfg
+    seg._vad_params = vad_mod.init_pyannet(jax.random.PRNGKey(0), vcfg)
+
+    segs16 = seg.get_speech_segments(x16, sr16, "a")
+    segs8 = seg.get_speech_segments(x8, 8000, "a")
+    assert len(segs16) == len(segs8) >= 1
+    for a, b in zip(segs16, segs8):
+        assert a["start"] == pytest.approx(b["start"], abs=0.05)
+        assert a["end"] == pytest.approx(b["end"], abs=0.05)
+        # and the 8 kHz slice indexes 8 kHz audio (half the samples)
+        assert np.asarray(b["segment_waveform"]).shape[1] == \
+            pytest.approx(
+                np.asarray(a["segment_waveform"]).shape[1] / 2, abs=2)
