@@ -318,6 +318,35 @@ class InferenceService:
             req.event.set()
 
 
+def parse_multipart_form(content_type: str, body: bytes
+                         ) -> Dict[str, tuple]:
+    """multipart/form-data -> {field name: (filename or None, bytes)}.
+
+    Stdlib-only (email.parser; cgi.FieldStorage is deprecated) for the
+    OpenAI-compatible /v1/audio/transcriptions route. Raises
+    ValueError on anything that isn't well-formed multipart."""
+    from email.parser import BytesParser
+    from email.policy import HTTP
+
+    if "multipart/form-data" not in content_type:
+        raise ValueError("expected multipart/form-data "
+                         "(OpenAI-compatible transcription route)")
+    msg = BytesParser(policy=HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode("latin-1")
+        + b"\r\nMIME-Version: 1.0\r\n\r\n" + body)
+    if not msg.is_multipart():
+        raise ValueError("malformed multipart body")
+    fields: Dict[str, tuple] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        fields[name] = (
+            part.get_filename(),
+            part.get_payload(decode=True) or b"")
+    return fields
+
+
 def make_handler(service: InferenceService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -332,6 +361,36 @@ def make_handler(service: InferenceService):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _send_openai(self, out: Dict[str, Any], fmt: str):
+            """OpenAI audio-transcriptions response shapes
+            (json / text / verbose_json) built from the native
+            transcribe_bytes output."""
+            if fmt == "text":
+                body = (out["transcription"] + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if fmt == "verbose_json":
+                segments = [{
+                    "id": i,
+                    "start": c.get("start_time", 0.0),
+                    "end": c.get("end_time", 0.0),
+                    "text": c.get("transcription_chunk", ""),
+                } for i, c in enumerate(out.get("chunks", []))]
+                self._send(200, {
+                    "task": "transcribe",
+                    "language": "ar",   # Darija call-center model
+                    "duration": out["duration_seconds"],
+                    "text": out["transcription"],
+                    "segments": segments,
+                })
+                return
+            self._send(200, {"text": out["transcription"]})
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -352,7 +411,10 @@ def make_handler(service: InferenceService):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if not self.path.startswith("/v1/transcribe"):
+            openai_route = self.path.split("?", 1)[0] \
+                == "/v1/audio/transcriptions"
+            if not (self.path.startswith("/v1/transcribe")
+                    or openai_route):
                 self._send(404, {"error": "not found"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -364,10 +426,28 @@ def make_handler(service: InferenceService):
 
             qs = parse_qs(urlsplit(self.path).query)
             with_sentiment = qs.get("sentiment", [""])[0] == "1"
+            response_format = "json"
             try:
+                if openai_route:
+                    fields = parse_multipart_form(
+                        self.headers.get("Content-Type", ""), payload)
+                    if "file" not in fields:
+                        raise ValueError(
+                            "multipart body must contain a 'file' part")
+                    payload = fields["file"][1]
+                    response_format = (fields.get("response_format",
+                                                  (None, b"json"))[1]
+                                       .decode("utf-8", "replace"))
+                    if response_format not in ("json", "text",
+                                               "verbose_json"):
+                        raise ValueError("response_format must be "
+                                         "json, text or verbose_json")
                 out = service.transcribe_bytes(
                     payload, with_sentiment=with_sentiment)
-                self._send(200, out)
+                if openai_route:
+                    self._send_openai(out, response_format)
+                else:
+                    self._send(200, out)
             except ServerOverloaded as e:
                 self.send_response(503)
                 body = json.dumps({"error": str(e)}).encode()

@@ -263,3 +263,92 @@ def test_flac_payload(server):
     status, out = _post(port, body)
     assert status == 200
     assert out["num_chunks"] >= 1
+
+
+def _multipart(fields):
+    """fields: {name: (filename or None, bytes)} -> (body, content_type)."""
+    boundary = "testboundary7429"
+    parts = []
+    for name, (fname, data) in fields.items():
+        disp = f'form-data; name="{name}"'
+        if fname:
+            disp += f'; filename="{fname}"'
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: {disp}\r\n"
+            f"Content-Type: application/octet-stream\r\n\r\n"
+            .encode() + data + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def _post_openai(port, fields, path="/v1/audio/transcriptions"):
+    body, ctype = _multipart(fields)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body,
+        headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read()
+
+
+def test_openai_transcriptions_json(server):
+    """OpenAI-compatible route: multipart file upload -> {'text': ...}
+    matching the native route's joined transcription."""
+    port = server.server_address[1]
+    wav_b = _wav_bytes(dur=6.0)
+    st, ctype, raw = _post_openai(
+        port, {"file": ("call.wav", wav_b), "model": (None, b"whisper-1")})
+    assert st == 200 and "json" in ctype
+    out = json.loads(raw)
+    assert set(out) == {"text"}
+    _, native = _post(port, wav_b)
+    assert out["text"] == native["transcription"]
+
+
+def test_openai_transcriptions_text_and_verbose(server):
+    port = server.server_address[1]
+    wav_b = _wav_bytes(dur=6.0)
+    st, ctype, raw = _post_openai(
+        port, {"file": ("c.wav", wav_b),
+               "response_format": (None, b"text")})
+    assert st == 200 and ctype.startswith("text/plain")
+    text = raw.decode().strip()
+
+    st, _, raw = _post_openai(
+        port, {"file": ("c.wav", wav_b),
+               "response_format": (None, b"verbose_json")})
+    assert st == 200
+    out = json.loads(raw)
+    assert out["task"] == "transcribe"
+    assert out["text"] == text
+    assert abs(out["duration"] - 6.0) < 0.01
+    assert len(out["segments"]) == 2      # 4 s chunks, 1 s overlap
+    assert out["segments"][0]["start"] == 0.0
+    assert out["segments"][1]["end"] > out["segments"][0]["end"]
+    assert all(set(s) == {"id", "start", "end", "text"}
+               for s in out["segments"])
+
+
+def test_openai_transcriptions_errors(server):
+    port = server.server_address[1]
+    # missing file part
+    st, _, raw = _post_openai(port, {"model": (None, b"whisper-1")})
+    assert st == 400 and b"file" in raw
+    # not multipart at all
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/audio/transcriptions",
+        data=b"rawbytes", headers={"Content-Type":
+                                   "application/octet-stream"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            st = r.status
+    except urllib.error.HTTPError as e:
+        st = e.code
+    assert st == 400
+    # bad response_format
+    st, _, raw = _post_openai(
+        port, {"file": ("c.wav", _wav_bytes(dur=4.0)),
+               "response_format": (None, b"srt")})
+    assert st == 400
