@@ -4,7 +4,7 @@
 FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        g++ make ffmpeg libopus0 libgsm1 \
+        g++ make ffmpeg libopus0 libgsm1 libspeex1 libmpg123-0 \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
