@@ -104,6 +104,19 @@ class DataProcessor:
         self._file_statuses: List[Dict[str, Any]] = []
         self._file_latencies: List[float] = []
         self.failed_files: List[Dict[str, Any]] = []
+        # Files that failed IN THIS PROCESS, keyed by path with the
+        # (mtime, size) they failed at: watch-mode sweeps skip them
+        # until the file changes on disk, so a directory of
+        # permanently-bad files can't re-burn the per-sweep error
+        # budget (and starve good files) every sweep. A process
+        # restart retries everything — transient failures heal.
+        self._failed_fingerprint: Dict[str, Any] = {}
+        # Per-sweep baselines so watch-mode run summaries report THIS
+        # sweep's work, not process-lifetime counters against a
+        # single sweep's duration.
+        self._sweep_stats_base: Dict[str, int] = {}
+        self._sweep_latency_base = 0
+        self._decode_pool: Optional[ThreadPoolExecutor] = None
         self._tuning_advice: Optional[Dict[str, Any]] = None
         self._all_results: List[Dict[str, Any]] = []
         self._queue_depths = {"decode_queue": 0, "device_queue": 0,
@@ -160,6 +173,36 @@ class DataProcessor:
         pool and the sweep thread all write these)."""
         with self._stats_lock:
             self.stats[key] += n
+
+    def _mark_failed_file(self, fp, err: str) -> None:
+        """Shared failure bookkeeping: .failed marker, stats, status
+        row, and the in-process fingerprint that lets later sweeps
+        skip the file until it changes on disk."""
+        self.markers.mark_failed(fp, err)
+        self._bump("files_failed")
+        self._file_statuses.append(
+            {"file": str(fp), "status": "failed", "error": err})
+        try:
+            st = Path(fp).stat()
+            self._failed_fingerprint[str(fp)] = (st.st_mtime,
+                                                 st.st_size)
+        except OSError:
+            self._failed_fingerprint[str(fp)] = None
+
+    def _skip_as_failed(self, f) -> bool:
+        """True when this file already failed in this process and is
+        unchanged on disk since."""
+        fp = self._failed_fingerprint.get(str(f))
+        if fp is None:
+            return str(f) in self._failed_fingerprint
+        try:
+            st = Path(f).stat()
+        except OSError:
+            return True
+        if (st.st_mtime, st.st_size) != fp:
+            del self._failed_fingerprint[str(f)]   # changed: retry
+            return False
+        return True
 
     def setup_models(self):
         """Build the device engines lazily (reference: pipeline.py:188)."""
@@ -257,8 +300,14 @@ class DataProcessor:
                                     t_start=t_batch_start
                                     if str(f) in preloaded else None)
 
-        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-            return list(ex.map(decode, files))
+        # Processor-lifetime pool (like _analysis_pool): a fresh
+        # executor per batch paid thread spawn/join churn on the hot
+        # prefetch path of every batch.
+        if self._decode_pool is None:
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=self.io_workers,
+                thread_name_prefix="decode")
+        return list(self._decode_pool.map(decode, files))
 
     # ------------------------------------------------------------------
     def process_file_batch(self, batch_id: int, files: Sequence[Path],
@@ -311,8 +360,10 @@ class DataProcessor:
             # dispatch then overlaps batch N's fetch/decode/sentiment
             # instead of idling the chip behind host-side result
             # handling. Sync fallback for engines without
-            # dispatch_chunks (tests, facades).
-            self._bump("files_processed", len(files))
+            # dispatch_chunks (tests, facades). files_processed is
+            # counted in _analysis_stage when the outcome is known —
+            # counting per ATTEMPT here double-counted batches whose
+            # device fetch failed and retried next sweep.
             fetch = None
             results: List[Dict] = []
             if not all_chunks:
@@ -363,16 +414,42 @@ class DataProcessor:
                     # files ARE marked failed first — re-decoding
                     # them next sweep would fail again and duplicate
                     # their failed_files entries.
+                    marked = 0
                     for d in decoded:
                         err = batch_failed.get(str(d["file"]))
                         if err is not None:
-                            self.markers.mark_failed(d["file"], err)
-                            self._bump("files_failed")
-                            self._file_statuses.append(
-                                {"file": str(d["file"]),
-                                 "status": "failed", "error": err})
+                            self._mark_failed_file(d["file"], err)
+                            marked += 1
+                    self._bump("files_processed", marked)
                     return 0
                 self._bump("chunks_processed", len(results))
+            # Per-chunk device errors (dispatch/fetch exceptions are
+            # swallowed into rows with 'error' set,
+            # asr_engine._fetch_pending): a file whose chunks carry
+            # errors must fail, not be marked .done with empty
+            # transcriptions — that would silently drop the file
+            # forever and keep the max_errors gate blind to a dying
+            # device (reference fails the whole file on any chunk
+            # error, audio_processor.py:247-309).
+            chunk_errors: Dict[str, str] = {}
+            for r in results:
+                if r.get("error"):
+                    chunk_errors.setdefault(r.get("file_name", ""),
+                                            r["error"])
+            if chunk_errors:
+                for d in decoded:
+                    fp = str(d["file"])
+                    err = chunk_errors.get(d["file"].name)
+                    if err and fp not in batch_failed:
+                        batch_failed[fp] = f"asr_chunk_error: {err}"
+                        self.failed_files.append({
+                            "filename": d["file"].name,
+                            "path": fp,
+                            "error": batch_failed[fp], "chunks": []})
+                        self._bump("errors")
+                failed_names = {Path(f).name for f in batch_failed}
+                results = [r for r in results
+                           if r.get("file_name") not in failed_names]
             # Call rows are written here, NOT on the device-stage
             # worker: a slow or reconnecting database must never stall
             # the next batch's device dispatch. They go in before the
@@ -413,15 +490,13 @@ class DataProcessor:
                 fp = d["file"]
                 err = batch_failed.get(str(fp))
                 if err is not None:
-                    self.markers.mark_failed(fp, err)
-                    self._bump("files_failed")
-                    self._file_statuses.append(
-                        {"file": str(fp), "status": "failed", "error": err})
+                    self._mark_failed_file(fp, err)
                 else:
                     self.markers.mark_processed(fp)
                     self._bump("files_success")
                     self._file_statuses.append(
                         {"file": str(fp), "status": "success"})
+            self._bump("files_processed", len(files))
 
             if self.config.get("save_csv_results", False):
                 self._append_csv_rows(results)
@@ -492,17 +567,29 @@ class DataProcessor:
             chan_files.extend([d["file"].stem, d["file"].stem])
 
         all_segments: List[Dict] = []
-        spans: List[tuple] = []          # (file_stem, start, count)
+        spans: List[tuple] = []     # (file_stem, start, count|None)
         if channels:
             per_channel = segmenter.get_speech_segments_multi(
                 channels, sr)
             for i in range(0, len(per_channel), 2):
-                segs = per_channel[i] + per_channel[i + 1]
+                a, b = per_channel[i], per_channel[i + 1]
+                if a is None or b is None:
+                    # VAD FAILED for this file (None) — distinct from
+                    # no speech ([]): skip its refresh entirely so a
+                    # transient error can't wipe the call's existing
+                    # message rows via the idempotent delete+insert.
+                    logger.error("VAD failed for %s; keeping existing "
+                                 "message rows", chan_files[i])
+                    self._bump("errors")
+                    spans.append((chan_files[i], len(all_segments),
+                                  None))
+                    continue
+                segs = a + b
                 spans.append((chan_files[i], len(all_segments),
                               len(segs)))
                 all_segments.extend(segs)
 
-        if not all_segments:
+        if not any(count for _stem, _start, count in spans):
             return
 
         def insert_rows(stem: str, msgs: List[Dict]) -> None:
@@ -537,6 +624,8 @@ class DataProcessor:
             logger.error("Batched mono transcription failed (%s); "
                          "retrying per file", e)
             for stem, start, count in spans:
+                if count is None:       # VAD failed: no refresh
+                    continue
                 try:
                     insert_rows(stem, segmenter.transcribe_segments_batched(
                         all_segments[start:start + count], sr))
@@ -545,12 +634,22 @@ class DataProcessor:
                                  stem, e2)
             return
         for stem, start, count in spans:
+            if count is None:           # VAD failed: no refresh
+                continue
             insert_rows(stem, transcribed[start:start + count])
 
     # ------------------------------------------------------------------
     def process_files_parallel(self, files: Sequence[Path]) -> int:
         logger.info("Starting processing of %d files", len(files))
         self.stats["start_time"] = datetime.now()
+        # Per-sweep baselines: watch mode reuses one processor, so
+        # the run summary must report this sweep's deltas, not
+        # process-lifetime counters against one sweep's duration.
+        with self._stats_lock:
+            self._sweep_stats_base = {
+                k: v for k, v in self.stats.items()
+                if isinstance(v, int)}
+        self._sweep_latency_base = len(self._file_latencies)
 
         with self._in_flight_lock:
             in_flight = set(self._in_flight)
@@ -560,10 +659,12 @@ class DataProcessor:
                            len(in_flight))
         filtered = [f for f in files
                     if not self.markers.is_processed(f)
-                    and str(f) not in in_flight]
+                    and str(f) not in in_flight
+                    and not self._skip_as_failed(f)]
         skipped = len(files) - len(filtered)
         if skipped:
-            logger.info("Skipping %d already-processed files", skipped)
+            logger.info("Skipping %d already-processed/failed files",
+                        skipped)
         self._bump("files_skipped", skipped)
 
         batches = create_file_batches(
@@ -605,6 +706,11 @@ class DataProcessor:
             with self._device_inflight_lock:
                 self._device_inflight -= 1
                 self._queue_depths["device_queue"] = self._device_inflight
+            if f.cancelled():
+                # Queued-but-never-run future cancelled at pool
+                # shutdown; f.exception() would RAISE CancelledError
+                # inside this callback.
+                return
             if f.exception() is None and f.result() is not None:
                 try:
                     self._analysis_pool.submit(
@@ -804,23 +910,32 @@ class DataProcessor:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         paths: Dict[str, Path] = {}
 
+        # This sweep's deltas (watch mode reuses one processor; the
+        # duration above is per-sweep, so the counters must be too).
+        base = self._sweep_stats_base
+        with self._stats_lock:
+            sweep = {k: self.stats[k] - base.get(k, 0)
+                     for k, v in self.stats.items()
+                     if isinstance(v, int)}
+        sweep_lat = self._file_latencies[self._sweep_latency_base:]
+
         summary = {
             "start_time": start.isoformat(),
             "end_time": end_time.isoformat(),
             "duration_seconds": duration,
-            "files_processed": (self.stats["files_processed"]
-                                - self.stats["files_failed"]),
-            "chunks_processed": self.stats["chunks_processed"],
-            "errors": self.stats["errors"],
-            "files_success": self.stats.get("files_success", 0),
-            "files_failed": self.stats.get("files_failed", 0),
-            "files_skipped": self.stats.get("files_skipped", 0),
+            "files_processed": (sweep["files_processed"]
+                                - sweep["files_failed"]),
+            "chunks_processed": sweep["chunks_processed"],
+            "errors": sweep["errors"],
+            "files_success": sweep.get("files_success", 0),
+            "files_failed": sweep.get("files_failed", 0),
+            "files_skipped": sweep.get("files_skipped", 0),
             "p50_call_latency_seconds": (
-                float(np.percentile(self._file_latencies, 50))
-                if self._file_latencies else None),
+                float(np.percentile(sweep_lat, 50))
+                if sweep_lat else None),
             "p95_call_latency_seconds": (
-                float(np.percentile(self._file_latencies, 95))
-                if self._file_latencies else None),
+                float(np.percentile(sweep_lat, 95))
+                if sweep_lat else None),
             "config_snapshot": {
                 "file_batch_size": self.config.get("file_batch_size", 8),
                 "chunk_batch_size": self.config.get("chunk_batch_size", 16),
@@ -902,6 +1017,9 @@ class DataProcessor:
         stream. Idempotent; the processor is unusable afterwards."""
         self._close_csv_stream()
         self._analysis_pool.shutdown(wait=False, cancel_futures=True)
+        if self._decode_pool is not None:
+            self._decode_pool.shutdown(wait=False, cancel_futures=True)
+            self._decode_pool = None
 
     def cleanup_old_artifacts(self) -> int:
         return cleanup_old_artifacts(self.config, self.markers,

@@ -13,7 +13,7 @@ waveform as a batched XLA program (models/vad.py).
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -223,9 +223,11 @@ class SpeechSegment:
         speech_segment.py:292-326).
 
         ``channels``: [(waveform, speaker_label), ...]. Returns one
-        segment list per channel, [] for a channel whose segmentation
-        failed (per-channel isolation, same contract as
-        get_speech_segments).
+        entry per channel: a segment list ([] = genuinely no speech),
+        or None for a channel whose segmentation FAILED — callers
+        must not treat an error like silence (the engine's idempotent
+        message refresh would wipe a call's existing rows on a
+        transient VAD error otherwise).
         """
         pendings = []
         monos = []
@@ -243,11 +245,11 @@ class SpeechSegment:
                 mono, pending = None, None
             monos.append(mono)
             pendings.append(pending)
-        out: List[List[Dict[str, Any]]] = []
+        out: List[Optional[List[Dict[str, Any]]]] = []
         for (waveform, label), mono, pending in zip(channels, monos,
                                                     pendings):
             if pending is None:
-                out.append([])
+                out.append(None)
                 continue
             try:
                 probs, hop_sec = self._vad_fetch(pending)
@@ -256,7 +258,7 @@ class SpeechSegment:
             except Exception as e:
                 logger.error("Error in speech segmentation for %s: %s",
                              label, e)
-                out.append([])
+                out.append(None)
         return out
 
     def transcribe_segments_batched(self, segments: List[Dict[str, Any]],

@@ -1042,3 +1042,146 @@ def test_mixed_format_batch_flows_through_pipeline(tmp_path):
     assert db.get_call_by_id_enregistrement("call-flac")[
         "duration_seconds"] == pytest.approx(4.0, abs=0.05)
     db.close()
+
+
+def test_chunk_level_device_errors_fail_the_file(workspace):
+    """Per-chunk device errors (dispatch/fetch exceptions swallowed
+    into rows with 'error' set) must FAIL the file — previously those
+    files were marked .done with empty transcriptions and skipped
+    forever, with the max_errors gate blind to a dying device."""
+    cfg, input_dir, output_dir = workspace
+
+    class ChunkErrorEngine:
+        def warmup(self, all_buckets=False):
+            return 0
+
+        def dispatch_chunks(self, chunks):
+            def fetch():
+                return [{"file_name": c.file_name,
+                         "chunk_idx": c.chunk_idx,
+                         "start_time": c.start_time,
+                         "end_time": c.end_time,
+                         "transcription_chunk": "",
+                         "agent_transcription": "",
+                         "client_transcription": "",
+                         "error": "ASR dispatch failed (simulated)"}
+                        for c in chunks]
+            return fetch
+
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "x.db")))
+    proc = DataProcessor(cfg, db_manager=db,
+                         asr_engine=ChunkErrorEngine())
+    proc.setup_models()
+    assert proc.run() == 0
+    assert proc.stats["files_success"] == 0
+    assert proc.stats["files_failed"] == 3
+    assert proc.stats["errors"] >= 3       # gate sees the failures
+    for i in range(3):
+        assert not proc.markers.is_processed(input_dir / f"call-{i}.wav")
+    assert len(proc.failed_files) == 3
+    db.close()
+
+
+def test_failed_files_skip_within_process_retry_after_change(
+        workspace, monkeypatch):
+    """A file that failed this process is skipped on later sweeps
+    (watch mode must not re-burn the error budget on permanently-bad
+    files every sweep) but retries once the file changes on disk."""
+    import os
+    from pathlib import Path
+
+    import audio_processor_tpu.pipeline.engine as engine_mod
+    from audio_processor_tpu.io import native as native_mod
+
+    cfg, input_dir, output_dir = workspace
+    bad = input_dir / "call-1.wav"
+    real_load = engine_mod.load_audio
+    failing = {"on": True}
+
+    def flaky_load(path):
+        if failing["on"] and Path(path).name == "call-1.wav":
+            raise RuntimeError("simulated decode failure")
+        return real_load(path)
+
+    monkeypatch.setattr(engine_mod, "load_audio", flaky_load)
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "y.db")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 2                     # 2 good, 1 failed
+    assert proc.stats["files_failed"] == 1
+    n_failed_entries = len(proc.failed_files)
+
+    # Sweep 2: the bad file is skipped, not retried.
+    errors_before = proc.stats["errors"]
+    assert proc.run() == 0
+    assert proc.stats["errors"] == errors_before
+    assert len(proc.failed_files) == n_failed_entries  # no duplicates
+
+    # File "re-uploaded" (mtime changes) and now decodable -> retried.
+    failing["on"] = False
+    os.utime(bad, (os.path.getmtime(bad) + 5,) * 2)
+    assert proc.run() == 1
+    assert proc.markers.is_processed(bad)
+    db.close()
+
+
+def test_watch_summaries_report_per_sweep_deltas(workspace):
+    """Watch mode reuses one processor; each run summary must report
+    that sweep's counters and latencies, not process-lifetime totals
+    against one sweep's duration."""
+    import json as _json
+
+    cfg, input_dir, output_dir = workspace
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "z.db")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 3
+    s1 = _json.loads(proc.log_results()["summary"].read_text())
+    assert s1["files_success"] == 3
+
+    # Sweep 2: two new files.
+    for i in (7, 8):
+        wav.write(input_dir / f"late-{i}.wav",
+                  make_stereo_call(dur=4.0), 16000)
+    assert proc.run() == 2
+    s2 = _json.loads(proc.log_results()["summary"].read_text())
+    assert s2["files_success"] == 2            # NOT 5
+    assert s2["files_processed"] == 2
+    assert s2["files_skipped"] == 3            # sweep-1 files .done
+    db.close()
+
+
+def test_vad_failure_preserves_existing_message_rows(workspace):
+    """A transient VAD failure during reprocess must not wipe the
+    call's existing message rows (None from get_speech_segments_multi
+    is an error, not silence; the idempotent refresh is skipped)."""
+    cfg = workspace[0].replace(
+        extras={"enable_message_path": True}, vad_max_segment_sec=4.0)
+    _, input_dir, output_dir = workspace
+    db = DatabaseManager(cfg.replace(db_path=str(output_dir / "m.db")))
+    proc = DataProcessor(cfg, db_manager=db, asr_engine=tiny_engine(cfg))
+    proc.setup_models()
+    assert proc.run() == 3
+    before = db.get_messages_by_id_enregistrement("call-0")
+    assert before, "seed run produced no message rows"
+
+    # Clear markers so the files reprocess, then fail ALL VAD work.
+    import shutil
+
+    shutil.rmtree(proc.markers.dir, ignore_errors=True)
+
+    from audio_processor_tpu.pipeline import segmenter as seg_mod
+
+    orig = seg_mod.SpeechSegment.get_speech_segments_multi
+    try:
+        seg_mod.SpeechSegment.get_speech_segments_multi = \
+            lambda self, channels, sr: [None] * len(channels)
+        assert proc.run() == 3
+    finally:
+        seg_mod.SpeechSegment.get_speech_segments_multi = orig
+
+    after = db.get_messages_by_id_enregistrement("call-0")
+    assert [m["text"] for m in after] == [m["text"] for m in before]
+    db.close()

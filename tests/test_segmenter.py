@@ -244,7 +244,7 @@ def test_multi_dispatch_failure_does_not_shift_channels(monkeypatch):
 
     monkeypatch.setattr(seg, "_vad_dispatch", flaky)
     got = seg.get_speech_segments_multi(chans, sr)
-    assert got[1] == []
+    assert got[1] is None      # FAILED — distinct from no-speech []
     for idx in (0, 2):
         assert len(got[idx]) == len(want[idx]) > 0
         for g, w in zip(got[idx], want[idx]):
