@@ -3,9 +3,11 @@ synthesis, stereo unmixing and packet-level framing.  Fixed-point,
 bit-exact with the reference decoder's normal (no-loss) path.  Packet
 loss concealment and comfort-noise generation live in silk_plc.py
 (ported from libopus 1.3.1 semantics) and are invoked from
-decode_frame below for lost/DTX frames — concealed frames are
-bit-exact vs libopus (test_opusdec: DTX/PLC/CNG cases); the first good
-frames *after* a gap carry a small decaying residual (see PARITY.md).
+decode_frame below for lost/DTX frames — concealed frames AND the
+first good frames after a gap are bit-exact vs libopus
+(test_opusdec: DTX/PLC/CNG cases; the round-3 post-loss residual was
+closed in r4 via BWE_AFTER_LOSS_Q16 LPC expansion + the concealment's
+LastGainIndex reset — see PARITY.md).
 
 Layout mirrors the spec's decoder stages, not any particular source:
 ChannelState == one silk_decoder_state, SilkDecoder == dec_API level.
