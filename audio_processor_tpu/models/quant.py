@@ -2,8 +2,12 @@
 
 Symmetric per-output-channel weight quantization (static, done once at
 load) x per-token dynamic activation quantization (inside the jitted
-program). The int8 x int8 -> int32 contraction runs the v5e MXU at 2x
-its bf16 rate (394 TOPS vs 197 TFLOP/s). Used by the Wav2Vec2Bert
+program). The v5e MXU is capable of running int8 x int8 -> int32 at 2x
+its bf16 rate (394 TOPS vs 197 TFLOP/s), but on this image's
+XLA/libtpu the lowering reaches only ~1.1x (81 vs 74 TF/s measured,
+ARCHITECTURE.md "int8 W8A8 inference"), so the realized full-forward
+win is ~8%; the mode still halves weight memory and doubles on
+toolchains whose int8 path hits the native rate. Used by the Wav2Vec2Bert
 encoder and the BERT sentiment classifiers when the pipeline config
 sets ``quantization: int8`` (opt-in; the default bf16/fp32 path keeps
 the bit-match parity contract).

@@ -744,9 +744,10 @@ def test_celt_plc_pitch_and_noise_vs_libopus():
 
 def test_silk_loss_concealment_bit_exact_fresh():
     """A loss on clean SILK state conceals BIT-EXACTLY (silk_plc.py),
-    for 10/20/40 ms frames, mono and stereo. (The first good frames
-    AFTER the gap carry the known decaying post-loss divergence —
-    see PARITY.md — so only the concealed packets are asserted.)"""
+    for 10/20/40 ms frames, mono and stereo. Since r4 (BWE_AFTER_LOSS
+    LPC expansion + LastGainIndex reset) the post-loss frames are ALSO
+    bit-exact, so concealed AND post-loss frames are all asserted
+    exact (max diff == 0 over every frame)."""
     for ch, frame_ms in ((1, 20), (2, 20), (1, 10), (2, 40)):
         frame = _SR * frame_ms // 1000
         pcm = _speechy(int(1.0 * _SR), ch, seed=3 + ch)

@@ -4,13 +4,24 @@
 # Usage: tools/run_chip_queue.sh <bench_pid> <logfile>
 set -u
 BENCH_PID=${1:?bench pid}
-LOG=${2:?logfile}
+# Resolve the logfile relative to the CALLER's cwd before we cd.
+LOG=$(readlink -f "${2:?logfile}")
 cd "$(dirname "$0")/.."
 
 say() { echo "[queue $(date -u +%H:%M:%S)] $*" >> "$LOG"; }
 
 say "waiting for bench pid $BENCH_PID"
-while kill -0 "$BENCH_PID" 2>/dev/null; do sleep 10; done
+# Bounded wait: bench's worst case is ~90 min; a stale/reused PID must
+# not park the queue forever.
+WAITED=0
+while kill -0 "$BENCH_PID" 2>/dev/null; do
+  sleep 10
+  WAITED=$((WAITED + 10))
+  if [ "$WAITED" -ge 5400 ]; then
+    say "WARNING: pid $BENCH_PID still alive after 90 min; proceeding anyway"
+    break
+  fi
+done
 say "bench done; starting queue"
 
 say "=== profile_message_path (4x180s) ==="
