@@ -25,6 +25,23 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Build the native fast-path library once per checkout when missing
+# (gitignored build artifact) — 16 tests otherwise skip with "native
+# lib not built". ~30 s one-time vs the ~6 min suite. Opt out with
+# APT_SKIP_NATIVE_BUILD=1; on any failure the tests skip gracefully.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_native_so = os.path.join(_repo_root, "audio_processor_tpu", "io",
+                          "_native", "libaudioio.so")
+if (not os.path.exists(_native_so)
+        and os.environ.get("APT_SKIP_NATIVE_BUILD") != "1"):
+    import subprocess
+    try:
+        subprocess.run(
+            ["bash", os.path.join(_repo_root, "native", "build.sh")],
+            check=False, capture_output=True, timeout=600)
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():
