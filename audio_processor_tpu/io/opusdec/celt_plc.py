@@ -22,6 +22,11 @@ CELT/hybrid/SILK streams) and tests/test_opusdec.py.
 All math is float64 against libopus' float32; concealment output is
 held to a fuzz-measured tolerance, not bit-exactness (the entropy
 layer is unaffected: concealment consumes no bits).
+
+``_PITCH_DTYPE`` selects the precision of the pitch search only
+(tools/probe_celt_plc_drift.py flips it to float32 to quantify how
+much of the dense-loss drift budget is near-tied-lag selection noise
+vs genuine accumulation — see PARITY.md §2.3).
 """
 
 from __future__ import annotations
@@ -32,6 +37,8 @@ from typing import List
 import numpy as np
 
 LPC_ORDER = 24
+# Pitch-search precision knob (float64 default; see module docstring).
+_PITCH_DTYPE = np.float64
 MAX_PERIOD = 1024
 PLC_PITCH_LAG_MAX = 720
 PLC_PITCH_LAG_MIN = 100
@@ -226,7 +233,7 @@ def _pitch_search(x_lp: np.ndarray, y: np.ndarray, length: int,
 def plc_pitch_search(decode_mem: List[np.ndarray]) -> int:
     """celt_plc_pitch_search: pitch period (in samples) of the decode
     history, in [PLC_PITCH_LAG_MIN, PLC_PITCH_LAG_MAX]."""
-    lp = _pitch_downsample(decode_mem)
+    lp = _pitch_downsample(decode_mem).astype(_PITCH_DTYPE)
     pitch = _pitch_search(lp[PLC_PITCH_LAG_MAX >> 1:], lp,
                           DECODE_BUFFER_SIZE - PLC_PITCH_LAG_MAX,
                           PLC_PITCH_LAG_MAX - PLC_PITCH_LAG_MIN)

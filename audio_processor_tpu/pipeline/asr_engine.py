@@ -416,12 +416,17 @@ class ASREngine:
                 break
         return B
 
-    def _run_rows(self, rows: np.ndarray, lengths: np.ndarray,
-                  bucket_len: int) -> List[str]:
-        """Transcribe [N, L] audio rows (padded to bucket_len).
-        Dispatches every sub-batch before fetching any (async
-        pipelining, same as transcribe_chunks). beam_width > 1 decodes
-        the log posteriors with prefix beam search instead of greedy."""
+    def _dispatch_rows(self, rows: np.ndarray, lengths: np.ndarray,
+                       bucket_len: int):
+        """Dispatch [N, L] audio rows (padded to bucket_len) and return
+        a fetch closure. Every sub-batch is enqueued before the closure
+        runs (async JAX dispatch), so callers holding several bucket
+        batches can dispatch them ALL before fetching any — through the
+        tunneled transport a per-bucket dispatch->fetch round trip
+        serializes uploads against compute (measured: the message
+        path's asr phase, tools/profile_message_path.py). beam_width >
+        1 decodes the log posteriors with prefix beam search instead
+        of greedy."""
         beam = self.beam_width > 1
         fn = self._logits_fn(bucket_len) if beam \
             else self._device_fn(bucket_len)
@@ -447,24 +452,36 @@ class ASREngine:
                 sl_len = np.concatenate(
                     [sl_len, np.full((pad,), bucket_len, np.int32)])
             pending.append((valid, fn(self.params, sl_rows, sl_len)))
-        out_texts: List[str] = []
-        if beam:
-            from audio_processor_tpu.models.ctc_beam import ctc_beam_search
 
-            for valid, (log_probs, mask) in pending:
-                lp = np.asarray(log_probs)[:valid]
-                m = np.asarray(mask)[:valid].astype(bool)
-                for b in range(valid):
-                    hyps = ctc_beam_search(
-                        lp[b], self.vocab, beam_width=self.beam_width,
-                        word_bonus=self.beam_word_bonus, mask=m[b])
-                    out_texts.append(hyps[0][0] if hyps else "")
+        def fetch() -> List[str]:
+            out_texts: List[str] = []
+            if beam:
+                from audio_processor_tpu.models.ctc_beam import (
+                    ctc_beam_search,
+                )
+
+                for valid, (log_probs, mask) in pending:
+                    lp = np.asarray(log_probs)[:valid]
+                    m = np.asarray(mask)[:valid].astype(bool)
+                    for b in range(valid):
+                        hyps = ctc_beam_search(
+                            lp[b], self.vocab,
+                            beam_width=self.beam_width,
+                            word_bonus=self.beam_word_bonus, mask=m[b])
+                        out_texts.append(hyps[0][0] if hyps else "")
+                return out_texts
+            for valid, (ids, mask) in pending:
+                out_texts.extend(batch_decode(
+                    np.asarray(ids)[:valid], self.vocab,
+                    np.asarray(mask)[:valid]))
             return out_texts
-        for valid, (ids, mask) in pending:
-            out_texts.extend(batch_decode(
-                np.asarray(ids)[:valid], self.vocab,
-                np.asarray(mask)[:valid]))
-        return out_texts
+
+        return fetch
+
+    def _run_rows(self, rows: np.ndarray, lengths: np.ndarray,
+                  bucket_len: int) -> List[str]:
+        """Transcribe [N, L] audio rows: dispatch + immediate fetch."""
+        return self._dispatch_rows(rows, lengths, bucket_len)()
 
     # ------------------------------------------------------------------
     def transcribe_chunks(self, chunks: Sequence[Chunk]) -> List[Dict]:
@@ -662,6 +679,11 @@ class ASREngine:
             for i, w in enumerate(mono)
         ]
         texts: Dict[int, str] = {}
+        # Dispatch EVERY bucket batch before fetching any: per-bucket
+        # dispatch->fetch round trips serialize uploads against compute
+        # through the 25 ms-latency tunnel (message-path asr phase
+        # 7.0 s -> overlapped, tools/profile_message_path.py).
+        dispatched = []
         for batch in chunk_batch(chunks, self.bucket_samples):
             # Mono rows built directly: ChunkBatch.audio would
             # materialize [N, 3, L] (the wave copied into all three
@@ -671,7 +693,10 @@ class ASREngine:
             for j, c in enumerate(batch.chunks):
                 t = int(batch.lengths[j])
                 rows[j, :t] = c.mixed[:t]
-            out = self._run_rows(rows, batch.lengths, batch.bucket_len)
+            dispatched.append((batch, self._dispatch_rows(
+                rows, batch.lengths, batch.bucket_len)))
+        for batch, fetch in dispatched:
+            out = fetch()
             for j, c in enumerate(batch.chunks):
                 texts[c.chunk_idx] = out[j]
         return [texts.get(i, "") for i in range(len(waves))]
