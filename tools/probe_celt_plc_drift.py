@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Attribute the CELT PLC dense-loss drift budget (PARITY.md §2.3).
 
-The fuzz worst case — CELT 2.5 ms frames with a dense drop mask —
-diverges from libopus by up to 0.33 of full scale at ~95 drops.  Two
-candidate causes:
+The round-4 fuzz worst case — CELT 2.5 ms frames with a dense drop
+mask — diverged from libopus by up to 0.33 of full scale at ~95
+drops.  (r5 re-measurement: the 0.33 no longer reproduces — worst
+0.127 over 440 trials across 11 seeds, traced to exponential burst
+amplification with zero pitch-search self-divergence through the
+burst; the window budget is now 0.35.  See PARITY.md §2.3 for the
+packet-level account.)  Two candidate causes:
 
   (a) near-tied pitch-lag selection: libopus' float32 normalized
       xcorr and our float64 one pick DIFFERENT near-tied lags at some
