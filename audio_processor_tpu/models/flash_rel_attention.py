@@ -238,12 +238,16 @@ def _kernel_onepass(q_ref, k_ref, v_ref, e_ref, kvmask_ref, o_ref, *,
 
 def _onepass_q_tile(L: int) -> int:
     """Largest q tile of the form L/2^k keeping the fp32 score tile
-    <=4 MB (peak VMEM stays well under budget with the bf16 prob copy
-    and Mosaic's input double-buffering on top). Halving from L keeps
-    qb a divisor of L; every bucket this pipeline uses (multiples of
-    256 up to 1280) yields a sublane-aligned row count."""
+    <=8 MB (peak VMEM stays within budget with the bf16 prob copy and
+    Mosaic's input double-buffering on top — chip-verified at the
+    production L=1280, where the untiled qb=1280 / 6.55 MB tile is
+    also the FASTEST arm: 9.49 ms/call med vs 10.01 at qb=640 and
+    13.07 for the streaming kernel, tools/ab_attn_variant.py, v5e,
+    B=48 H=16 d=64). Halving from L keeps qb a divisor of L; every
+    bucket this pipeline uses (multiples of 256 up to 1280) yields a
+    sublane-aligned row count."""
     qb = L
-    while qb > 128 and qb * L * 4 > (4 << 20):
+    while qb > 128 and qb * L * 4 > (8 << 20):
         qb //= 2
     return qb
 
@@ -267,8 +271,8 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     in one kv pass (no online-softmax recurrence — the fastest choice
     whenever a [qb, L] fp32 score tile fits VMEM, i.e. every bucket
     this pipeline uses); "stream" is the kv-streaming online-softmax
-    kernel for arbitrary L; "auto" currently resolves to stream until
-    onepass is chip-verified (see dispatch comment).
+    kernel for arbitrary L; "auto" resolves to onepass (chip-measured
+    27% faster at production geometry — see dispatch comment).
     """
     B, H, L, d = q.shape
     assert L % KB == 0, f"L={L} must be a multiple of {KB}"
@@ -278,11 +282,13 @@ def flash_rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     E_pad = jnp.pad(E.astype(q.dtype), ((0, 128 - num_buckets), (0, 0)))
     right = num_buckets - 1 - left
     if variant == "auto":
-        # onepass is the strictly-lighter formulation for every bucket
-        # this pipeline uses, but stays opt-in until its Mosaic
-        # lowering + VMEM fit are verified on the real chip
-        # (tools/ab_attn_variant.py) — flip after measurement.
-        variant = "stream"
+        # Chip-measured default (tools/ab_attn_variant.py, v5e, r5):
+        # onepass 9.49 ms/call med (qb=L) vs stream 13.07 at the
+        # production geometry (B=48 H=16 L=1280 d=64) — 27% faster,
+        # identical outputs. stream remains for L where the score
+        # tile can't fit VMEM (not reachable with this pipeline's
+        # buckets).
+        variant = "onepass"
 
     if variant == "onepass":
         qb = _onepass_q_tile(L)
