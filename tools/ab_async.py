@@ -68,9 +68,13 @@ def main():
         def make_cfg(tag, **kw):
             from audio_processor_tpu.config import PipelineConfig
 
+            # Defaults the B-arm overrides may replace — setdefault,
+            # not positional, or `chunk_batch_size=32` collides with
+            # the hardcoded default (TypeError: multiple values).
+            kw.setdefault("transcription_model", "")
+            kw.setdefault("chunk_batch_size", 16)
+            kw.setdefault("file_batch_size", 8)
             return PipelineConfig(
-                transcription_model="", chunk_batch_size=16,
-                file_batch_size=8,
                 input_folder=str(input_dir),
                 output_folder=str(work / f"out_{tag}"),
                 db_path=str(work / f"{tag}.sqlite"),
